@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config.CdmConfig
+import graft.jobs.Migrate
+import graft.queries.{CoreQueries, Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ * Queries live in graft.queries.*; each exercises the real operator code
+ * and carries its DuckDB oracle SQL when ANSI-expressible. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Everything registered, in build order (SURVEY.md §7.3). */
+  def registry: Seq[Q] =
+    CoreQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+   * J1 Migrate lineage: scan → rename → pushed filter (SURVEY.md §3.1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Migrate.plan(spark, CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.path" -> "/root/testdata/sf0.001",
+      "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+      "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber",
+      "spark.cdm.schema.origin.column.names.to.target" -> "l_orderkey:order_id",
+      "spark.cdm.filter.cassandra.whereCondition" -> "l_quantity > 10"
+    )))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

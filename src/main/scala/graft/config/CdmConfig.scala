@@ -1,0 +1,263 @@
+package graft.config
+
+import org.apache.spark.SparkConf
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Typed view of the `spark.cdm.*` configuration surface.
+ *
+ * The reference stack is configured exclusively through a Java properties
+ * file passed as `--properties-file` to spark-submit
+ * (`/root/reference/entrypoint.sh:277`), i.e. every query parameter is a
+ * `spark.cdm.*` key that lands in the `SparkConf`; the wrapper's env-var
+ * rewrite engine (`/root/reference/entrypoint.sh:88-179`) produces the same
+ * keys. There is no query language: a job class plus a property set fully
+ * determines a pipeline (SURVEY.md §1.4, §3.4).
+ *
+ * This object re-expresses that contract as a pure, idempotent
+ * `CdmConfig.from(conf)` (config resolution must be separable from job
+ * launch — `/root/reference/spark-submit-cdm:1-39` re-dispatches without
+ * re-injecting config). Unknown `spark.cdm.*` keys fail fast, mirroring the
+ * wrapper's hard error on unknown properties
+ * (`/root/reference/entrypoint.sh:146-149`).
+ */
+final case class ClusterConfig(
+    /** Directory holding one parquet file per table (harness stand-in for a
+     * Cassandra cluster contact point, SURVEY.md §5.3). */
+    path: String
+)
+
+/** Origin-side schema knobs (upstream reads these from live cluster
+ * metadata in `schema/CqlTable.java`; the harness must be told). */
+final case class SchemaConfig(
+    table: String,
+    /** Full primary key (partition key ++ clustering columns). */
+    primaryKey: Seq[String],
+    /** Origin→target column rename pairs,
+     * `spark.cdm.schema.origin.column.names.to.target` = "a:b,c:d". */
+    renameMap: Map[String, String],
+    /** Columns to drop before write (skip list). */
+    skipColumns: Seq[String],
+    /** Writetime companion columns (harness convention `wt_<col>` /
+     * explicit names via `spark.cdm.schema.origin.column.writetime.names`). */
+    writetimeCols: Seq[String],
+    ttlCols: Seq[String]
+)
+
+final case class FilterConfig(
+    /** `spark.cdm.filter.cassandra.whereCondition` — pushed-down predicate. */
+    whereCondition: Option[String],
+    /** `spark.cdm.filter.cassandra.partition.min/.max` — token sub-ring. */
+    tokenMin: Option[Long],
+    tokenMax: Option[Long],
+    /** `spark.cdm.filter.java.writetime.min/.max` — incremental window. */
+    writetimeMin: Option[Long],
+    writetimeMax: Option[Long],
+    /** `spark.cdm.filter.java.column.name/.value` — drop matching rows. */
+    columnName: Option[String],
+    columnValue: Option[String],
+    /** `spark.cdm.filter.java.token.percent` — deterministic ring sample. */
+    tokenPercent: Option[Int]
+)
+
+final case class ConstantColumnsConfig(
+    names: Seq[String],
+    types: Seq[String],
+    values: Seq[String]
+)
+
+final case class ExplodeMapConfig(originName: String, keyName: String, valueName: String)
+
+final case class ExtractJsonConfig(originColumn: String, propertyMapping: String, overwrite: Boolean)
+
+final case class TransformConfig(
+    constantColumns: Option[ConstantColumnsConfig],
+    explodeMap: Option[ExplodeMapConfig],
+    extractJson: Option[ExtractJsonConfig],
+    /** `spark.cdm.transform.codecs` — comma list such as
+     * TIMESTAMP_STRING_FORMAT, INT_STRING, DOUBLE_STRING. */
+    codecs: Seq[String],
+    timestampStringFormat: Option[String],
+    mapRemoveNullValue: Boolean,
+    missingKeyTsReplace: Option[Long],
+    customWritetime: Option[Long],
+    customWritetimeIncrement: Long,
+    customTtl: Option[Long]
+)
+
+final case class AutocorrectConfig(missing: Boolean, mismatch: Boolean, missingCounter: Boolean)
+
+final case class PerfConfig(
+    /** `spark.cdm.perfops.numParts` — scan parallelism; maps to the number
+     * of input splits / shuffle partitions rather than hand-built token
+     * slices (`[upstream] job/SplitPartitions.java`, SURVEY.md §4). */
+    numParts: Option[Int],
+    batchSize: Int,
+    fetchSizeInRows: Int,
+    printStatsAfter: Int
+)
+
+final case class GuardrailConfig(colSizeInKB: Int)
+
+final case class TrackRunConfig(enabled: Boolean, previousRunId: Option[String], ledgerDir: Option[String])
+
+final case class CdmConfig(
+    origin: ClusterConfig,
+    target: ClusterConfig,
+    schema: SchemaConfig,
+    filters: FilterConfig,
+    transform: TransformConfig,
+    autocorrect: AutocorrectConfig,
+    perf: PerfConfig,
+    guardrail: GuardrailConfig,
+    trackRun: TrackRunConfig
+)
+
+object CdmConfig {
+  /** Every key this engine understands; anything else under `spark.cdm.`
+   * is rejected (E4 — `[upstream] PropertyHelper.isValidConfig()` plus the
+   * wrapper's `error_exit` at `/root/reference/entrypoint.sh:146-149`). */
+  val KnownKeys: Set[String] = Set(
+    "spark.cdm.connect.origin.path",
+    "spark.cdm.connect.target.path",
+    "spark.cdm.schema.origin.keyspaceTable",
+    "spark.cdm.schema.origin.primaryKey",
+    "spark.cdm.schema.origin.column.names.to.target",
+    "spark.cdm.schema.origin.column.skip",
+    "spark.cdm.schema.origin.column.writetime.names",
+    "spark.cdm.schema.origin.column.ttl.names",
+    "spark.cdm.filter.cassandra.whereCondition",
+    "spark.cdm.filter.cassandra.partition.min",
+    "spark.cdm.filter.cassandra.partition.max",
+    "spark.cdm.filter.java.writetime.min",
+    "spark.cdm.filter.java.writetime.max",
+    "spark.cdm.filter.java.column.name",
+    "spark.cdm.filter.java.column.value",
+    "spark.cdm.filter.java.token.percent",
+    "spark.cdm.feature.constantColumns.names",
+    "spark.cdm.feature.constantColumns.types",
+    "spark.cdm.feature.constantColumns.values",
+    "spark.cdm.feature.constantColumns.splitRegex",
+    "spark.cdm.feature.explodeMap.origin.name",
+    "spark.cdm.feature.explodeMap.target.name.key",
+    "spark.cdm.feature.explodeMap.target.name.value",
+    "spark.cdm.feature.extractJson.originColumn",
+    "spark.cdm.feature.extractJson.propertyMapping",
+    "spark.cdm.feature.extractJson.overwrite",
+    "spark.cdm.feature.guardrail.colSizeInKB",
+    "spark.cdm.transform.codecs",
+    "spark.cdm.transform.codecs.timestamp.string.format",
+    "spark.cdm.transform.map.remove.null.value",
+    "spark.cdm.transform.missing.key.ts.replace.value",
+    "spark.cdm.transform.custom.writetime",
+    "spark.cdm.transform.custom.writetime.incrementBy",
+    "spark.cdm.transform.custom.ttl",
+    "spark.cdm.autocorrect.missing",
+    "spark.cdm.autocorrect.mismatch",
+    "spark.cdm.autocorrect.missing.counter",
+    "spark.cdm.perfops.numParts",
+    "spark.cdm.perfops.batchSize",
+    "spark.cdm.perfops.fetchSizeInRows",
+    "spark.cdm.perfops.printStatsAfter",
+    "spark.cdm.trackRun",
+    "spark.cdm.trackRun.previousRunId",
+    "spark.cdm.trackRun.ledgerDir"
+  )
+
+  def from(spark: SparkSession): CdmConfig = from(spark.sparkContext.getConf)
+
+  def from(conf: SparkConf): CdmConfig = {
+    val cdm = conf.getAll.filter(_._1.startsWith("spark.cdm.")).toMap
+    val unknown = cdm.keySet -- KnownKeys
+    require(unknown.isEmpty, s"Unknown spark.cdm.* properties: ${unknown.toSeq.sorted.mkString(", ")}")
+    fromMap(cdm)
+  }
+
+  /** Pure builder used by tests and by `from(SparkConf)`. */
+  def fromMap(p: Map[String, String]): CdmConfig = {
+    def get(k: String): Option[String] = p.get(k).map(_.trim).filter(_.nonEmpty)
+    def list(k: String, sep: String = ","): Seq[String] =
+      get(k).map(_.split(sep).map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+    val renames = list("spark.cdm.schema.origin.column.names.to.target").map { pair =>
+      pair.split(":") match {
+        case Array(o, t) => o.trim -> t.trim
+        case _ => throw new IllegalArgumentException(s"bad rename pair '$pair' (want origin:target)")
+      }
+    }.toMap
+
+    val constants = (
+      list("spark.cdm.feature.constantColumns.names"),
+      list("spark.cdm.feature.constantColumns.types"),
+      list("spark.cdm.feature.constantColumns.values", get("spark.cdm.feature.constantColumns.splitRegex").getOrElse(","))
+    ) match {
+      case (Nil, Nil, Nil) => None
+      case (n, t, v) =>
+        require(n.size == t.size && t.size == v.size,
+          s"constantColumns names/types/values lengths differ: ${n.size}/${t.size}/${v.size}")
+        Some(ConstantColumnsConfig(n, t, v))
+    }
+
+    val explode = get("spark.cdm.feature.explodeMap.origin.name").map { origin =>
+      ExplodeMapConfig(
+        origin,
+        get("spark.cdm.feature.explodeMap.target.name.key").getOrElse(s"${origin}_key"),
+        get("spark.cdm.feature.explodeMap.target.name.value").getOrElse(s"${origin}_value"))
+    }
+
+    val extract = get("spark.cdm.feature.extractJson.originColumn").map { origin =>
+      ExtractJsonConfig(
+        origin,
+        get("spark.cdm.feature.extractJson.propertyMapping")
+          .getOrElse(throw new IllegalArgumentException("extractJson.propertyMapping required")),
+        get("spark.cdm.feature.extractJson.overwrite").exists(_.toBoolean))
+    }
+
+    CdmConfig(
+      origin = ClusterConfig(get("spark.cdm.connect.origin.path").getOrElse("")),
+      target = ClusterConfig(get("spark.cdm.connect.target.path").getOrElse("")),
+      schema = SchemaConfig(
+        table = get("spark.cdm.schema.origin.keyspaceTable").getOrElse(""),
+        primaryKey = list("spark.cdm.schema.origin.primaryKey"),
+        renameMap = renames,
+        skipColumns = list("spark.cdm.schema.origin.column.skip"),
+        writetimeCols = list("spark.cdm.schema.origin.column.writetime.names"),
+        ttlCols = list("spark.cdm.schema.origin.column.ttl.names")),
+      filters = FilterConfig(
+        whereCondition = get("spark.cdm.filter.cassandra.whereCondition"),
+        tokenMin = get("spark.cdm.filter.cassandra.partition.min").map(_.toLong),
+        tokenMax = get("spark.cdm.filter.cassandra.partition.max").map(_.toLong),
+        writetimeMin = get("spark.cdm.filter.java.writetime.min").map(_.toLong),
+        writetimeMax = get("spark.cdm.filter.java.writetime.max").map(_.toLong),
+        columnName = get("spark.cdm.filter.java.column.name"),
+        columnValue = get("spark.cdm.filter.java.column.value"),
+        tokenPercent = get("spark.cdm.filter.java.token.percent").map(_.toInt)),
+      transform = TransformConfig(
+        constantColumns = constants,
+        explodeMap = explode,
+        extractJson = extract,
+        codecs = list("spark.cdm.transform.codecs"),
+        timestampStringFormat = get("spark.cdm.transform.codecs.timestamp.string.format"),
+        mapRemoveNullValue = get("spark.cdm.transform.map.remove.null.value").exists(_.toBoolean),
+        missingKeyTsReplace = get("spark.cdm.transform.missing.key.ts.replace.value").map(_.toLong),
+        customWritetime = get("spark.cdm.transform.custom.writetime").map(_.toLong),
+        customWritetimeIncrement = get("spark.cdm.transform.custom.writetime.incrementBy").map(_.toLong).getOrElse(0L),
+        customTtl = get("spark.cdm.transform.custom.ttl").map(_.toLong)),
+      autocorrect = AutocorrectConfig(
+        missing = get("spark.cdm.autocorrect.missing").exists(_.toBoolean),
+        mismatch = get("spark.cdm.autocorrect.mismatch").exists(_.toBoolean),
+        missingCounter = get("spark.cdm.autocorrect.missing.counter").exists(_.toBoolean)),
+      perf = PerfConfig(
+        numParts = get("spark.cdm.perfops.numParts").map(_.toInt),
+        batchSize = get("spark.cdm.perfops.batchSize").map(_.toInt).getOrElse(5),
+        fetchSizeInRows = get("spark.cdm.perfops.fetchSizeInRows").map(_.toInt).getOrElse(1000),
+        printStatsAfter = get("spark.cdm.perfops.printStatsAfter").map(_.toInt).getOrElse(100000)),
+      guardrail = GuardrailConfig(
+        colSizeInKB = get("spark.cdm.feature.guardrail.colSizeInKB").map(_.toInt).getOrElse(0)),
+      trackRun = TrackRunConfig(
+        enabled = get("spark.cdm.trackRun").exists(_.toBoolean),
+        previousRunId = get("spark.cdm.trackRun.previousRunId"),
+        ledgerDir = get("spark.cdm.trackRun.ledgerDir"))
+    )
+  }
+}

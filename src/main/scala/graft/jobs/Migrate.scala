@@ -1,0 +1,60 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.config.CdmConfig
+import graft.io.TableIO
+import graft.ops.{Filters, Projection, Transforms, WritetimeTtl}
+
+/**
+ * J1 — Migrate: full-table copy origin→target.
+ *
+ * Reference entry point: `CDM_JOB_NAME=migrate` dispatches
+ * `com.datastax.cdm.job.Migrate` (`/root/reference/entrypoint.sh:230-233`,
+ * `/root/reference/spark-submit-cdm:12-14`); `[upstream]
+ * job/CopyJobSession.java` runs token-range slices row-at-a-time through
+ * the feature pipeline and batches writes.
+ *
+ * Spark-native shape (SURVEY.md §3.1): one declarative lineage
+ * `scan → writetime companions → filters → projection/rename → transforms`,
+ * materialized by a single `write`. Catalyst owns pushdown/pruning; the
+ * whole row pipeline fuses into one whole-stage-codegen span; parallelism
+ * is input-split driven (the connector's token ranges in production,
+ * parquet row groups in the harness) instead of hand-built
+ * `SplitPartitions` slices.
+ */
+object Migrate {
+
+  /** Build the migrate lineage without materializing it. */
+  def plan(spark: SparkSession, cfg: CdmConfig): DataFrame = {
+    var df = TableIO.read(spark, cfg.origin.path, cfg.schema.table)
+
+    // T9: expose row writetime before filters so the P5 window can use it.
+    val wtCol =
+      if (cfg.schema.writetimeCols.nonEmpty)
+        Some(WritetimeTtl.greatestOf(cfg.schema.writetimeCols))
+      else None
+
+    df = Filters.applyAll(df, cfg.filters, cfg.schema.primaryKey, wtCol)
+    df = Projection(df, cfg.schema)
+    df = Transforms.applyAll(df, cfg.transform)
+
+    // perfops.numParts drives scan parallelism in the reference
+    // ([upstream] SplitPartitions). Spark sizes splits itself; only
+    // repartition when the user explicitly asks, and do it by PK so the
+    // target write preserves partition-key locality (S3 batching).
+    cfg.perf.numParts match {
+      case Some(n) if cfg.schema.primaryKey.nonEmpty =>
+        val pkAfterRename = cfg.schema.primaryKey.map(k => cfg.schema.renameMap.getOrElse(k, k))
+        df.repartition(n, pkAfterRename.map(col): _*)
+      case Some(n) => df.repartition(n)
+      case None    => df
+    }
+  }
+
+  /** Execute: write the planned lineage to the target cluster stand-in. */
+  def run(spark: SparkSession, cfg: CdmConfig): Unit = {
+    val targetTable = cfg.schema.renameMap.getOrElse(cfg.schema.table, cfg.schema.table)
+    TableIO.write(plan(spark, cfg), cfg.target.path, targetTable)
+  }
+}

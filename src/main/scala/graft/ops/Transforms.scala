@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+import graft.config.{ConstantColumnsConfig, ExplodeMapConfig, ExtractJsonConfig, TransformConfig}
+
+/**
+ * T1–T8, T10/T11 — the reference's row-transform surface
+ * (`spark.cdm.transform.*` + `spark.cdm.feature.*`; SURVEY.md §2.4).
+ * Every transform is a pure `DataFrame => DataFrame` built from built-in
+ * Catalyst expressions (zero UDFs — everything stays inside whole-stage
+ * codegen).
+ */
+object Transforms {
+
+  /** T1 — constant columns (`spark.cdm.feature.constantColumns.*`):
+   * append fixed-valued columns (e.g. a tenant id) to every row.
+   * `[upstream] feature/ConstantColumns.java`. Catalyst constant-folds the
+   * literals, so the cost is zero per row. */
+  def constantColumns(df: DataFrame, cfg: ConstantColumnsConfig): DataFrame =
+    cfg.names.lazyZip(cfg.types).lazyZip(cfg.values).foldLeft(df) {
+      case (d, (name, tpe, value)) =>
+        d.withColumn(name, lit(value).cast(DataType.fromDDL(tpe)))
+    }
+
+  /** T2 — explode map (`spark.cdm.feature.explodeMap.*`): one origin row
+   * with a `map<K,V>` column becomes N target rows; key and value become
+   * scalar columns that join the primary key. The reference's only
+   * cardinality-changing operator (`[upstream] feature/ExplodeMap.java`);
+   * in Spark it is the built-in `explode` Generate node. */
+  def explodeMap(df: DataFrame, cfg: ExplodeMapConfig): DataFrame = {
+    val others = df.columns.filterNot(_ == cfg.originName).map(col)
+    df.select(others.toIndexedSeq :+ explode(col(cfg.originName)).as(Seq(cfg.keyName, cfg.valueName)): _*)
+  }
+
+  /** T3 — extract JSON (`spark.cdm.feature.extractJson.*`): pull one
+   * property out of a JSON-string column into its own column.
+   * propertyMapping is `jsonField` or `jsonField:targetColumn`.
+   * `[upstream] feature/ExtractJson.java`. */
+  def extractJson(df: DataFrame, cfg: ExtractJsonConfig): DataFrame = {
+    val (field, target) = cfg.propertyMapping.split(":") match {
+      case Array(f, t) => (f.trim, t.trim)
+      case Array(f)    => (f.trim, f.trim)
+      case _ => throw new IllegalArgumentException(s"bad propertyMapping '${cfg.propertyMapping}'")
+    }
+    require(cfg.overwrite || !df.columns.contains(target),
+      s"extractJson target column '$target' exists and overwrite=false")
+    df.withColumn(target, get_json_object(col(cfg.originColumn), s"$$.$field"))
+  }
+
+  /** T4 — timestamp↔string codecs (`spark.cdm.transform.codecs` =
+   * TIMESTAMP_STRING_FORMAT / TIMESTAMP_STRING_MILLIS;
+   * `[upstream]` codec classes under `cql/codec`). */
+  def timestampToString(c: Column, fmt: String): Column = date_format(c, fmt)
+  def stringToTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def millisStringToTimestamp(c: Column): Column = timestamp_millis(c.cast("long"))
+  def timestampToMillisString(c: Column): Column = unix_millis(c).cast("string")
+
+  /** T5 — numeric↔string codecs (INT_STRING / BIGINT_STRING /
+   * DOUBLE_STRING / DECIMAL_STRING). String→number is the deterministic
+   * direction; number→string of floating types is engine-formatting
+   * sensitive and used only at the write boundary. */
+  def stringToLong(c: Column): Column = c.cast("long")
+  def stringToDouble(c: Column): Column = c.cast("double")
+  def longToString(c: Column): Column = c.cast("string")
+
+  /** T6 — map null-value scrub (`spark.cdm.transform.map.remove.null.value`):
+   * drop entries whose value is null before write (target DBs reject nulls
+   * in collections). `map_filter` stays codegen-friendly. */
+  def mapRemoveNullValues(df: DataFrame, mapCol: String): DataFrame =
+    df.withColumn(mapCol, map_filter(col(mapCol), (_, v) => v.isNotNull))
+
+  /** T7 — missing-key-timestamp repair
+   * (`spark.cdm.transform.missing.key.ts.replace.value`): replace
+   * null/epoch-0 timestamps appearing as map keys. */
+  def repairMissingMapKeyTs(df: DataFrame, mapCol: String, replacementMicros: Long): DataFrame =
+    df.withColumn(mapCol,
+      map_from_arrays(
+        transform(map_keys(col(mapCol)), k =>
+          when(k.isNull || unix_micros(k) === 0L, timestamp_micros(lit(replacementMicros))).otherwise(k)),
+        map_values(col(mapCol))))
+
+  /** T8 — custom writetime/TTL override (`spark.cdm.transform.custom.*`):
+   * force a constant writetime (optionally incremented per row to break
+   * ties) and/or TTL on every written row.
+   * `[upstream] feature/WritetimeTTL.java`. */
+  def customWritetime(df: DataFrame, wtMicros: Long, incrementBy: Long, outCol: String = "writetime"): DataFrame =
+    if (incrementBy == 0L) df.withColumn(outCol, lit(wtMicros))
+    else df.withColumn(outCol, lit(wtMicros) + monotonically_increasing_id() * lit(incrementBy))
+
+  def customTtl(df: DataFrame, ttlSeconds: Long, outCol: String = "ttl"): DataFrame =
+    df.withColumn(outCol, lit(ttlSeconds))
+
+  /** Apply the configured subset in reference pipeline order
+   * (WritetimeTTL → filters happen upstream; then constants → explode →
+   * extract-json → codecs/conversions; SURVEY.md §3.1 step 10). */
+  def applyAll(df: DataFrame, t: TransformConfig): DataFrame = {
+    var d = df
+    t.constantColumns.foreach(c => d = constantColumns(d, c))
+    t.explodeMap.foreach(c => d = explodeMap(d, c))
+    t.extractJson.foreach(c => d = extractJson(d, c))
+    t.customWritetime.foreach(wt => d = customWritetime(d, wt, t.customWritetimeIncrement))
+    t.customTtl.foreach(ttl => d = customTtl(d, ttl))
+    d
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.CdmConfig
+import graft.io.TableIO
+import graft.jobs.Migrate
+import graft.ops.{Filters, Projection}
+
+/**
+ * Harness queries for the scan/projection/filter surface (SURVEY.md §2.2
+ * S1, §2.3 P1–P8), each built on the real Migrate/Filters operator code so
+ * the oracle comparison doubles as an integration test of J1.
+ */
+object CoreQueries {
+
+  private def cfg(dir: String, extra: Map[String, String] = Map.empty): CdmConfig =
+    CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.path" -> dir,
+      "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+      "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber"
+    ) ++ extra)
+
+  /** Non-null-PK guard shared by migrate-path oracles (P8 always runs). */
+  private val PkGuard = "l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL"
+
+  val all: Seq[Q] = Seq(
+
+    // S1/P1 — token-range-parallel full-table scan with projection pushdown.
+    Q("scan_lineitem",
+      (s, dir) => Migrate.plan(s, cfg(dir))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+              |FROM lineitem WHERE $PkGuard
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P2 — origin→target column rename map.
+    Q("rename_project",
+      (s, dir) => Migrate.plan(s, cfg(dir, Map(
+          "spark.cdm.schema.origin.column.names.to.target" ->
+            "l_orderkey:order_id,l_linenumber:line_no,l_quantity:qty",
+          "spark.cdm.schema.origin.column.skip" ->
+            "l_tax,l_returnflag,l_linestatus,l_shipdate,l_discount,l_extendedprice,l_partkey,l_suppkey")))
+        .orderBy("order_id", "line_no"),
+      Some(s"""SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty
+              |FROM lineitem WHERE $PkGuard
+              |ORDER BY order_id, line_no""".stripMargin)),
+
+    // P3 — pushed-down WHERE condition (reference appends it to the origin
+    // CQL; here Catalyst pushes it into the parquet scan).
+    Q("filter_where",
+      (s, dir) => Migrate.plan(s, cfg(dir, Map(
+          "spark.cdm.filter.cassandra.whereCondition" ->
+            "l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_shipdate, l_discount
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05 AND $PkGuard
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P4 — token sub-ring restriction over the deterministic ring stand-in
+    // ((pk * 2654435761) mod 2^31 — TableIO.tokenOf; SURVEY.md §7.4).
+    Q("filter_token_range",
+      (s, dir) => Migrate.plan(s, cfg(dir, Map(
+          "spark.cdm.filter.cassandra.partition.min" -> "100000000",
+          "spark.cdm.filter.cassandra.partition.max" -> "1000000000")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          TableIO.tokenOf(col("l_orderkey")).as("ring_token"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  (l_orderkey * 2654435761) % 2147483648 AS ring_token
+              |FROM lineitem
+              |WHERE (l_orderkey * 2654435761) % 2147483648 BETWEEN 100000000 AND 1000000000
+              |  AND $PkGuard
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P5 — writetime window (incremental migration): events.ts models the
+    // cell writetime (µs since epoch), window = [2024-01-05, 2024-01-20).
+    Q("filter_writetime",
+      (s, dir) => {
+        val events = TableIO.read(s, dir, "events")
+          .withColumn("row_writetime", unix_micros(col("ts")))
+        Filters.writetimeWindow(events, col("row_writetime"),
+            1704412800000000L, 1705708799999999L)
+          .select("event_id", "row_writetime")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS row_writetime
+             |FROM events
+             |WHERE epoch_us(ts) BETWEEN 1704412800000000 AND 1705708799999999
+             |ORDER BY event_id""".stripMargin)),
+
+    // P6 — column-value skip filter (drop rows whose column matches).
+    Q("filter_column_value",
+      (s, dir) => Filters.columnValue(TableIO.read(s, dir, "events"), "event_type", "error")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type, value
+             |FROM events
+             |WHERE NOT (event_type = 'error')
+             |ORDER BY event_id""".stripMargin)),
+
+    // P7 — deterministic token-percent sampling (15% of the ring).
+    Q("filter_token_percent",
+      (s, dir) => Migrate.plan(s, cfg(dir, Map(
+          "spark.cdm.filter.java.token.percent" -> "15")))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber
+              |FROM lineitem
+              |WHERE (l_orderkey * 2654435761 + 12345) % 100 < 15 AND $PkGuard
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P8 — null-PK skip. The fixtures have no null PKs, so a synthetic
+    // nullable PK component (nullif) exercises the guard.
+    Q("skip_null_pk",
+      (s, dir) => {
+        val df = TableIO.read(s, dir, "lineitem")
+          .withColumn("pk_part", expr("nullif(l_linenumber, 3)"))
+        Filters.nonNullPk(df, Seq("l_orderkey", "pk_part"))
+          .select("l_orderkey", "l_linenumber", "pk_part")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, nullif(l_linenumber, 3) AS pk_part
+             |FROM lineitem
+             |WHERE l_orderkey IS NOT NULL AND nullif(l_linenumber, 3) IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+  )
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Dev-loop stand-in for the driver's correctness gate: run DuckDB on
+oracle_sql.json against the sf parquet tables and compare to the Spark
+dumps produced by `graft.Verify`. Mimics the driver: sort columns by name,
+compare values. Dev tooling only — the shipped library is pure Scala."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        spark_df = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+        if name not in oracle:
+            status = f"rows-only ({len(spark_df)} rows)"
+            ok = len(spark_df) > 0
+        else:
+            try:
+                duck_df = con.execute(oracle[name]).df()
+            except Exception as e:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                n_fail += 1
+                continue
+            s = spark_df.reindex(sorted(spark_df.columns), axis=1)
+            o = duck_df.reindex(sorted(duck_df.columns), axis=1)
+            ok, status = compare(s, o)
+        if ok:
+            n_pass += 1
+            print(f"PASS {name}: {status}")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {status}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+def compare(s, o):
+    if list(s.columns) != list(o.columns):
+        return False, f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"
+    if len(s) != len(o):
+        return False, f"row count differs: spark={len(s)} oracle={len(o)}"
+    for c in s.columns:
+        a, b = s[c], o[c]
+        try:
+            a = a.map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
+            b = b.map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
+            eq = (a.astype(object).where(pd.notna(a), None) ==
+                  b.astype(object).where(pd.notna(b), None)).all()
+        except Exception as e:
+            return False, f"column {c} compare error: {e}"
+        if not eq:
+            bad = (a.astype(object).where(pd.notna(a), None) !=
+                   b.astype(object).where(pd.notna(b), None))
+            i = bad[bad].index[0]
+            return False, f"column {c} differs at row {i}: spark={s[c][i]!r} oracle={o[c][i]!r}"
+    return True, f"{len(s)} rows x {len(s.columns)} cols match"
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
