@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.config.{CdmConfig, ExplodeMapConfig, ExtractJsonConfig}
+import graft.io.TableIO
+import graft.jobs.Migrate
+import graft.ops.{Transforms, WritetimeTtl}
+
+/**
+ * Harness queries for the row-transform surface (SURVEY.md §2.4 T1–T9) —
+ * CDM's `spark.cdm.transform.*` / `spark.cdm.feature.*` features,
+ * re-expressed as built-in Catalyst expressions and driven through the
+ * real config + Migrate pipeline wherever the fixture schema allows.
+ */
+object TransformQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // T1 — constant columns appended to every migrated row
+    // ([upstream] feature/ConstantColumns.java).
+    Q("constant_columns",
+      (s, dir) => Migrate.plan(s, CdmConfig.fromMap(Map(
+          "spark.cdm.connect.origin.path" -> dir,
+          "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+          "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber",
+          "spark.cdm.feature.constantColumns.names" -> "tenant,region_id",
+          "spark.cdm.feature.constantColumns.types" -> "string,int",
+          "spark.cdm.feature.constantColumns.values" -> "acme,42")))
+        .select("l_orderkey", "l_linenumber", "tenant", "region_id")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, 'acme' AS tenant, CAST(42 AS INTEGER) AS region_id
+             |FROM lineitem
+             |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // T2 — explode map: one row with map<K,V> becomes N rows; the
+    // reference's only generator ([upstream] feature/ExplodeMap.java).
+    // The fixture has no map column, so one is built from event fields
+    // (etype -> event_type, kval -> props.k), then exploded.
+    Q("explode_map",
+      (s, dir) => {
+        val df = TableIO.read(s, dir, "events")
+          .withColumn("m", map(
+            lit("etype"), col("event_type"),
+            lit("kval"), get_json_object(col("props"), "$.k")))
+          .select("event_id", "m")
+        Transforms.explodeMap(df, ExplodeMapConfig("m", "map_key", "map_value"))
+          .orderBy("event_id", "map_key")
+      },
+      Some("""SELECT event_id, 'etype' AS map_key, event_type AS map_value FROM events
+             |UNION ALL
+             |SELECT event_id, 'kval' AS map_key, json_extract_string(props, '$.k') AS map_value FROM events
+             |ORDER BY event_id, map_key""".stripMargin)),
+
+    // T3 — extract a JSON property into its own column, driven through the
+    // full Migrate config path ([upstream] feature/ExtractJson.java).
+    Q("extract_json",
+      (s, dir) => Migrate.plan(s, CdmConfig.fromMap(Map(
+          "spark.cdm.connect.origin.path" -> dir,
+          "spark.cdm.schema.origin.keyspaceTable" -> "events",
+          "spark.cdm.schema.origin.primaryKey" -> "event_id",
+          "spark.cdm.feature.extractJson.originColumn" -> "props",
+          "spark.cdm.feature.extractJson.propertyMapping" -> "k:k_val")))
+        .select("event_id", "k_val")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_val
+             |FROM events
+             |WHERE event_id IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
+    // T4 — timestamp <-> string codec round-trip
+    // (TIMESTAMP_STRING_FORMAT; [upstream] codec classes under cql/codec).
+    Q("codec_timestamp_string",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        TableIO.read(s, dir, "events")
+          .withColumn("ts_str", Transforms.timestampToString(col("ts"), fmt))
+          .withColumn("ts_epoch_s", unix_timestamp(Transforms.stringToTimestamp(col("ts_str"), fmt)))
+          .select("event_id", "ts_str", "ts_epoch_s")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+             |  CAST(epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) // 1000000 AS BIGINT) AS ts_epoch_s
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // T5 — numeric <-> string codecs (INT_STRING / BIGINT_STRING).
+    // String->number is the deterministic direction; float->string goes
+    // through an explicit floor so both engines agree.
+    Q("codec_numeric_string",
+      (s, dir) => TableIO.read(s, dir, "lineitem")
+        .withColumn("ok_str", Transforms.longToString(col("l_orderkey")))
+        .withColumn("ok_roundtrip", Transforms.stringToLong(col("ok_str")))
+        .withColumn("qty_floor_str", floor(col("l_quantity")).cast("long").cast("string"))
+        .select("l_orderkey", "l_linenumber", "ok_str", "ok_roundtrip", "qty_floor_str")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_orderkey AS VARCHAR) AS ok_str,
+             |  CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS ok_roundtrip,
+             |  CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS qty_floor_str
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // T6 — map null-value scrub: entries with null values are dropped
+    // before write (map_filter), observed via explode.
+    Q("map_scrub",
+      (s, dir) => {
+        val df = TableIO.read(s, dir, "events")
+          .withColumn("m", map(col("event_type"), when(col("value") > 50, col("value"))))
+        val scrubbed = Transforms.mapRemoveNullValues(df, "m")
+        Transforms.explodeMap(scrubbed.select("event_id", "m"), ExplodeMapConfig("m", "k", "v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type AS k, value AS v
+             |FROM events
+             |WHERE value > 50
+             |ORDER BY event_id""".stripMargin)),
+
+    // T7 — missing-key-timestamp repair: null/epoch-0 timestamp map keys
+    // replaced with a fixed value (spark.cdm.transform.missing.key.ts.replace.value).
+    Q("map_key_repair",
+      (s, dir) => {
+        val repl = 1700000000000000L
+        val df = TableIO.read(s, dir, "events")
+          .withColumn("m", map(
+            when(pmod(col("event_id"), lit(10)) === 0, timestamp_micros(lit(0L))).otherwise(col("ts")),
+            col("value")))
+        Transforms.repairMissingMapKeyTs(df, "m", repl)
+          .select(col("event_id"), unix_micros(map_keys(col("m"))(0)).as("key_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 10 = 0 THEN 1700000000000000 ELSE epoch_us(ts) END AS key_us
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // T8 — custom writetime/TTL override on every written row
+    // (spark.cdm.transform.custom.writetime / .custom.ttl).
+    Q("custom_writetime",
+      (s, dir) => Migrate.plan(s, CdmConfig.fromMap(Map(
+          "spark.cdm.connect.origin.path" -> dir,
+          "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+          "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber",
+          "spark.cdm.transform.custom.writetime" -> "1704067200000000",
+          "spark.cdm.transform.custom.ttl" -> "86400")))
+        .select("l_orderkey", "l_linenumber", "writetime", "ttl")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(1704067200000000 AS BIGINT) AS writetime,
+             |  CAST(86400 AS BIGINT) AS ttl
+             |FROM lineitem
+             |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // T9/A2 — automatic writetime propagation: per-cell writetimes modeled
+    // as companion columns, row writetime = greatest across columns
+    // ([upstream] feature/WritetimeTTL.java).
+    Q("writetime_greatest",
+      (s, dir) => {
+        val df = TableIO.read(s, dir, "events")
+          .withColumn("wt_event_type", unix_micros(col("ts")) + pmod(col("event_id") * 7, lit(50)))
+          .withColumn("wt_value", unix_micros(col("ts")) + pmod(col("event_id") * 13, lit(50)))
+        WritetimeTtl.withRowWritetime(df, Seq("wt_event_type", "wt_value"))
+          .select("event_id", "wt_event_type", "wt_value", "row_writetime")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  epoch_us(ts) + (event_id * 7) % 50 AS wt_event_type,
+             |  epoch_us(ts) + (event_id * 13) % 50 AS wt_value,
+             |  greatest(epoch_us(ts) + (event_id * 7) % 50, epoch_us(ts) + (event_id * 13) % 50) AS row_writetime
+             |FROM events
+             |ORDER BY event_id""".stripMargin))
+  )
+}
