@@ -29,11 +29,15 @@ object CoreQueries {
     // S1/P1 — token-range-parallel full-table scan with projection pushdown.
     Q("scan_lineitem",
       (s, dir) => Migrate.plan(s, cfg(dir))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // fixture (FIXTURES.md notwithstanding), so the ORDER BY covers
+        // every output column — ties are then bit-identical rows and the
+        // oracle compare is order-stable.
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"),
       Some(s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
               |FROM lineitem WHERE $PkGuard
-              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+              |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
 
     // P2 — origin→target column rename map.
     Q("rename_project",
@@ -42,10 +46,10 @@ object CoreQueries {
             "l_orderkey:order_id,l_linenumber:line_no,l_quantity:qty",
           "spark.cdm.schema.origin.column.skip" ->
             "l_tax,l_returnflag,l_linestatus,l_shipdate,l_discount,l_extendedprice,l_partkey,l_suppkey")))
-        .orderBy("order_id", "line_no"),
+        .orderBy("order_id", "line_no", "qty"),
       Some(s"""SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty
               |FROM lineitem WHERE $PkGuard
-              |ORDER BY order_id, line_no""".stripMargin)),
+              |ORDER BY 1, 2, 3""".stripMargin)),
 
     // P3 — pushed-down WHERE condition (reference appends it to the origin
     // CQL; here Catalyst pushes it into the parquet scan).
@@ -54,11 +58,11 @@ object CoreQueries {
           "spark.cdm.filter.cassandra.whereCondition" ->
             "l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05")))
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_discount"),
       Some(s"""SELECT l_orderkey, l_linenumber, l_shipdate, l_discount
               |FROM lineitem
               |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05 AND $PkGuard
-              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+              |ORDER BY 1, 2, 3, 4""".stripMargin)),
 
     // P4 — token sub-ring restriction over the deterministic ring stand-in
     // ((pk * 2654435761) mod 2^31 — TableIO.tokenOf; SURVEY.md §7.4).

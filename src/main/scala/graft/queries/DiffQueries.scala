@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+import graft.jobs.{DiffData, Guardrail}
+import graft.ops.Counters
+import graft.run.RunLedger
+
+/**
+ * Harness queries for DiffData (J2: JN1–JN3, A1), GuardrailCheck (J3/A4),
+ * counter merge (S4/A3) and the run ledger (S5/S6/E1).
+ *
+ * The fixtures model only the origin cluster, so the target side is a
+ * deterministic perturbation of origin (SQL-expressible, so the DuckDB
+ * oracle derives the expected classification independently). The `orders`
+ * table is used because its PK (`o_orderkey`) is genuinely unique in the
+ * synthetic data — lineitem's nominal (l_orderkey, l_linenumber) PK is not.
+ * Perturbation bucket tp = (o_orderkey*2654435761) % 100:
+ * tp∈{3,4} dropped (MISSING), tp=5 totalprice+1 (MISMATCH),
+ * tp=6 orderstatus nulled (MISMATCH through the null-safe compare path).
+ */
+object DiffQueries {
+
+  private val Pk = Seq("o_orderkey")
+  private val tpSql = "(o_orderkey * 2654435761) % 100"
+
+  private def tpCol = pmod(col("o_orderkey") * lit(2654435761L), lit(100L))
+
+  private def originAndTarget(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val origin = TableIO.read(s, dir, "orders")
+    val target = origin
+      .withColumn("__tp", tpCol)
+      .filter(!col("__tp").isin(3, 4))
+      .withColumn("o_totalprice", when(col("__tp") === 5, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus", when(col("__tp") === 6, lit(null).cast("string")).otherwise(col("o_orderstatus")))
+      .drop("__tp")
+    (origin, target)
+  }
+
+  private def classified(s: SparkSession, dir: String): DataFrame = {
+    val (o, t) = originAndTarget(s, dir)
+    DiffData.classify(o, t, Pk)
+  }
+
+  private val classSql =
+    s"""CASE WHEN $tpSql IN (3,4) THEN 'MISSING'
+       |     WHEN $tpSql IN (5,6) THEN 'MISMATCH'
+       |     ELSE 'VALID' END""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // JN1 — full-PK left-outer reconciliation join with per-column
+    // null-safe comparison and row classification.
+    Q("diff_join",
+      (s, dir) => classified(s, dir)
+        .select("o_orderkey", "diff_class", "diff_cols")
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey,
+              |  $classSql AS diff_class,
+              |  CASE WHEN $tpSql = 5 THEN 'o_totalprice'
+              |       WHEN $tpSql = 6 THEN 'o_orderstatus'
+              |       ELSE '' END AS diff_cols
+              |FROM orders
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // JN2 — missing rows as a left-anti join (origin EXCEPT target by key).
+    Q("diff_missing",
+      (s, dir) => {
+        val (o, t) = originAndTarget(s, dir)
+        DiffData.missing(o, t, Pk)
+          .select("o_orderkey", "o_custkey")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey
+              |FROM orders
+              |WHERE $tpSql IN (3,4)
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // JN3 — mismatch rows with per-column diff detail.
+    Q("diff_mismatch",
+      (s, dir) => classified(s, dir)
+        .filter(col("diff_class") === DiffData.Mismatch)
+        .select("o_orderkey", "diff_cols")
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey,
+              |  CASE WHEN $tpSql = 5 THEN 'o_totalprice' ELSE 'o_orderstatus' END AS diff_cols
+              |FROM orders
+              |WHERE $tpSql IN (5,6)
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // A1 — job counters: rows per classification
+    // ([upstream] job/JobCounter.java's read/valid/missing/mismatch).
+    Q("job_counters",
+      (s, dir) => DiffData.counters(classified(s, dir)).orderBy("diff_class"),
+      Some(s"""SELECT $classSql AS diff_class, count(*) AS n
+              |FROM orders
+              |GROUP BY 1
+              |ORDER BY diff_class""".stripMargin)),
+
+    // Autocorrect write-set: every non-VALID row, written back with
+    // origin values (missing -> re-insert, mismatch -> overwrite).
+    Q("diff_autocorrect",
+      (s, dir) => DiffData.autocorrectRows(classified(s, dir), correctMissing = true, correctMismatch = true)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "diff_class")
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey, o_totalprice, o_orderstatus,
+              |  CASE WHEN $tpSql IN (3,4) THEN 'MISSING' ELSE 'MISMATCH' END AS diff_class
+              |FROM orders
+              |WHERE $tpSql IN (3,4,5,6)
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // S4/A3 — counter-column additive merge: pre-aggregated deltas via
+    // map-side-combined groupBy, exact DECIMAL accumulation. lineitem's
+    // duplicate (l_orderkey) rows are exactly the delta-stream this models.
+    Q("counter_merge",
+      (s, dir) => Counters.mergeDeltas(TableIO.read(s, dir, "lineitem"), Seq("l_orderkey"), "l_quantity")
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS counter_value
+             |FROM lineitem
+             |GROUP BY l_orderkey
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // J3/A4 — guardrail scan: per-row string column sizes vs threshold.
+    Q("guardrail_scan",
+      (s, dir) => Guardrail.check(TableIO.read(s, dir, "documents"), Seq("doc_id"), 300L)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  strlen(text) AS bytes_text,
+             |  strlen(lang) AS bytes_lang,
+             |  strlen(source) AS bytes_source,
+             |  greatest(strlen(text), strlen(lang), strlen(source)) AS max_bytes,
+             |  CASE WHEN strlen(text) > 300 THEN 'text' ELSE '' END AS offending_cols
+             |FROM documents
+             |WHERE greatest(strlen(text), strlen(lang), strlen(source)) > 300
+             |ORDER BY doc_id""".stripMargin)),
+
+    // S5/S6/E1 — resume: full range set anti-joined against the previous
+    // run's PASSed partitions (broadcast anti-join).
+    Q("run_ledger_resume",
+      (s, dir) => {
+        val allParts = s.range(0, 100).select(col("id").as("part_id"))
+        val ledger = s.range(0, 100)
+          .select(
+            lit("r1").as("run_id"),
+            col("id").as("part_id"),
+            when(pmod(col("id") * 7919, lit(10)) < 8, RunLedger.Pass).otherwise(RunLedger.Fail).as("status"))
+        RunLedger.pendingParts(allParts, ledger, "r1").orderBy("part_id")
+      },
+      Some("""SELECT r.range AS part_id
+             |FROM range(0,100) r
+             |WHERE (r.range * 7919) % 10 >= 8
+             |ORDER BY part_id""".stripMargin))
+  )
+}

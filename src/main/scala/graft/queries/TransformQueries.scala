@@ -94,13 +94,13 @@ object TransformQueries {
         .withColumn("ok_roundtrip", Transforms.stringToLong(col("ok_str")))
         .withColumn("qty_floor_str", floor(col("l_quantity")).cast("long").cast("string"))
         .select("l_orderkey", "l_linenumber", "ok_str", "ok_roundtrip", "qty_floor_str")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "qty_floor_str"),
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(l_orderkey AS VARCHAR) AS ok_str,
              |  CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS ok_roundtrip,
              |  CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS qty_floor_str
              |FROM lineitem
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, qty_floor_str""".stripMargin)),
 
     // T6 — map null-value scrub: entries with null values are dropped
     // before write (map_filter), observed via explode.

@@ -1,0 +1,54 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * S5/S6/E1 — run tracking and resumable retries.
+ *
+ * The reference records failed token ranges to a partition file
+ * (`spark.cdm.tokenrange.partitionFile.*`, `[upstream]
+ * job/SplitPartitions.java` file I/O) and per-range status rows to
+ * `cdm_run_info` / `cdm_run_details` tables
+ * (`spark.cdm.trackRun`, `[upstream] job/TrackRun.java` +
+ * `cql/statement/TargetUpsertRunDetailsStatement.java`), so a rerun with
+ * `spark.cdm.trackRun.previousRunId` processes only ranges that did not
+ * PASS.
+ *
+ * Spark-native: the ledger is a parquet table of
+ * (run_id, part_id, status); resume = anti-join of the full range set
+ * against the previous run's PASSed ranges — a broadcast anti-join in
+ * practice (the ledger is tiny relative to the data).
+ */
+object RunLedger {
+
+  val NotStarted = "NOT_STARTED"
+  val Started = "STARTED"
+  val Pass = "PASS"
+  val Fail = "FAIL"
+  val Diff = "DIFF"
+
+  def ledgerPath(dir: String): String = s"$dir/run_ledger.parquet"
+
+  /** Append per-partition statuses for a run. */
+  def record(spark: SparkSession, dir: String, runId: String, statuses: DataFrame): Unit =
+    statuses
+      .withColumn("run_id", lit(runId))
+      .select("run_id", "part_id", "status")
+      .write.mode("append").parquet(ledgerPath(dir))
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ledgerPath(dir))
+
+  /**
+   * Partitions still owed work given a previous run: the full range set
+   * minus ranges the previous run PASSed. Mirrors the reference's
+   * resume-from-`previousRunId` semantics (only non-PASS ranges rerun).
+   */
+  def pendingParts(allParts: DataFrame, ledger: DataFrame, previousRunId: String): DataFrame = {
+    val passed = ledger
+      .filter(col("run_id") === previousRunId && col("status") === Pass)
+      .select("part_id")
+    allParts.join(broadcast(passed), Seq("part_id"), "left_anti")
+  }
+}
