@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.config.CdmConfig
 import graft.jobs.Migrate
-import graft.queries.{CoreQueries, DiffQueries, Q, TransformQueries}
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  * Queries live in graft.queries.*; each exercises the real operator code
@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Everything registered, in build order (SURVEY.md §7.3). */
   def registry: Seq[Q] =
-    CoreQueries.all ++ TransformQueries.all ++ DiffQueries.all
+    CoreQueries.all ++ TransformQueries.all ++ DiffQueries.all ++
+      WindowQueries.all ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
    * J1 Migrate lineage: scan → rename → pushed filter (SURVEY.md §3.1). */

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal columns (north-star extension, SURVEY.md §2.11): media
+ * payloads travel as opaque `binary` columns beside typed metadata; the
+ * expensive decode/feature step runs as a partition-batched transform.
+ *
+ * The container has no image/audio codecs, so [[decodeFeatures]] STUBS the
+ * actual decode with a deterministic byte-level computation — the
+ * Spark-side plumbing (schema, encoder, mapPartitions batch shape,
+ * partition preservation) is real and is what the harness tests. Swapping
+ * the stub body for a JNI/codec call changes nothing upstream or
+ * downstream.
+ *
+ * Scale: payloads never pass through a shuffle here — attach, decode and
+ * project are narrow; join-by-id against feature tables is the only wide
+ * op and shuffles ids + small features, not bytes.
+ */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      mime: String,
+      size_bytes: Long,
+      checksum: Long,
+      features: Array[Float])
+
+  /** Model a media table from the documents fixture: the UTF-8 text bytes
+   * stand in for an image/audio payload. */
+  def attachPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  /**
+   * Partition-batched decode/feature-extraction.
+   *
+   * STUB: a real pipeline would decode the payload (image resize, audio
+   * frame-sample, …) with a native library here; this deterministic
+   * rolling-checksum + derived 8-dim feature vector keeps the exact same
+   * dataflow testable in this container.
+   */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val checksum = r.payload.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
+        val features = Array.tabulate(8)(i => ((checksum >> (i * 4)) & 0xf).toFloat / 15f)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, checksum, features)
+      }
+    }
+  }
+
+  /** X5 — multimodal join: text rows with their (nullable) embedding
+   * modality. Ids and small columns shuffle; at production scale the
+   * embeddings side would be bucketed on vec_id to kill even that. */
+  def joinModalities(documents: DataFrame, embeddings: DataFrame): DataFrame =
+    documents.join(embeddings, documents("doc_id") === embeddings("vec_id"), "left_outer")
+      .select(
+        documents("doc_id"), documents("lang"),
+        embeddings("vec_id").isNotNull.as("has_embedding"),
+        size(embeddings("embedding")).as("emb_dim"))
+}

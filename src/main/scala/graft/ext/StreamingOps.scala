@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * §2.10 — event-time windowing, batch-first.
+ *
+ * The reference is strictly batch (`/root/reference/entrypoint.sh:286`
+ * exec's a finite spark-submit), so this whole surface is north-star
+ * extension. Each operator is written against a plain DataFrame: applied
+ * to a batch frame it is a windowed groupBy (DuckDB-verifiable); applied
+ * to a `readStream` frame the identical lineage becomes an incremental
+ * Structured Streaming query — that duality is the point of building on
+ * `window`/`session_window` instead of hand-rolled state.
+ *
+ * Aggregates accumulate through DECIMAL so batch, streaming, and the
+ * oracle agree bit-for-bit (SURVEY.md §7.5.5).
+ */
+object StreamingOps {
+
+  private def decimalSum(c: String): Column =
+    sum(col(c).cast("decimal(18,6)")).cast("double").as("v")
+
+  /** Tumbling event-time window (e.g. hourly): one aggregation, shuffle
+   * keyed on (window, key) — AQE-coalesced at scale. */
+  def tumbling(df: DataFrame, tsCol: String, duration: String, key: String): DataFrame =
+    df.groupBy(window(col(tsCol), duration).as("w"), col(key))
+      .agg(count(lit(1)).as("n"), decimalSum("value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col(key), col("n"), col("v"))
+
+  /** Sliding window: each event lands in duration/slide windows (the
+   * built-in `window` generator expands them before aggregation). */
+  def sliding(df: DataFrame, tsCol: String, duration: String, slide: String, key: String): DataFrame =
+    df.groupBy(window(col(tsCol), duration, slide).as("w"), col(key))
+      .agg(count(lit(1)).as("n"), decimalSum("value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col(key), col("n"), col("v"))
+
+  /** Session window: sessions close after `gap` of event-time silence;
+   * window end = last event + gap (Spark `session_window` semantics). */
+  def sessionized(df: DataFrame, tsCol: String, gap: String, key: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap).as("w"), col(key))
+      .agg(count(lit(1)).as("n"), decimalSum("value"))
+      .select(
+        col(key),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n"), col("v"))
+
+  /** Streaming form: watermarked tumbling counts, ready for
+   * `events.readStream` → `writeStream` (tested via MemoryStream). */
+  def streamingTumbling(stream: DataFrame, tsCol: String, duration: String,
+                        key: String, watermark: String): DataFrame =
+    tumbling(stream.withWatermark(tsCol, watermark), tsCol, duration, key)
+
+  /** Streaming dedup within the watermark horizon — the streaming face of
+   * X1 exact dedup (state store bounded by the watermark). */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String, idCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * X4 — text analysis for large-scale training-data pipelines: tokenizing,
+ * counting, quality scoring, language-ID heuristics, and document
+ * fingerprinting. Extension surface mandated by BASELINE.json's north star
+ * (not present in the reference — SURVEY.md §2.11).
+ *
+ * Everything is a pure Catalyst expression over built-in higher-order
+ * functions — no UDFs, fully codegen-compatible, shuffle-free per row —
+ * so a 100 TB corpus scan stays embarrassingly parallel.
+ *
+ * Portability note: hashes are built from `ascii`/`length` arithmetic
+ * (not xxhash64/md5-hex) so the DuckDB oracle can evaluate the identical
+ * function — see SURVEY.md §7.6 on cross-engine function choice.
+ */
+object TextOps {
+
+  /** Whitespace tokenizer (the fixtures are single-space word soup). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /**
+   * Deterministic, cross-engine-portable token hash:
+   * `ascii(first)*96 + ascii(last) + length*7`.
+   * Weak on purpose (beats md5-hex-parsing portability problems); always
+   * mixed (multiplied by a large odd constant mod a prime) before use in
+   * minhash/simhash where spread matters.
+   */
+  def tokenHash(t: Column): Column =
+    ascii(t) * lit(96) + ascii(substring(t, -1, 1)) + length(t) * lit(7)
+
+  /** SQL-text form of [[tokenHash]], for composing expr() strings that the
+   * oracle mirrors verbatim. */
+  def tokenHashSql(t: String): String =
+    s"(ascii($t)*96 + ascii(substring($t,-1,1)) + length($t)*7)"
+
+  /** Count of tokens appearing in a fixed stopword list. `array_contains`
+   * over a literal array, not array_intersect (which would dedup). */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column = {
+    val set = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Quality heuristics: token count, stopword ratio, mean token length. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
+    stopwordHits(toks, stopwords).cast("double") / size(toks).cast("double")
+
+  /**
+   * Rolling polynomial fingerprint over the token stream:
+   * fold(0, (acc, h(t)) => (acc*131 + h(t)) mod 1e9+7). Order-sensitive,
+   * so it distinguishes permuted documents that bag-of-words hashes merge.
+   */
+  val FingerprintMod = 1000000007L
+
+  def fingerprint(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  transform(split($textCol, ' '), t -> CAST(${tokenHashSql("t")} AS BIGINT)),
+         |  CAST(0 AS BIGINT),
+         |  (acc, x) -> (acc * 131 + x) % $FingerprintMod)""".stripMargin)
+
+  /** Language-ID by marker-token hit counts — the classic n-gram/stopword
+   * profile heuristic reduced to two deterministic profiles. */
+  val EnglishMarkers = Seq("the", "a", "of", "and", "to", "in")
+  val TechMarkers = Seq("data", "table", "query", "row", "filter", "join")
+
+  def langScores(toks: Column): (Column, Column) =
+    (stopwordHits(toks, EnglishMarkers), stopwordHits(toks, TechMarkers))
+
+  def predictedLang(toks: Column): Column = {
+    val (en, tech) = langScores(toks)
+    when(en > tech, "en").when(tech > en, "tech").otherwise("tie")
+  }
+}

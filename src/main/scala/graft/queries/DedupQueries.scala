@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+import graft.io.TableIO
+
+/**
+ * X1/X2 — deduplication queries over the documents corpus. Full texts are
+ * unique in the fixture, so exact dedup keys on the 3-token prefix (which
+ * does collide); near-dup signatures hash 3-gram shingles.
+ */
+object DedupQueries {
+
+  /** DuckDB mirrors of the Scala-side hash expressions. */
+  private def hSql(t: String) = s"(ascii($t)*96 + ascii(right($t,1)) + strlen($t)*7)"
+  private val shinglesSql =
+    s"""list_transform(range(1, len(string_split(text,' ')) - 1),
+       |  i -> CAST((${hSql("string_split(text,' ')[i]")} * 10007
+       |           + ${hSql("string_split(text,' ')[i+1]")} * 131
+       |           + ${hSql("string_split(text,' ')[i+2]")}) % ${Dedup.P} AS BIGINT))""".stripMargin
+  private def sigSql(a: Long, b: Long) =
+    s"list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P}))"
+  private val sigsSelect = Dedup.MinhashSeeds.zipWithIndex
+    .map { case ((a, b), i) => s"${sigSql(a, b)} AS sig$i" }.mkString(",\n  ")
+  private val prefixKeySql = "array_to_string(string_split(text,' ')[1:3], ' ')"
+
+  val all: Seq[Q] = Seq(
+
+    // X1 — exact dedup summary: representative id + cluster size per key.
+    Q("dedup_exact",
+      (s, dir) => Dedup.representatives(
+          TableIO.read(s, dir, "documents")
+            .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3))),
+          Seq("prefix_key"), "doc_id")
+        .select("keep_id", "dup_count")
+        .orderBy("keep_id"),
+      Some(s"""SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+              |FROM documents
+              |GROUP BY $prefixKeySql
+              |ORDER BY keep_id""".stripMargin)),
+
+    // X1 — deterministic survivor selection (row_number tiebreak, NOT
+    // dropDuplicates whose survivor depends on partitioning).
+    Q("dedup_exact_keep",
+      (s, dir) => Dedup.exactKeep(
+          TableIO.read(s, dir, "documents")
+            .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3))),
+          Seq("prefix_key"), "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source
+              |FROM (SELECT doc_id, lang, source,
+              |        row_number() OVER (PARTITION BY $prefixKeySql ORDER BY doc_id) AS rn
+              |      FROM documents)
+              |WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin)),
+
+    // X2 — minhash signatures (4 universal hashes over 3-gram shingles).
+    Q("dedup_minhash",
+      (s, dir) => Dedup.withMinhashSignature(TableIO.read(s, dir, "documents"), "text")
+        .select("doc_id", "sig0", "sig1", "sig2", "sig3")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  $sigsSelect
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
+    // X2 — LSH candidate pairs: full-signature agreement, bucket-join
+    // (shuffle on signature, never all-pairs).
+    Q("dedup_minhash_pairs",
+      (s, dir) => Dedup.minhashPairs(
+          Dedup.withMinhashSignature(TableIO.read(s, dir, "documents"), "text"), "doc_id")
+        .orderBy("doc_id", "doc_id_b"),
+      Some(s"""WITH sigs AS (SELECT doc_id, $sigsSelect FROM documents)
+              |SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_b
+              |FROM sigs a JOIN sigs b
+              |  ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.sig3 = b.sig3
+              | AND a.doc_id < b.doc_id
+              |ORDER BY doc_id, doc_id_b""".stripMargin)),
+
+    // X2b — 16-bit simhash per document.
+    Q("dedup_simhash",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash16("text").as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(list_sum(list_transform(range(0, 16), b ->
+              |    CASE WHEN list_sum(list_transform($shinglesSql,
+              |                 s -> ((CAST((s * 2654435761) % 65536 AS BIGINT) >> b) & 1) * 2 - 1)) > 0
+              |         THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
+    // X2c — n-gram Jaccard pairs via the inverted-index join (bounded to
+    // doc_id < 300 so the pair set stays comparable across scale factors).
+    Q("dedup_ngram_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(
+          TableIO.read(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", minCommon = 3L)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
+              |  FROM documents WHERE doc_id < 300),
+              |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              |common AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |  HAVING count(*) >= 3)
+              |SELECT id_a, id_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+              |  CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+              |FROM common
+              |JOIN counts ca ON ca.doc_id = id_a
+              |JOIN counts cb ON cb.doc_id = id_b
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // X6 — exact distinct stats (the oracle-checkable face of
+    // approx_count_distinct; the HLL variant is registered rows-only).
+    Q("distinct_stats",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources")),
+      Some("""SELECT count(*) AS n_rows,
+             |  count(DISTINCT lang) AS n_langs,
+             |  count(DISTINCT source) AS n_sources
+             |FROM documents""".stripMargin)),
+
+    // X6 — HLL++ approximate distinct: deterministic within Spark but not
+    // reproducible in DuckDB, so registered without oracle (rows-only).
+    Q("approx_distinct",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .groupBy("lang")
+        .agg(approx_count_distinct(col("doc_id")).as("approx_docs"))
+        .orderBy("lang"),
+      None)
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Multimodal, Similarity}
+import graft.io.TableIO
+
+/**
+ * X3/X5 — similarity search and multimodal queries over the embeddings
+ * fixture (64-dim float vectors modeling CQL `vector<float, 64>`).
+ */
+object SimilarityQueries {
+
+  /** DuckDB mirror of Similarity.dot: explicit left-fold so the summation
+   * order (and hence the double result) is bit-identical to Spark's
+   * aggregate(zip_with(...)). */
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  val all: Seq[Q] = Seq(
+
+    // X3 — brute-force exact cosine top-k (broadcast queries, two-phase
+    // rank): the ANN ground-truth baseline.
+    Q("topk_cosine",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+              |p AS (
+              |  SELECT q.query_id, e.vec_id AS neighbor_id,
+              |         ${cosSql("q.q_emb", "e.embedding")} AS cos6
+              |  FROM embeddings e, q
+              |  WHERE e.vec_id != q.query_id)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
+              |       neighbor_id, cos6
+              |FROM p
+              |QUALIFY rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // X3 — IVF-style blocked top-k: candidates restricted to the query's
+    // coarse cell (label), the tractable-at-100TB search path.
+    Q("topk_cosine_ivf",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.topKBlocked(emb.filter(col("vec_id") < 20), emb, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label FROM embeddings WHERE vec_id < 20),
+              |p AS (
+              |  SELECT q.query_id, e.vec_id AS neighbor_id,
+              |         ${cosSql("q.q_emb", "e.embedding")} AS cos6
+              |  FROM embeddings e JOIN q ON e.label = q.label
+              |  WHERE e.vec_id != q.query_id)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
+              |       neighbor_id, cos6
+              |FROM p
+              |QUALIFY rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // X2d — embedding-cosine near-duplicate pairs, label-blocked (bounded
+    // to vec_id < 2000 so the pair count is stable across scale factors).
+    Q("embed_neardup",
+      (s, dir) => Similarity.nearDupPairs(
+          TableIO.read(s, dir, "embeddings").filter(col("vec_id") < 2000), threshold = 0.40)
+        .orderBy("id_a", "id_b"),
+      Some(s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+              |       ${cosSql("a.embedding", "b.embedding")} AS cos6
+              |FROM embeddings a JOIN embeddings b
+              |  ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE a.vec_id < 2000 AND b.vec_id < 2000
+              |  AND ${cosSql("a.embedding", "b.embedding")} > 0.40
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Vector norm stats per coarse cell (exercises T10 vector passthrough
+    // + grouped aggregation with deterministic DECIMAL accumulation).
+    Q("embedding_norm_stats",
+      (s, dir) => TableIO.read(s, dir, "embeddings")
+        .select(col("label"), round(Similarity.norm(col("embedding")), 6).as("norm6"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("norm6").cast("decimal(18,6)")).cast("double").as("sum_norm"))
+        .withColumn("avg_norm", col("sum_norm") / col("n"))
+        .orderBy("label"),
+      Some(s"""SELECT label, count(*) AS n,
+              |  CAST(SUM(CAST(round(sqrt(${dotSql("embedding", "embedding")}), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+              |  CAST(SUM(CAST(round(sqrt(${dotSql("embedding", "embedding")}), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm
+              |FROM embeddings
+              |GROUP BY label
+              |ORDER BY label""".stripMargin)),
+
+    // X5 — multimodal join: every text row with its (nullable) embedding
+    // modality; the embeddings side is thinned so the outer join is real.
+    Q("multimodal_join",
+      (s, dir) => Multimodal.joinModalities(
+          TableIO.read(s, dir, "documents"),
+          TableIO.read(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(7)) =!= 0))
+        .withColumn("emb_dim", col("emb_dim").cast("long"))
+        .orderBy("doc_id"),
+      Some("""SELECT d.doc_id, d.lang,
+             |  e.vec_id IS NOT NULL AS has_embedding,
+             |  len(e.embedding) AS emb_dim
+             |FROM documents d
+             |LEFT JOIN (SELECT * FROM embeddings WHERE vec_id % 7 != 0) e
+             |  ON d.doc_id = e.vec_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Multimodal binary plumbing: payload as an opaque binary column with
+    // typed metadata (the decode stub itself is verified in
+    // multimodal_features and the ScalaTest suite).
+    Q("multimodal_binary",
+      (s, dir) => Multimodal.attachPayload(TableIO.read(s, dir, "documents"))
+        .withColumn("payload_bytes", octet_length(col("payload")).cast("long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'text/plain' AS mime, encode(text) AS payload,
+             |  strlen(text) AS payload_bytes
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The mapPartitions decode stub end-to-end: deterministic checksum +
+    // size per payload (text is ASCII, so the oracle's per-char fold over
+    // codepoints equals the Spark-side fold over UTF-8 bytes).
+    Q("multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.attachPayload(TableIO.read(s, dir, "documents"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeFeatures(media)
+          .select(col("doc_id"), col("size_bytes"), col("checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, strlen(text) AS size_bytes,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, strlen(text) + 1),
+             |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+             |    (acc, b) -> (acc * 131 + b) % 1000000007) AS checksum
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+import graft.io.TableIO
+
+/**
+ * X4 — text-analysis queries over the documents corpus. The shared
+ * cross-engine token hash is `ascii(first)*96 + ascii(last) + length*7`
+ * (TextOps.tokenHashSql / the `HSql` mirror below).
+ */
+object TextQueries {
+
+  /** DuckDB mirror of TextOps.tokenHashSql. */
+  private def hSql(t: String) = s"(ascii($t)*96 + ascii(right($t,1)) + strlen($t)*7)"
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // Token + byte counting (the unit of every corpus-size estimate).
+    Q("text_tokens",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  strlen(text) AS n_bytes
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Per-language corpus stats (count + exact total/avg token counts).
+    Q("text_lang_stats",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // Quality scoring: stopword ratio + minimum-length gate.
+    Q("text_quality",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        TableIO.read(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            TextOps.stopwordHits(toks, Stopwords).cast("long").as("stop_hits"))
+          .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("has_min_len", col("n_tokens") >= 20)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  len(string_split(text, ' ')) AS n_tokens,
+              |  len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(Stopwords)}))) AS stop_hits,
+              |  CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(Stopwords)}))) AS DOUBLE)
+              |    / len(string_split(text, ' ')) AS stop_ratio,
+              |  len(string_split(text, ' ')) >= 20 AS has_min_len
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: marker-profile hit counts + argmax.
+    Q("text_langid",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        TableIO.read(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextOps.stopwordHits(toks, TextOps.EnglishMarkers).cast("long").as("score_en"),
+            TextOps.stopwordHits(toks, TextOps.TechMarkers).cast("long").as("score_tech"),
+            TextOps.predictedLang(toks).as("predicted_lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.EnglishMarkers)}))) AS score_en,
+              |  len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.TechMarkers)}))) AS score_tech,
+              |  CASE
+              |    WHEN len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.EnglishMarkers)})))
+              |       > len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.TechMarkers)}))) THEN 'en'
+              |    WHEN len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.TechMarkers)})))
+              |       > len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.EnglishMarkers)}))) THEN 'tech'
+              |    ELSE 'tie' END AS predicted_lang
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Order-sensitive rolling document fingerprint.
+    Q("text_fingerprint",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint("text").as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(text, ' '), t -> CAST(${hSql("t")} AS BIGINT))),
+              |    (acc, x) -> (acc * 131 + x) % ${TextOps.FingerprintMod}) AS fp
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -54,13 +54,12 @@ def compare(s, o):
         try:
             a = a.map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
             b = b.map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
-            eq = (a.astype(object).where(pd.notna(a), None) ==
-                  b.astype(object).where(pd.notna(b), None)).all()
+            both_na = a.isna() & b.isna()
+            eq = (both_na | (a == b)).all()
         except Exception as e:
             return False, f"column {c} compare error: {e}"
         if not eq:
-            bad = (a.astype(object).where(pd.notna(a), None) !=
-                   b.astype(object).where(pd.notna(b), None))
+            bad = ~(both_na | (a == b))
             i = bad[bad].index[0]
             return False, f"column {c} differs at row {i}: spark={s[c][i]!r} oracle={o[c][i]!r}"
     return True, f"{len(s)} rows x {len(s.columns)} cols match"
