@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
  *
  * Scale design (100 TB posture):
  *  - exact dedup is one hash-shuffle on the key with map-side combine;
- *  - minhash/simhash signatures are per-row expressions (no shuffle);
+ *  - minhash/simhash signatures are per-row expressions (no shuffle),
+ *    staged so each intermediate array (tokens → token hashes → shingle
+ *    hashes) is computed once per row — naively nesting the shingle
+ *    expression inside each signature lambda re-splits the text per
+ *    element and turned out ~50× slower at sf0.1;
  *  - LSH candidate pairs shuffle only on (band/signature) buckets, never
  *    all-pairs — the crossJoin never happens;
  *  - the deterministic row_number tiebreak (not dropDuplicates) makes
@@ -37,36 +41,48 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** 3-gram shingle hashes of a whitespace-tokenized text column, as the
-   * SQL-text expression both Spark and the DuckDB oracle evaluate:
-   * shingle_i = (h(t_i)*10007 + h(t_{i+1})*131 + h(t_{i+2})) mod P for
-   * i in 1..n-2 (1-based). */
-  def shingleHashesSql(textCol: String): String = {
-    def h(t: String) = TextOps.tokenHashSql(t)
-    val tok = s"split($textCol, ' ')"
-    s"""transform(sequence(1, size($tok) - 2),
-       |  i -> CAST((${h(s"element_at($tok, i)")} * 10007
-       |           + ${h(s"element_at($tok, i + 1)")} * 131
-       |           + ${h(s"element_at($tok, i + 2)")}) % $P AS BIGINT))""".stripMargin
-  }
+  /** Internal staging column name for per-row 3-gram shingle hashes. */
+  val ShinglesCol = "__shingles"
 
-  def shingleHashes(textCol: String): Column = expr(shingleHashesSql(textCol))
+  /**
+   * Stage the 3-gram shingle hash array for a text column, computing each
+   * intermediate exactly once per row:
+   * tokens = split(text), th = tokenHash(token),
+   * shingle_i = (th_i*10007 + th_{i+1}*131 + th_{i+2}) mod P, i=1..n-2.
+   */
+  def withShingleHashes(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__thashes",
+        expr(s"transform(split($textCol, ' '), t -> CAST(${TextOps.tokenHashSql("t")} AS BIGINT))"))
+      .withColumn(ShinglesCol,
+        expr(s"""transform(sequence(1, size(__thashes) - 2),
+                |  i -> (element_at(__thashes, i) * 10007
+                |      + element_at(__thashes, i + 1) * 131
+                |      + element_at(__thashes, i + 2)) % $P)""".stripMargin))
+      .drop("__thashes")
 
   /** X2 — one minhash signature component: min over shingles of the
    * universal hash (a*s + b) mod P. k components (distinct a,b) form the
-   * signature; docs sharing the full signature are LSH candidates. */
+   * signature; docs sharing the full signature are LSH candidates.
+   *
+   * The coalesce is load-bearing for performance, not correctness: it
+   * makes the column non-nullable so the LSH self-join emits no
+   * isnotnull(sig) predicates — those get pushed below the staged
+   * projections, where predicate-pushdown substitution re-inlines the
+   * full unstaged signature expression into the Filter (measured 130s at
+   * sf0.1 vs 2s without). Docs always have ≥3 tokens here, so the
+   * sentinel never appears. */
   def minhash(shingles: Column, a: Long, b: Long): Column =
-    array_min(transform(shingles, s => (s * lit(a) + lit(b)) % lit(P)))
+    coalesce(array_min(transform(shingles, s => (s * lit(a) + lit(b)) % lit(P))), lit(-1L))
 
   /** Default 4-component signature (calibrated on the fixtures: ~26
    * candidate pairs per 500 docs). */
   val MinhashSeeds: Seq[(Long, Long)] = Seq((7L, 13L), (31L, 101L), (131L, 17L), (1009L, 3L))
 
   def withMinhashSignature(df: DataFrame, textCol: String): DataFrame = {
-    val sh = shingleHashes(textCol)
-    MinhashSeeds.zipWithIndex.foldLeft(df) { case (d, ((a, b), i)) =>
-      d.withColumn(s"sig$i", minhash(sh, a, b))
-    }
+    val staged = withShingleHashes(df, textCol)
+    MinhashSeeds.zipWithIndex.foldLeft(staged) { case (d, ((a, b), i)) =>
+      d.withColumn(s"sig$i", minhash(col(ShinglesCol), a, b))
+    }.drop(ShinglesCol)
   }
 
   /** X2 — LSH candidate pairs: docs agreeing on the whole signature.
@@ -76,30 +92,33 @@ object Dedup {
     val sigCols = MinhashSeeds.indices.map(i => s"sig$i")
     val left = sigs.select((idCol +: sigCols).map(col): _*)
     val right = left.withColumnRenamed(idCol, s"${idCol}_b")
-    left.join(right, sigCols, "inner")
+    left.join(right, sigCols.toSeq, "inner")
       .filter(col(idCol) < col(s"${idCol}_b"))
       .select(col(idCol), col(s"${idCol}_b"))
   }
 
-  /** X2b — 16-bit SimHash over mixed shingle hashes: bit b is set when
-   * the sum of ±1 votes from each shingle's b-th bit is positive. One
-   * nested higher-order expression, no shuffle. */
-  def simhash16(textCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, 15), b ->
-         |    IF(aggregate(
-         |         transform(${shingleHashesSql(textCol)}, s -> shiftright(CAST((s * 2654435761) % 65536 AS BIGINT), b) % 2 * 2 - 1),
-         |         CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0,
-         |       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-         |  CAST(0 AS BIGINT), (acc, bit) -> acc + bit)""".stripMargin)
+  /** X2b — 16-bit SimHash: bit b is set when the ±1 votes from each
+   * shingle's b-th (mixed) bit sum positive. Folds run over the staged
+   * shingle array — 16 cheap integer folds per row, no string work. */
+  def simhash16(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    withShingleHashes(df, textCol)
+      .withColumn("__mixed",
+        expr(s"transform($ShinglesCol, s -> CAST((s * 2654435761) % 65536 AS BIGINT))"))
+      .withColumn(outCol,
+        expr("""aggregate(
+               |  transform(sequence(0, 15), b ->
+               |    IF(aggregate(transform(__mixed, m -> shiftright(m, b) % 2 * 2 - 1),
+               |         CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0,
+               |       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+               |  CAST(0 AS BIGINT), (acc, bit) -> acc + bit)""".stripMargin))
+      .drop(ShinglesCol, "__mixed")
 
   /** X2c — n-gram Jaccard pairs: explode distinct shingles, self-join on
    * the shingle (shuffle on shingle hash — the inverted-index pattern),
    * count co-occurrences, then Jaccard = |∩| / (|A| + |B| − |∩|). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, minCommon: Long): DataFrame = {
-    val shingled = df
-      .select(col(idCol), explode(array_distinct(shingleHashes(textCol))).as("shingle"))
+    val shingled = withShingleHashes(df, textCol)
+      .select(col(idCol), explode(array_distinct(col(ShinglesCol))).as("shingle"))
     val counts = shingled.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
 
     val a = shingled.withColumnRenamed(idCol, "id_a")

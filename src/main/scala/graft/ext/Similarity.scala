@@ -40,10 +40,15 @@ object Similarity {
    * scan parallelism. Output: query_id, rank (1..k), neighbor_id, cos6.
    */
   def topK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val pairs = candidates
+    // Norms are per-row, so compute them once on each side of the join —
+    // per pair only the single cross dot product remains.
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
+    val c = candidates.withColumn("c_norm", norm(col("embedding")))
+    val pairs = c
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos6", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("cos6", round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")), 6))
     rankTopK(pairs, k)
   }
 
@@ -51,11 +56,13 @@ object Similarity {
    * cell (here the `label` column stands in for the centroid id). */
   def topKBlocked(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("label").as("q_label"))
-    val pairs = candidates
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("label").as("q_label"), norm(col("embedding")).as("q_norm"))
+    val c = candidates.withColumn("c_norm", norm(col("embedding")))
+    val pairs = c
       .join(broadcast(q), col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
       .drop("q_label")
-      .withColumn("cos6", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("cos6", round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")), 6))
     rankTopK(pairs, k)
   }
 
@@ -77,11 +84,13 @@ object Similarity {
   /** X2d — embedding-cosine near-duplicate pairs within a blocking cell:
    * the LSH/IVF-blocked formulation of semantic dedup. */
   def nearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
-    val a = df.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = df.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val a = df.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      norm(col("embedding")).as("norm_a"))
+    val b = df.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos6", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos6", round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cos6") > threshold)
       .select("label", "id_a", "id_b", "cos6")
   }

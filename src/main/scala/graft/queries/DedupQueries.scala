@@ -80,8 +80,8 @@ object DedupQueries {
 
     // X2b — 16-bit simhash per document.
     Q("dedup_simhash",
-      (s, dir) => TableIO.read(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash16("text").as("simhash"))
+      (s, dir) => Dedup.simhash16(TableIO.read(s, dir, "documents"), "text", "simhash")
+        .select("doc_id", "simhash")
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |  CAST(list_sum(list_transform(range(0, 16), b ->

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactKeep keeps exactly one row per key, the lowest tiebreak") {
+    val df = Seq(("k1", 5L), ("k1", 2L), ("k2", 9L), ("k1", 7L)).toDF("k", "id")
+    val kept = Dedup.exactKeep(df, Seq("k"), "id").orderBy("k")
+      .as[(String, Long)].collect().toSeq
+    assert(kept == Seq(("k1", 2L), ("k2", 9L)))
+  }
+
+  test("exactKeep is idempotent") {
+    val df = spark.read.parquet(s"$Sf/documents.parquet")
+      .withColumn("k", substring($"text", 1, 10))
+    val once = Dedup.exactKeep(df, Seq("k"), "doc_id")
+    val twice = Dedup.exactKeep(once, Seq("k"), "doc_id")
+    assert(once.count() == twice.count())
+    assert(once.select("doc_id").except(twice.select("doc_id")).count() == 0)
+  }
+
+  test("minhash pairs are ordered and signature-consistent") {
+    val sigs = Dedup.withMinhashSignature(spark.read.parquet(s"$Sf/documents.parquet"), "text")
+    val pairs = Dedup.minhashPairs(sigs, "doc_id").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+    // pairs must actually agree on the full signature
+    val sigMap = sigs.select("doc_id", "sig0", "sig1", "sig2", "sig3")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(pairs.forall { case (a, b) => sigMap(a) == sigMap(b) })
+  }
+
+  test("ngram jaccard is within (0,1] and symmetric-bounded") {
+    val out = Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$Sf/documents.parquet").filter($"doc_id" < 100),
+      "doc_id", "text", 2L)
+    val rows = out.select("jaccard").as[Double].collect()
+    assert(rows.forall(j => j > 0.0 && j <= 1.0))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val c = df.select(Similarity.cosine($"embedding", $"embedding").as("c")).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("topK returns k ranked neighbors and excludes self") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val out = Similarity.topK(emb.filter($"vec_id" < 5), emb, 4)
+    val rows = out.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    assert(rows.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4) })
+    assert(rows.forall { case (q, _, n) => q != n })
+  }
+
+  test("two-phase topK equals single-pass window ranking") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val twoPhase = Similarity.topK(queries, emb, 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    // reference single-pass computation
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val single = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(Similarity.cosine($"q_emb", $"embedding"), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy($"cos6".desc, $"vec_id")))
+      .filter($"rank" <= 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(twoPhase == single)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeFeatures preserves ids, is deterministic, and emits 8-dim features") {
+    val media = Multimodal.attachPayload(spark.read.parquet(s"$Sf/documents.parquet"))
+      .as[Multimodal.MediaRecord]
+    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(f1.length == 500)
+    assert(f1.forall(_.features.length == 8))
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.forall(f => f.features.forall(v => v >= 0f && v <= 1f)))
+  }
+
+  test("joinModalities flags missing embeddings as null dim") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet").filter($"vec_id" < 100)
+    val out = Multimodal.joinModalities(docs, emb)
+    assert(out.filter($"has_embedding" === false).count() == 400)
+    assert(out.filter($"has_embedding" && $"emb_dim" =!= 64).count() == 0)
+  }
+}

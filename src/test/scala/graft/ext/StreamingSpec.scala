@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.io.TableIO
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Top-level so Spark can instantiate the encoder without an outer scope. */
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+/** The batch-registered window queries re-run as real Structured
+ * Streaming: identical lineage over a MemoryStream must produce the same
+ * aggregates as the batch path (§2.10 duality). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling window matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = TableIO.read(spark, Sf, "events")
+      .select($"ts", $"event_type", $"value").as[Ev].collect().toSeq
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events)
+    val q = StreamingOps.streamingTumbling(stream.toDF(), "ts", "1 hour", "event_type", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select("w_start_us", "event_type", "n", "v")
+      .orderBy("w_start_us", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val batch = StreamingOps.tumbling(TableIO.read(spark, Sf, "events"), "ts", "1 hour", "event_type")
+      .orderBy("w_start_us", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    stream.addData(Seq((1L, t0), (2L, t0), (1L, t0), (3L, t0), (2L, t0)))
+    val deduped = StreamingOps.streamingDedup(
+      stream.toDF().toDF("id", "ts"), "ts", "1 hour", Seq("id"))
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("sessionized assigns gap-separated events to distinct sessions") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 1.0), // 50 min gap -> new session
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = StreamingOps.sessionized(df, "ts", "30 minutes", "user_id")
+      .orderBy("user_id", "session_start_us")
+      .select("user_id", "n").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.config.CdmConfig
+import org.apache.spark.sql.functions._
+
+/** SIT-style end-to-end job specs (mirroring upstream CDM's smoke
+ * integration corpus — SURVEY.md §5.1): run the whole job against the
+ * sf0.001 fixtures and assert on the produced table. */
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Migrate copies origin to target applying rename + filter + constants") {
+    val target = tmpDir()
+    val cfg = CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.path" -> Sf,
+      "spark.cdm.connect.target.path" -> target,
+      "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+      "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber",
+      "spark.cdm.schema.origin.column.names.to.target" -> "l_orderkey:order_id",
+      "spark.cdm.filter.cassandra.whereCondition" -> "l_quantity > 25",
+      "spark.cdm.feature.constantColumns.names" -> "tenant",
+      "spark.cdm.feature.constantColumns.types" -> "string",
+      "spark.cdm.feature.constantColumns.values" -> "t1"))
+    Migrate.run(spark, cfg)
+
+    val out = spark.read.parquet(s"$target/lineitem.parquet")
+    assert(out.columns.contains("order_id") && !out.columns.contains("l_orderkey"))
+    assert(out.filter($"l_quantity" <= 25).count() == 0)
+    assert(out.select("tenant").distinct().as[String].collect().toSeq == Seq("t1"))
+    val expected = spark.read.parquet(s"$Sf/lineitem.parquet").filter($"l_quantity" > 25).count()
+    assert(out.count() == expected && expected > 0)
+  }
+
+  test("DiffData classifies identical tables as all VALID") {
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+    val c = DiffData.classify(o, o, Seq("o_orderkey"))
+    assert(c.filter($"diff_class" =!= DiffData.Valid).count() == 0)
+    assert(c.count() == o.count())
+  }
+
+  test("DiffData catches a null-vs-value mismatch null-safely") {
+    val o = Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0))
+      .toDF("pk", "s", "v")
+    val t = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0))
+      .toDF("pk", "s", "v")
+    val c = DiffData.classify(o, t, Seq("pk")).orderBy("pk")
+      .select("pk", "diff_class", "diff_cols").as[(Long, String, String)].collect()
+    assert(c(0) == ((1L, "VALID", "")))
+    assert(c(1) == ((2L, "MISMATCH", "s"))) // null on origin, value on target
+    assert(c(2) == ((3L, "MISSING", "")))
+  }
+
+  test("DiffData autocorrect selects exactly the configured classes") {
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "s")
+    val t = Seq((1L, "a"), (2L, "X")).toDF("pk", "s")
+    val c = DiffData.classify(o, t, Seq("pk"))
+    assert(DiffData.autocorrectRows(c, correctMissing = true, correctMismatch = true).count() == 2)
+    assert(DiffData.autocorrectRows(c, correctMissing = true, correctMismatch = false)
+      .select("pk").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("Guardrail flags only rows over the threshold and names columns") {
+    val df = Seq((1L, "short", "x"), (2L, "a" * 500, "y")).toDF("id", "body", "tag")
+    val out = Guardrail.check(df, Seq("id"), 300L)
+    val rows = out.select("id", "offending_cols", "max_bytes").as[(Long, String, Long)].collect()
+    assert(rows.toSeq == Seq((2L, "body", 500L)))
+  }
+}
