@@ -94,7 +94,17 @@ final case class PerfConfig(
     numParts: Option[Int],
     batchSize: Int,
     fetchSizeInRows: Int,
-    printStatsAfter: Int
+    printStatsAfter: Int,
+    /** E2 — per-partition rows/s ceilings (reference defaults ≈20k origin /
+     * ≈40k target); consumed by [[graft.run.RateLimiter]] when a live
+     * cluster needs protecting. 0 = unthrottled. */
+    readRateLimit: Double,
+    writeRateLimit: Double,
+    /** E3 — consistency levels, passed through to the Cassandra connector
+     * (`spark.cassandra.{input,output}.consistency.level`) in production;
+     * no parquet-harness semantics. */
+    consistencyRead: String,
+    consistencyWrite: String
 )
 
 final case class GuardrailConfig(colSizeInKB: Int)
@@ -159,6 +169,10 @@ object CdmConfig {
     "spark.cdm.perfops.batchSize",
     "spark.cdm.perfops.fetchSizeInRows",
     "spark.cdm.perfops.printStatsAfter",
+    "spark.cdm.perfops.ratelimit.origin",
+    "spark.cdm.perfops.ratelimit.target",
+    "spark.cdm.perfops.consistency.read",
+    "spark.cdm.perfops.consistency.write",
     "spark.cdm.trackRun",
     "spark.cdm.trackRun.previousRunId",
     "spark.cdm.trackRun.ledgerDir"
@@ -251,7 +265,11 @@ object CdmConfig {
         numParts = get("spark.cdm.perfops.numParts").map(_.toInt),
         batchSize = get("spark.cdm.perfops.batchSize").map(_.toInt).getOrElse(5),
         fetchSizeInRows = get("spark.cdm.perfops.fetchSizeInRows").map(_.toInt).getOrElse(1000),
-        printStatsAfter = get("spark.cdm.perfops.printStatsAfter").map(_.toInt).getOrElse(100000)),
+        printStatsAfter = get("spark.cdm.perfops.printStatsAfter").map(_.toInt).getOrElse(100000),
+        readRateLimit = get("spark.cdm.perfops.ratelimit.origin").map(_.toDouble).getOrElse(0.0),
+        writeRateLimit = get("spark.cdm.perfops.ratelimit.target").map(_.toDouble).getOrElse(0.0),
+        consistencyRead = get("spark.cdm.perfops.consistency.read").getOrElse("LOCAL_QUORUM"),
+        consistencyWrite = get("spark.cdm.perfops.consistency.write").getOrElse("LOCAL_QUORUM")),
       guardrail = GuardrailConfig(
         colSizeInKB = get("spark.cdm.feature.guardrail.colSizeInKB").map(_.toInt).getOrElse(0)),
       trackRun = TrackRunConfig(

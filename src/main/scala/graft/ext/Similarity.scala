@@ -25,8 +25,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-fold dot product with per-element double cast — bit-identical
-   * to the oracle's list_reduce mirror. */
+   * to the oracle's list_reduce mirror. Backed by the codegen'd
+   * FloatVectorDot kernel; [[dotHof]] keeps the declarative formulation
+   * for cross-checking. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.FloatVectorDot.dot(a, b)
+
+  /** Reference higher-order-function formulation of [[dot]] (same fold
+   * order, same bits; ~8× slower per pair — kept for equivalence tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ext.Dedup
+import graft.ops.Transforms
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests (SURVEY.md §5.2): ScalaCheck generates the inputs,
+ * a single Spark pass checks the invariant over the whole generated batch
+ * (one job per property, not one per case). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[List[A]]): List[A] =
+    g.apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("property: long <-> string codec round-trips (T5)") {
+    val xs = sample(Gen.listOfN(500, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)))
+    val df = xs.toDF("x")
+    val bad = df
+      .withColumn("rt", Transforms.stringToLong(Transforms.longToString($"x")))
+      .filter(!($"x" <=> $"rt")).count()
+    assert(bad == 0)
+  }
+
+  test("property: timestamp->string->timestamp is identity at second precision (T4)") {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val secs = sample(Gen.listOfN(300, Gen.chooseNum(0L, 4102444800L))) // 1970..2100
+    val df = secs.toDF("s").withColumn("ts", timestamp_seconds($"s"))
+    val bad = df
+      .withColumn("rt", Transforms.stringToTimestamp(Transforms.timestampToString($"ts", fmt), fmt))
+      .filter(!($"ts" <=> $"rt")).count()
+    assert(bad == 0)
+  }
+
+  test("property: map scrub removes exactly the null-valued entries (T6)") {
+    val entries = sample(Gen.listOfN(300,
+      Gen.zip(Gen.alphaStr.map(_.take(8)), Gen.option(Gen.chooseNum(-1000, 1000)))))
+    val df = entries.zipWithIndex
+      .map { case ((k, v), i) => (i.toLong, k + i, v) } // unique keys per row
+      .toDF("id", "k", "v")
+      // collect_list drops nulls, so gather entries as structs (null value
+      // preserved inside the struct), then map_from_entries
+      .groupBy("id").agg(map_from_entries(collect_list(struct($"k", $"v"))).as("m"))
+    val scrubbed = Transforms.mapRemoveNullValues(df, "m")
+    val withNull = scrubbed.filter(exists(map_values($"m"), _.isNull)).count()
+    assert(withNull == 0)
+    // scrubbing is idempotent and keeps all non-null entries
+    val before = df.select(explode($"m")).filter($"value".isNotNull).count()
+    val after = scrubbed.select(explode($"m")).count()
+    assert(before == after)
+  }
+
+  test("property: exactKeep is a fixpoint and covers every key (X1)") {
+    val rows = sample(Gen.listOfN(800, Gen.zip(Gen.chooseNum(0, 50), Gen.chooseNum(0L, 100000L))))
+    val df = rows.zipWithIndex.map { case ((k, v), i) => (s"k$k", v * 100000 + i) }.toDF("k", "id")
+    val once = Dedup.exactKeep(df, Seq("k"), "id")
+    assert(once.groupBy("k").count().filter($"count" > 1).count() == 0)
+    assert(once.select("k").distinct().count() == df.select("k").distinct().count())
+    val twice = Dedup.exactKeep(once, Seq("k"), "id")
+    assert(twice.select("k", "id").except(once.select("k", "id")).count() == 0)
+    // survivor is the minimum tiebreak per key
+    val mins = df.groupBy("k").agg(min("id").as("id"))
+    assert(once.select("k", "id").except(mins).count() == 0)
+  }
+
+  test("property: rate limiter holds the configured ceiling") {
+    val limiter = new graft.run.RateLimiter(1000.0)
+    val t0 = System.nanoTime()
+    (1 to 300).foreach(_ => limiter.acquire(1))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed >= 0.25, s"300 rows at 1000 rows/s finished in ${elapsed}s (< 0.25s floor)")
+  }
+}

@@ -45,6 +45,18 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("codegen FloatVectorDot is bit-identical to the HOF fold") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("eb"))
+    val pairs = a.join(b, $"ia" % 13 === $"ib" % 13 && $"ia" < $"ib").limit(5000)
+    val diff = pairs
+      .select(Similarity.dot($"ea", $"eb").as("fast"), Similarity.dotHof($"ea", $"eb").as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     val c = df.select(Similarity.cosine($"embedding", $"embedding").as("c")).as[Double].head()
