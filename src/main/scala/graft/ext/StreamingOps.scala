@@ -58,4 +58,37 @@ object StreamingOps {
   def streamingDedup(stream: DataFrame, tsCol: String, watermark: String, idCols: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Input/output rows for the custom-state sessionizer. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double, last_ts: java.sql.Timestamp)
+
+  /**
+   * Custom keyed state beyond what `session_window` expresses — the
+   * `flatMapGroupsWithState` face of §2.10: a per-user running aggregate
+   * emitted on every micro-batch. State lives in the state store (scales
+   * with distinct keys, not events) and is the pattern slot for custom
+   * session logic the built-in windows can't express.
+   */
+  def runningUserStats(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserRunningStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunningStats]) => {
+          val evs = batch.toSeq
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(UserRunningStats(userId, 0L, 0.0, evs.head.ts))
+            val next = UserRunningStats(
+              userId,
+              prev.n_events + evs.size,
+              prev.total_value + evs.map(_.value).sum,
+              evs.maxBy(_.ts.getTime).ts)
+            state.update(next)
+            Iterator.single(next)
+          }
+        })
+  }
 }

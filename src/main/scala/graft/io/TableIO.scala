@@ -47,6 +47,22 @@ object TableIO {
     df.write.mode(mode).parquet(s"$dir/$table.parquet")
 
   /**
+   * Bucketed write — the 100 TB co-location path (SURVEY.md §7.5.8):
+   * both sides of a recurring PK join (origin/target reconciliation, the
+   * multimodal id join) written with the same bucketing never shuffle
+   * again — Spark's bucket-aware scan aligns partitions at read time, so
+   * DiffData on two 50 TB tables moves zero rows over the network.
+   * Bucketing requires the session catalog, hence saveAsTable (set
+   * `spark.sql.warehouse.dir` to the target path's filesystem).
+   */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /**
    * Deterministic stand-in for the Cassandra Murmur3 ring token of a
    * partition key (`token(pk)` in the reference's range-scan CQL).
    *

@@ -1,0 +1,63 @@
+package graft
+
+import graft.config.CdmConfig
+import graft.ext.Dedup
+import graft.io.TableIO
+import graft.jobs.Migrate
+
+/** Physical-plan guards (SURVEY.md §4): the optimizations the reference
+ * hand-implements must actually appear in Catalyst's plan — predicate
+ * pushdown into the scan, column pruning, hash joins (never nested-loop),
+ * and no re-inlined expensive expressions in Filters. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_where pushes the predicate into the parquet scan") {
+    val df = Migrate.plan(spark, CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.path" -> Sf,
+      "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+      "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber",
+      "spark.cdm.filter.cassandra.whereCondition" -> "l_quantity > 25")))
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,25"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("projection prunes the parquet ReadSchema to selected columns") {
+    val df = Migrate.plan(spark, CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.path" -> Sf,
+      "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+      "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber",
+      "spark.cdm.schema.origin.column.skip" ->
+        "l_tax,l_returnflag,l_linestatus,l_shipdate,l_discount,l_extendedprice,l_partkey,l_suppkey")))
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("diff join plans as a hash/sort-merge join, never nested-loop") {
+    val o = TableIO.read(spark, Sf, "orders")
+    val p = plan(graft.jobs.DiffData.classify(o, o, Seq("o_orderkey")))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), s"bad join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"no equi-join:\n$p")
+  }
+
+  test("minhash LSH join does not re-inline signature expressions into Filters") {
+    val sigs = Dedup.withMinhashSignature(TableIO.read(spark, Sf, "documents"), "text")
+    val p = plan(Dedup.minhashPairs(sigs, "doc_id"))
+    // 4 signature components per side = 8 array_min occurrences; pushdown
+    // re-inlining (the 100x regression fixed in Dedup.minhash) doubles it.
+    val occurrences = "array_min".r.findAllIn(p).size
+    assert(occurrences <= 8, s"signature recomputed ($occurrences array_min sites):\n${p.take(2000)}")
+  }
+
+  test("similarity top-k keeps the codegen'd dot kernel in the plan") {
+    val emb = TableIO.read(spark, Sf, "embeddings")
+    val p = plan(graft.ext.Similarity.topK(emb.filter(emb("vec_id") < 5), emb, 3))
+    assert(p.contains("float_vector_dot"), s"custom kernel missing:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "queries side should broadcast")
+  }
+}

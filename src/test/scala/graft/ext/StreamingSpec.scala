@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("flatMapGroupsWithState running stats accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.runningUserStats(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("running_out").start()
+    try {
+      stream.addData(StreamingOps.UserEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10.0))
+      q.processAllAvailable()
+      stream.addData(
+        StreamingOps.UserEvent(1L, Timestamp.valueOf("2024-01-01 00:05:00"), 5.0),
+        StreamingOps.UserEvent(2L, Timestamp.valueOf("2024-01-01 00:06:00"), 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = spark.table("running_out")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // user 1: first batch (1, 10.0), second batch accumulated (2, 15.0); user 2: (1, 7.0)
+    assert(byBatch == Set((1L, 1L, 10.0), (1L, 2L, 15.0), (2L, 1L, 7.0)))
+  }
+
   test("sessionized assigns gap-separated events to distinct sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
