@@ -81,6 +81,14 @@ object TableIO {
   def tokenOf(pkCol: Column): Column =
     pmod(pkCol.cast("long") * lit(2654435761L), lit(TokenModulus))
 
+  /** Compound-partition-key token: mix each component with a distinct odd
+   * multiplier before reduction (Cassandra composite partition keys hash
+   * the serialized concatenation; this is the arithmetic stand-in). */
+  def tokenOfCompound(pkCols: Seq[Column]): Column = {
+    val mixers = Iterator.iterate(2654435761L)(m => m * 31L + 17L)
+    pmod(pkCols.map(_.cast("long") * lit(mixers.next())).reduce(_ + _), lit(TokenModulus))
+  }
+
   /** Same hash reduced mod 100 — deterministic percentage sampling (P7).
    * A distinct multiplier from tokenOf so a token-range filter and a
    * percent sample don't correlate on the same low bits. */

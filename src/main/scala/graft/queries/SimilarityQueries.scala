@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.ext.{Multimodal, Similarity}
 import graft.io.TableIO
+import graft.ops.Salting
 
 /**
  * X3/X5 — similarity search and multimodal queries over the embeddings
@@ -19,6 +20,19 @@ object SimilarityQueries {
        |  (acc, x) -> acc + x)""".stripMargin
   private def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  /** DuckDB mirrors of the LSH plane machinery (identical plane literals
+   * generated from Similarity.planeComponent). */
+  private def planeListSql(j: Int): String =
+    (0 until Similarity.VecDim).map(i => s"${Similarity.planeComponent(j, i).toDouble}").mkString("[", ", ", "]")
+  private def planeDotSql(emb: String, j: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * (${planeListSql(j)})[i])),
+       |  (acc, x) -> acc + x)""".stripMargin
+  private def bucketSql(emb: String): String =
+    (0 until Similarity.LshPlanes)
+      .map(j => s"CASE WHEN ${planeDotSql(emb, j)} > 0 THEN ${1 << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
 
   val all: Seq[Q] = Seq(
 
@@ -63,6 +77,49 @@ object SimilarityQueries {
               |FROM p
               |QUALIFY rank <= 3
               |ORDER BY query_id, rank""".stripMargin)),
+
+    // X3 — random-hyperplane LSH approximate top-k: 8 sign-of-projection
+    // bits -> 256 buckets, search confined to the query's bucket.
+    Q("topk_cosine_lsh",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.topKLsh(emb.filter(col("vec_id") < 20), emb, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < 20),
+              |p AS (
+              |  SELECT q.query_id, e.vec_id AS neighbor_id,
+              |         ${cosSql("q.q_emb", "e.embedding")} AS cos6
+              |  FROM b e JOIN q ON e.bucket = q.q_bucket
+              |  WHERE e.vec_id != q.query_id)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
+              |       neighbor_id, cos6
+              |FROM p
+              |QUALIFY rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Skew-salted dimension join: results must equal the plain join (the
+    // salt is invisible in the output) — verified against an unsalted
+    // oracle formulation.
+    Q("salted_join",
+      (s, dir) => {
+        val orders = TableIO.read(s, dir, "orders")
+        val customer = TableIO.read(s, dir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey")
+        Salting.saltedEquiJoin(orders, customer, Seq("o_custkey"), salt = 8)
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
 
     // X2d — embedding-cosine near-duplicate pairs, label-blocked (bounded
     // to vec_id < 2000 so the pair count is stable across scale factors).

@@ -71,6 +71,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { case (q, _, n) => q != n })
   }
 
+  test("LSH bucketing confines candidates and preserves pair agreement") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val buckets = emb.select($"vec_id", Similarity.lshBucket($"embedding").as("b"))
+    val dist = buckets.groupBy("b").count()
+    assert(dist.count() > 30, "LSH should spread vectors over many buckets")
+    // topKLsh neighbors must share the query's bucket
+    val out = Similarity.topKLsh(emb.filter($"vec_id" < 10), emb, 3)
+    val bmap = buckets.as[(Long, Int)].collect().toMap
+    val rows = out.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (q, n) => bmap(q) == bmap(n) })
+  }
+
+  test("salted join equals the plain join") {
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+    val customer = spark.read.parquet(s"$Sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val salted = graft.ops.Salting.saltedEquiJoin(orders, customer, Seq("o_custkey"), 8)
+      .select("o_orderkey", "c_mktsegment")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select("o_orderkey", "c_mktsegment")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
   test("two-phase topK equals single-pass window ranking") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
