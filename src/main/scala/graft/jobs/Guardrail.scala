@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{BinaryType, StringType}
 
 /**
  * J3 — GuardrailCheck: origin-only data-quality scan flagging rows whose
@@ -26,9 +26,10 @@ object Guardrail {
    * (the fixtures are small, so tests pass bytes directly). */
   def check(df: DataFrame, pkCols: Seq[String], thresholdBytes: Long): DataFrame = {
     val sized = df.schema.fields
-      .filter(f => !pkCols.contains(f.name) && f.dataType == StringType)
+      .filter(f => !pkCols.contains(f.name) &&
+        (f.dataType == StringType || f.dataType == BinaryType))
       .map(_.name).toSeq
-    require(sized.nonEmpty, "guardrail: no string columns to size-check")
+    require(sized.nonEmpty, "guardrail: no string/binary columns to size-check")
 
     // long, not int: the DuckDB oracle's strlen is BIGINT and the driver
     // compares schemas.

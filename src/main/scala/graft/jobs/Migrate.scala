@@ -46,7 +46,11 @@ object Migrate {
     cfg.perf.numParts match {
       case Some(n) if cfg.schema.primaryKey.nonEmpty =>
         val pkAfterRename = cfg.schema.primaryKey.map(k => cfg.schema.renameMap.getOrElse(k, k))
+        // sortWithinPartitions gives the sink runs of identical partition
+        // keys, so the connector's unlogged batches (grouped by PK — S3)
+        // fill without buffering; a local sort, no extra shuffle.
         df.repartition(n, pkAfterRename.map(col): _*)
+          .sortWithinPartitions(pkAfterRename.map(col): _*)
       case Some(n) => df.repartition(n)
       case None    => df
     }

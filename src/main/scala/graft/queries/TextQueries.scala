@@ -95,6 +95,25 @@ object TextQueries {
               |FROM documents
               |ORDER BY doc_id""".stripMargin)),
 
+    // Exact interpolated percentiles of per-doc token counts by language
+    // (corpus length distribution — the standard quality-filter input).
+    // Spark percentile() and DuckDB quantile_cont share the
+    // (n-1)*p linear-interpolation definition.
+    Q("corpus_percentiles",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+          expr("percentile(n_tokens, 0.9)").as("p90_tokens"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+             |  quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
     // Order-sensitive rolling document fingerprint.
     Q("text_fingerprint",
       (s, dir) => TableIO.read(s, dir, "documents")

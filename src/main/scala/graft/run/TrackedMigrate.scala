@@ -1,0 +1,70 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.CdmConfig
+import graft.io.TableIO
+import graft.jobs.Migrate
+
+/**
+ * J1 + S5/S6/E1 — resumable, run-tracked migration.
+ *
+ * The reference records per-token-range status rows (`cdm_run_info` /
+ * `cdm_run_details`, `[upstream] job/TrackRun.java`) so a rerun with
+ * `spark.cdm.trackRun.previousRunId` re-processes only ranges that did
+ * not PASS. The Spark-native analog keeps the ranges **stable across
+ * runs** by bucketing rows on the ring-token hash
+ * (`pmod(token(pk), numParts)` — the same identity the reference's
+ * SplitPartitions slices have), writes the target
+ * `partitionBy(bucket)` with dynamic partition overwrite (a re-run
+ * replaces exactly the buckets it processed, never the whole table), and
+ * appends PASS rows to the run ledger only after the write commits.
+ *
+ * Scale: resume filters the origin scan by pending bucket — a pushed
+ * predicate on a derived column — so a 99%-complete 100 TB migrate reads
+ * only the missing 1%'s input splits' worth of work, not the whole table
+ * twice.
+ */
+object TrackedMigrate {
+
+  val BucketCol = "__part"
+
+  def bucketOf(pkCol: String, numParts: Int) =
+    pmod(TableIO.tokenOf(col(pkCol)), lit(numParts.toLong)).cast("int")
+
+  /** Run (or resume) a tracked migrate. Returns the bucket ids processed
+   * in this run. */
+  def run(spark: SparkSession, cfg: CdmConfig, runId: String): Seq[Int] = {
+    val numParts = cfg.perf.numParts.getOrElse(32)
+    val ledgerDir = cfg.trackRun.ledgerDir.getOrElse(cfg.target.path)
+    val pk = cfg.schema.primaryKey.headOption
+      .getOrElse(throw new IllegalArgumentException("trackRun requires a primary key"))
+
+    val pending: Seq[Int] = cfg.trackRun.previousRunId match {
+      case Some(prev) =>
+        val all = spark.range(numParts).select(col("id").cast("int").as("part_id"))
+        RunLedger.pendingParts(all, RunLedger.load(spark, ledgerDir), prev)
+          .collect().map(_.getInt(0)).toSeq.sorted
+      case None => 0 until numParts
+    }
+    if (pending.isEmpty) return Nil
+
+    val planned = Migrate.plan(spark, cfg)
+    val pkAfterRename = cfg.schema.renameMap.getOrElse(pk, pk)
+    val bucketed = planned.withColumn(BucketCol, bucketOf(pkAfterRename, numParts))
+      .filter(col(BucketCol).isin(pending: _*))
+
+    val targetTable = cfg.schema.renameMap.getOrElse(cfg.schema.table, cfg.schema.table)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bucketed.write
+      .mode("overwrite")
+      .partitionBy(BucketCol)
+      .parquet(s"${cfg.target.path}/$targetTable.parquet")
+
+    // PASS is recorded only after the write above committed.
+    import spark.implicits._
+    RunLedger.record(spark, ledgerDir, runId,
+      pending.toDF("part_id").withColumn("status", lit(RunLedger.Pass)))
+    pending
+  }
+}
