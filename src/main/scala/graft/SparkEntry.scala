@@ -13,7 +13,8 @@ object SparkEntry {
   /** Everything registered, in build order (SURVEY.md §7.3). */
   def registry: Seq[Q] =
     CoreQueries.all ++ TransformQueries.all ++ DiffQueries.all ++
-      WindowQueries.all ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+      WindowQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
    * J1 Migrate lineage: scan → rename → pushed filter (SURVEY.md §3.1). */

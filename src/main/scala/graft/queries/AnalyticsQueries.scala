@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+
+/**
+ * Analytics capabilities beyond the reference surface that come free from
+ * Spark (SURVEY.md §2.7 windows/sorts, §2.8 set ops) plus the X4
+ * tf-idf-lite scoring — registered so the capability is oracle-verified,
+ * not just claimed.
+ */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Star-schema join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    // with broadcast dimensions — revenue by region. The multi-join
+    // analytics shape the engine must plan well at 100 TB (fact table
+    // streams, dims broadcast, single shuffle for the final groupBy).
+    Q("star_join_revenue",
+      (s, dir) => {
+        val li = TableIO.read(s, dir, "lineitem")
+        val o = TableIO.read(s, dir, "orders")
+        val c = TableIO.read(s, dir, "customer")
+        val n = TableIO.read(s, dir, "nation")
+        val r = TableIO.read(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+              .cast("double").as("revenue"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name
+             |ORDER BY r_name""".stripMargin)),
+
+    // §2.7 — window functions: per-user running totals + previous-event
+    // deltas over event time.
+    Q("window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        TableIO.read(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            row_number().over(w).as("seq"),
+            count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_n"),
+            sum(col("value").cast("decimal(18,6)")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double").as("running_value"),
+            lag(col("event_id"), 1).over(w).as("prev_event_id"))
+          .orderBy("user_id", "seq")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(row_number() OVER w AS INTEGER) AS seq,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS running_n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+             |  lag(event_id, 1) OVER w AS prev_event_id
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, seq""".stripMargin)),
+
+    // §2.8 — set operations: EXCEPT and INTERSECT over deterministic
+    // key slices (the reference only has the implicit key-anti-join).
+    Q("set_ops",
+      (s, dir) => {
+        val o = TableIO.read(s, dir, "orders").select("o_orderkey")
+        val lowTok = o.filter(pmod(col("o_orderkey") * 2654435761L, lit(100L)) < 60)
+        val midTok = o.filter(pmod(col("o_orderkey") * 2654435761L, lit(100L)).between(30, 80))
+        lowTok.except(midTok).withColumn("op", lit("except"))
+          .union(lowTok.intersect(midTok).withColumn("op", lit("intersect")))
+          .orderBy("op", "o_orderkey")
+      },
+      Some("""WITH low AS (SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 < 60),
+             |mid AS (SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 BETWEEN 30 AND 80)
+             |SELECT o_orderkey, 'except' AS op FROM (SELECT * FROM low EXCEPT SELECT * FROM mid)
+             |UNION ALL
+             |SELECT o_orderkey, 'intersect' AS op FROM (SELECT * FROM low INTERSECT SELECT * FROM mid)
+             |ORDER BY op, o_orderkey""".stripMargin)),
+
+    // X4 — tf-idf-lite: term frequency × corpus-frequency ratio, no
+    // transcendentals so both engines agree bit-for-bit. The doc-frequency
+    // join is the inverted-index shuffle pattern (token-keyed).
+    Q("text_tfidf",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
+        val terms = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = terms.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "token")
+          .crossJoin(broadcast(nDocs))
+          .filter(col("doc_id") < 50)
+          .select(
+            col("doc_id"), col("token"), col("tf"), col("df"),
+            (col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+              .as("tfidf_lite"))
+          .orderBy("doc_id", "token")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+             |dfreq AS (SELECT token, count(*) AS df
+             |          FROM (SELECT DISTINCT doc_id, token FROM terms) GROUP BY token),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+             |SELECT doc_id, token, tf, df,
+             |  CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf_lite
+             |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+             |WHERE doc_id < 50
+             |ORDER BY doc_id, token""".stripMargin))
+  )
+}

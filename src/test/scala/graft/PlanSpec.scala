@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     assert(occurrences <= 8, s"signature recomputed ($occurrences array_min sites):\n${p.take(2000)}")
   }
 
+  test("star join broadcasts every dimension (single shuffle for the groupBy)") {
+    val df = SparkEntry.queries("star_join_revenue")(spark, Sf)
+    val p = plan(df)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"dims not broadcast ($broadcasts):\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
   test("similarity top-k keeps the codegen'd dot kernel in the plan") {
     val emb = TableIO.read(spark, Sf, "embeddings")
     val p = plan(graft.ext.Similarity.topK(emb.filter(emb("vec_id") < 5), emb, 3))
