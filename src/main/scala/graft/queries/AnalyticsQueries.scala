@@ -90,6 +90,21 @@ object AnalyticsQueries {
              |SELECT o_orderkey, 'intersect' AS op FROM (SELECT * FROM low INTERSECT SELECT * FROM mid)
              |ORDER BY op, o_orderkey""".stripMargin)),
 
+    // §2.6 — multi-level aggregation (rollup + grouping id): the
+    // capability the reference lacks entirely and Spark gives free.
+    // NULLS FIRST is pinned explicitly — Spark and DuckDB default
+    // opposite null orderings.
+    Q("rollup_stats",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("lang").asc_nulls_first, col("source").asc_nulls_first),
+      Some("""SELECT lang, source, count(*) AS n,
+             |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+             |FROM documents
+             |GROUP BY ROLLUP (lang, source)
+             |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)),
+
     // X4 — tf-idf-lite: term frequency × corpus-frequency ratio, no
     // transcendentals so both engines agree bit-for-bit. The doc-frequency
     // join is the inverted-index shuffle pattern (token-keyed).
