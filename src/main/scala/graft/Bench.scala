@@ -37,15 +37,19 @@ object Bench {
     // one warm-up of the first query amortizes JVM/codegen startup
     names.headOption.foreach(runOnce)
     // two timed runs per query, keep the min: reports steady-state
-    // operator cost instead of first-run codegen/JIT noise
+    // operator cost instead of first-run codegen/JIT noise. A query that
+    // failed EITHER run reports -1 — a flaky failure must be visible in
+    // the output, not masked by its one good run.
     val results = names.map { n =>
       val t1 = runOnce(n); val t2 = runOnce(n)
-      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

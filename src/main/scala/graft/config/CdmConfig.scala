@@ -31,6 +31,9 @@ final case class ClusterConfig(
  * metadata in `schema/CqlTable.java`; the harness must be told). */
 final case class SchemaConfig(
     table: String,
+    /** Target table name when it differs from origin
+     * (`spark.cdm.schema.target.keyspaceTable`); origin name otherwise. */
+    targetTable: Option[String],
     /** Full primary key (partition key ++ clustering columns). */
     primaryKey: Seq[String],
     /** Origin→target column rename pairs,
@@ -131,6 +134,7 @@ object CdmConfig {
     "spark.cdm.connect.origin.path",
     "spark.cdm.connect.target.path",
     "spark.cdm.schema.origin.keyspaceTable",
+    "spark.cdm.schema.target.keyspaceTable",
     "spark.cdm.schema.origin.primaryKey",
     "spark.cdm.schema.origin.column.names.to.target",
     "spark.cdm.schema.origin.column.skip",
@@ -232,6 +236,7 @@ object CdmConfig {
       target = ClusterConfig(get("spark.cdm.connect.target.path").getOrElse("")),
       schema = SchemaConfig(
         table = get("spark.cdm.schema.origin.keyspaceTable").getOrElse(""),
+        targetTable = get("spark.cdm.schema.target.keyspaceTable"),
         primaryKey = list("spark.cdm.schema.origin.primaryKey"),
         renameMap = renames,
         skipColumns = list("spark.cdm.schema.origin.column.skip"),

@@ -28,12 +28,18 @@ object Dedup {
 
   /** X1 — exact dedup, deterministic variant: keep the lowest-id row per
    * key. A window with row_number (not dropDuplicates, whose survivor is
-   * partitioning-dependent). */
-  def exactKeep(df: DataFrame, keyCols: Seq[String], tiebreak: String): DataFrame =
+   * partitioning-dependent). The sort extends past the tiebreak to every
+   * remaining column, so the order is total whenever full rows are
+   * distinct — a duplicated tiebreak value alone cannot reintroduce
+   * partitioning-dependent survivors. */
+  def exactKeep(df: DataFrame, keyCols: Seq[String], tiebreak: String): DataFrame = {
+    val totalOrder = col(tiebreak) +:
+      df.columns.filterNot(c => c == tiebreak || keyCols.contains(c)).map(col).toSeq
     df.withColumn("__rn",
-        row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(col(tiebreak))))
+        row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(totalOrder: _*)))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
 
   /** X1 — cluster summary: representative id + duplicate count per key
    * (groupBy with map-side combine — one shuffle of pre-aggregated pairs). */
@@ -53,11 +59,16 @@ object Dedup {
   def withShingleHashes(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__thashes",
         expr(s"transform(split($textCol, ' '), t -> CAST(${TextOps.tokenHashSql("t")} AS BIGINT))"))
+      // the < 3 guard matters: Spark's sequence(1, 0) yields a DESCENDING
+      // [1, 0] (not an empty array), and element_at(_, 0) throws — a
+      // 2-token document would kill the job. DuckDB's range(1, len-1) is
+      // empty for the same doc, so the guard also keeps engines aligned.
       .withColumn(ShinglesCol,
-        expr(s"""transform(sequence(1, size(__thashes) - 2),
+        expr(s"""CASE WHEN size(__thashes) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+                |ELSE transform(sequence(1, size(__thashes) - 2),
                 |  i -> (element_at(__thashes, i) * 10007
                 |      + element_at(__thashes, i + 1) * 131
-                |      + element_at(__thashes, i + 2)) % $P)""".stripMargin))
+                |      + element_at(__thashes, i + 2)) % $P) END""".stripMargin))
       .drop("__thashes")
 
   /** X2 — one minhash signature component: min over shingles of the

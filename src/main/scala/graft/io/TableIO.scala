@@ -89,11 +89,12 @@ object TableIO {
     pmod(pkCols.map(_.cast("long") * lit(mixers.next())).reduce(_ + _), lit(TokenModulus))
   }
 
-  /** Same hash reduced mod 100 — deterministic percentage sampling (P7).
-   * A distinct multiplier from tokenOf so a token-range filter and a
-   * percent sample don't correlate on the same low bits. */
+  /** Deterministic percentage sampling bucket (P7), using a genuinely
+   * different odd multiplier (xxhash32 prime) than tokenOf — an additive
+   * shift of the same multiplier would share low-bit structure with the
+   * ring token, skewing samples taken inside a token sub-range. */
   def tokenPercentBucket(pkCol: Column): Column =
-    pmod(pkCol.cast("long") * lit(2654435761L) + lit(12345L), lit(100L))
+    pmod(pkCol.cast("long") * lit(2246822519L), lit(100L))
 
   /**
    * Expose writetime/TTL companion columns for a table (T9).

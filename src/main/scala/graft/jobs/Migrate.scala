@@ -57,8 +57,7 @@ object Migrate {
   }
 
   /** Execute: write the planned lineage to the target cluster stand-in. */
-  def run(spark: SparkSession, cfg: CdmConfig): Unit = {
-    val targetTable = cfg.schema.renameMap.getOrElse(cfg.schema.table, cfg.schema.table)
-    TableIO.write(plan(spark, cfg), cfg.target.path, targetTable)
-  }
+  def run(spark: SparkSession, cfg: CdmConfig): Unit =
+    TableIO.write(plan(spark, cfg), cfg.target.path,
+      cfg.schema.targetTable.getOrElse(cfg.schema.table))
 }

@@ -53,18 +53,32 @@ object Filters {
     df.filter(pkCols.map(col(_).isNotNull).reduce(_ && _))
 
   /** Compose every configured filter (order preserves reference semantics:
-   * pushdown filters first, then java-side row filters). */
+   * pushdown filters first, then java-side row filters). One-sided
+   * token/writetime bounds apply with the missing side open (the
+   * reference's incremental-migration idiom is min-only); a configured
+   * filter that CANNOT apply (writetime window with no writetime columns,
+   * token filters with no PK) fails fast instead of silently migrating
+   * everything — E4's philosophy extends to values, not just key names. */
   def applyAll(df: DataFrame, f: FilterConfig, pkCols: Seq[String], writetimeCol: Option[Column]): DataFrame = {
     var d = df
     f.whereCondition.foreach(c => d = where(d, c))
-    (f.tokenMin, f.tokenMax) match {
-      case (Some(mn), Some(mx)) if pkCols.nonEmpty => d = tokenRange(d, pkCols.head, mn, mx)
-      case _ =>
+    if (f.tokenMin.isDefined || f.tokenMax.isDefined) {
+      require(pkCols.nonEmpty, "token-range filter configured but no primary key set")
+      d = tokenRange(d, pkCols.head,
+        f.tokenMin.getOrElse(0L), f.tokenMax.getOrElse(graft.io.TableIO.TokenModulus - 1))
     }
-    for (wt <- writetimeCol; mn <- f.writetimeMin; mx <- f.writetimeMax)
-      d = writetimeWindow(d, wt, mn, mx)
+    if (f.writetimeMin.isDefined || f.writetimeMax.isDefined) {
+      val wt = writetimeCol.getOrElse(throw new IllegalArgumentException(
+        "writetime filter configured but no writetime columns available " +
+          "(set spark.cdm.schema.origin.column.writetime.names)"))
+      d = writetimeWindow(d, wt,
+        f.writetimeMin.getOrElse(Long.MinValue), f.writetimeMax.getOrElse(Long.MaxValue))
+    }
     for (n <- f.columnName; v <- f.columnValue) d = columnValue(d, n, v)
-    for (p <- f.tokenPercent if pkCols.nonEmpty) d = tokenPercent(d, pkCols.head, p)
+    if (f.tokenPercent.isDefined) {
+      require(pkCols.nonEmpty, "token-percent filter configured but no primary key set")
+      d = tokenPercent(d, pkCols.head, f.tokenPercent.get)
+    }
     if (pkCols.nonEmpty) d = nonNullPk(d, pkCols)
     d
   }

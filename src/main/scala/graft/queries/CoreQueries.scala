@@ -114,7 +114,7 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber"),
       Some(s"""SELECT l_orderkey, l_linenumber
               |FROM lineitem
-              |WHERE (l_orderkey * 2654435761 + 12345) % 100 < 15 AND $PkGuard
+              |WHERE (l_orderkey * 2246822519) % 100 < 15 AND $PkGuard
               |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // P8 — null-PK skip. The fixtures have no null PKs, so a synthetic

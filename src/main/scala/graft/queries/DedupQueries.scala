@@ -11,13 +11,7 @@ import graft.io.TableIO
  */
 object DedupQueries {
 
-  /** DuckDB mirrors of the Scala-side hash expressions. */
-  private def hSql(t: String) = s"(ascii($t)*96 + ascii(right($t,1)) + strlen($t)*7)"
-  private val shinglesSql =
-    s"""list_transform(range(1, len(string_split(text,' ')) - 1),
-       |  i -> CAST((${hSql("string_split(text,' ')[i]")} * 10007
-       |           + ${hSql("string_split(text,' ')[i+1]")} * 131
-       |           + ${hSql("string_split(text,' ')[i+2]")}) % ${Dedup.P} AS BIGINT))""".stripMargin
+  private val shinglesSql = OracleSql.shingles
   private def sigSql(a: Long, b: Long) =
     s"list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P}))"
   private val sigsSelect = Dedup.MinhashSeeds.zipWithIndex

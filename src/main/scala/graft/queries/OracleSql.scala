@@ -1,0 +1,25 @@
+package graft.queries
+
+import graft.ext.Dedup
+
+/**
+ * Shared DuckDB mirrors of the engine's portable hash expressions. One
+ * definition per formula: the Spark side lives in TextOps/Dedup, the
+ * DuckDB side here — changing a formula means touching exactly one Scala
+ * expression and one SQL mirror, never per-query copies.
+ */
+object OracleSql {
+
+  /** Mirror of TextOps.tokenHashSql. */
+  def tokenHash(t: String): String =
+    s"(ascii($t)*96 + ascii(right($t,1)) + strlen($t)*7)"
+
+  /** Mirror of Dedup.withShingleHashes: 3-gram shingle hashes over the
+   * whitespace tokenization (range(1, len-1) is empty for < 3 tokens,
+   * matching the Spark-side guard). */
+  val shingles: String =
+    s"""list_transform(range(1, len(string_split(text,' ')) - 1),
+       |  i -> CAST((${tokenHash("string_split(text,' ')[i]")} * 10007
+       |           + ${tokenHash("string_split(text,' ')[i+1]")} * 131
+       |           + ${tokenHash("string_split(text,' ')[i+2]")}) % ${Dedup.P} AS BIGINT))""".stripMargin
+}

@@ -11,8 +11,7 @@ import graft.io.TableIO
  */
 object TextQueries {
 
-  /** DuckDB mirror of TextOps.tokenHashSql. */
-  private def hSql(t: String) = s"(ascii($t)*96 + ascii(right($t,1)) + strlen($t)*7)"
+  private def hSql(t: String) = OracleSql.tokenHash(t)
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")

@@ -54,10 +54,13 @@ object TrackedMigrate {
     val bucketed = planned.withColumn(BucketCol, bucketOf(pkAfterRename, numParts))
       .filter(col(BucketCol).isin(pending: _*))
 
-    val targetTable = cfg.schema.renameMap.getOrElse(cfg.schema.table, cfg.schema.table)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val targetTable = cfg.schema.targetTable.getOrElse(cfg.schema.table)
     bucketed.write
       .mode("overwrite")
+      // writer-level option, NOT spark.conf.set: a session-wide dynamic
+      // overwrite default would silently change the semantics of every
+      // later partitioned overwrite in the same session
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BucketCol)
       .parquet(s"${cfg.target.path}/$targetTable.parquet")
 

@@ -22,6 +22,20 @@ class DedupSpec extends SparkSpec {
     assert(once.select("doc_id").except(twice.select("doc_id")).count() == 0)
   }
 
+  test("shingle/minhash/simhash survive documents with fewer than 3 tokens") {
+    val df = Seq((1L, ""), (2L, "one"), (3L, "two words"), (4L, "exactly three tokens"), (5L, "a full length doc here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.withMinhashSignature(df, "text").orderBy("doc_id")
+      .select("doc_id", "sig0").as[(Long, Long)].collect().toSeq
+    // short docs get the -1 sentinel, >=3 tokens get real signatures
+    assert(sigs.take(3).forall(_._2 == -1L))
+    assert(sigs.drop(3).forall(_._2 >= 0L))
+    val sims = Dedup.simhash16(df, "text", "sh").select("doc_id", "sh").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(sims.take(3).forall(_._2 == 0L)) // no shingles -> no bits set
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 1L).count() >= 0)
+  }
+
   test("minhash pairs are ordered and signature-consistent") {
     val sigs = Dedup.withMinhashSignature(spark.read.parquet(s"$Sf/documents.parquet"), "text")
     val pairs = Dedup.minhashPairs(sigs, "doc_id").as[(Long, Long)].collect()

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.config.FilterConfig
+import org.apache.spark.sql.functions._
+
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noFilters = FilterConfig(None, None, None, None, None, None, None, None)
+
+  test("one-sided writetime window (min only) applies — the incremental-migration idiom") {
+    val df = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("pk", "wt")
+    val out = Filters.applyAll(df,
+      noFilters.copy(writetimeMin = Some(150L)),
+      Seq("pk"), Some(col("wt")))
+    assert(out.select("pk").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("one-sided token range (max only) applies") {
+    val df = (1L to 100L).toDF("pk")
+    val out = Filters.applyAll(df, noFilters.copy(tokenMax = Some(1000000000L)), Seq("pk"), None)
+    val expected = df.filter(graft.io.TableIO.tokenOf($"pk") <= 1000000000L).count()
+    assert(out.count() == expected && expected > 0)
+  }
+
+  test("writetime filter without writetime columns fails fast instead of silently passing everything") {
+    val df = Seq((1L, 100L)).toDF("pk", "wt")
+    val e = intercept[IllegalArgumentException] {
+      Filters.applyAll(df, noFilters.copy(writetimeMin = Some(1L)), Seq("pk"), None)
+    }
+    assert(e.getMessage.contains("writetime"))
+  }
+
+  test("token filters without a primary key fail fast") {
+    val df = Seq((1L, 100L)).toDF("pk", "wt")
+    intercept[IllegalArgumentException] {
+      Filters.applyAll(df, noFilters.copy(tokenPercent = Some(10)), Nil, None)
+    }
+  }
+}
