@@ -83,6 +83,11 @@ object Dedup {
    * sf0.1 vs 2s without). Docs always have ≥3 tokens here, so the
    * sentinel never appears. */
   def minhash(shingles: Column, a: Long, b: Long): Column =
+    coalesce(org.apache.spark.sql.graft.SignatureKernels.minhashComponent(shingles, a, b, P), lit(-1L))
+
+  /** HOF reference formulation of [[minhash]] (same arithmetic; kept for
+   * kernel equivalence tests). */
+  def minhashHof(shingles: Column, a: Long, b: Long): Column =
     coalesce(array_min(transform(shingles, s => (s * lit(a) + lit(b)) % lit(P))), lit(-1L))
 
   /** Default 4-component signature (calibrated on the fixtures: ~26
@@ -109,20 +114,22 @@ object Dedup {
   }
 
   /** X2b — 16-bit SimHash: bit b is set when the ±1 votes from each
-   * shingle's b-th (mixed) bit sum positive. Folds run over the staged
-   * shingle array — 16 cheap integer folds per row, no string work. */
+   * shingle's b-th (mixed) bit sum positive. One codegen'd pass over the
+   * staged shingle array per row. */
   def simhash16(df: DataFrame, textCol: String, outCol: String): DataFrame =
     withShingleHashes(df, textCol)
-      .withColumn("__mixed",
-        expr(s"transform($ShinglesCol, s -> CAST((s * 2654435761) % 65536 AS BIGINT))"))
-      .withColumn(outCol,
-        expr("""aggregate(
-               |  transform(sequence(0, 15), b ->
-               |    IF(aggregate(transform(__mixed, m -> shiftright(m, b) % 2 * 2 - 1),
-               |         CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0,
-               |       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-               |  CAST(0 AS BIGINT), (acc, bit) -> acc + bit)""".stripMargin))
-      .drop(ShinglesCol, "__mixed")
+      .withColumn(outCol, org.apache.spark.sql.graft.SignatureKernels.simhash16(col(ShinglesCol)))
+      .drop(ShinglesCol)
+
+  /** HOF reference formulation of the [[simhash16]] kernel over a named
+   * shingle-array column (same arithmetic; kept for equivalence tests). */
+  def simhash16Hof(shingleCol: String): Column =
+    expr(s"""aggregate(
+            |  transform(sequence(0, 15), b ->
+            |    IF(aggregate(transform($shingleCol, m -> shiftright(CAST((m * 2654435761) % 65536 AS BIGINT), b) % 2 * 2 - 1),
+            |         CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0,
+            |       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (acc, bit) -> acc + bit)""".stripMargin)
 
   /** X2c — n-gram Jaccard pairs: explode distinct shingles, self-join on
    * the shingle (shuffle on shingle hash — the inverted-index pattern),

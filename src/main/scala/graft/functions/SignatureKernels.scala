@@ -1,0 +1,133 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/**
+ * Codegen'd signature kernels for the X2 dedup surface (SURVEY.md §2.11).
+ * Semantically identical to the higher-order-function formulations in
+ * graft.ext.Dedup (equivalence-tested), but a single primitive loop per
+ * row instead of interpreted per-element lambdas — at corpus scale the
+ * signature pass is the whole cost of LSH dedup, so these keep it
+ * CPU-bound.
+ */
+
+/** min((s*a + b) mod p) over an array<bigint> of shingle hashes; null on
+ * an empty/null array (caller applies the sentinel). Mirror of
+ * `array_min(transform(sh, s -> (s*a+b) % p))`. */
+case class MinhashComponent(child: Expression, a: Long, b: Long, p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_component"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    var best = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val h = (arr.getLong(i) * a + b) % p
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val best = ctx.freshName("best")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = ($x.getLong($i) * ${a}L + ${b}L) % ${p}L;
+         |    if ($h < $best) $best = $h;
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 16-bit simhash over an array<bigint> of shingle hashes: per shingle,
+ * mix m = (s*2654435761) mod 65536; bit b set when the ±1 votes of the
+ * shingles' b-th bits sum positive. Empty array → 0. Mirror of the
+ * nested aggregate/transform formulation in Dedup.simhash16. */
+case class Simhash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](16)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val m = (arr.getLong(i) * 2654435761L) % 65536L
+      var b = 0
+      while (b < 16) {
+        counts(b) += (((m >> b) & 1L) * 2 - 1).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (counts(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val m = ctx.freshName("m")
+      val counts = ctx.freshName("counts")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $x.numElements();
+         |int[] $counts = new int[16];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $m = ($x.getLong($i) * 2654435761L) % 65536L;
+         |  for (int $b = 0; $b < 16; $b++) {
+         |    $counts[$b] += (int) ((($m >> $b) & 1L) * 2 - 1);
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 16; $b++) {
+         |  if ($counts[$b] > 0) $out |= 1L << $b;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignatureKernels {
+  def minhashComponent(shingles: Column, a: Long, b: Long, p: Long): Column =
+    ExpressionUtils.column(MinhashComponent(ExpressionUtils.expression(shingles), a, b, p))
+
+  def simhash16(shingles: Column): Column =
+    ExpressionUtils.column(Simhash16(ExpressionUtils.expression(shingles)))
+}

@@ -36,6 +36,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 1L).count() >= 0)
   }
 
+  test("signature kernels are bit-identical to the HOF formulations") {
+    val staged = Dedup.withShingleHashes(spark.read.parquet(s"$Sf/documents.parquet"), "text")
+    val diff = staged.select(
+        Dedup.minhash(col(Dedup.ShinglesCol), 31L, 101L).as("fast"),
+        Dedup.minhashHof(col(Dedup.ShinglesCol), 31L, 101L).as("ref"),
+        org.apache.spark.sql.graft.SignatureKernels.simhash16(col(Dedup.ShinglesCol)).as("sfast"),
+        Dedup.simhash16Hof(Dedup.ShinglesCol).as("sref"))
+      .filter(!(col("fast") <=> col("ref")) || !(col("sfast") <=> col("sref")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("minhash pairs are ordered and signature-consistent") {
     val sigs = Dedup.withMinhashSignature(spark.read.parquet(s"$Sf/documents.parquet"), "text")
     val pairs = Dedup.minhashPairs(sigs, "doc_id").as[(Long, Long)].collect()
