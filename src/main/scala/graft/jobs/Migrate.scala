@@ -36,6 +36,9 @@ object Migrate {
       else None
 
     df = Filters.applyAll(df, cfg.filters, cfg.schema.primaryKey, wtCol)
+    // T9: rows are written `USING TIMESTAMP ?` on a real target — the
+    // parquet stand-in persists the row-level writetime as a column.
+    wtCol.foreach(wt => df = df.withColumn("row_writetime", wt))
     df = Projection(df, cfg.schema)
     df = Transforms.applyAll(df, cfg.transform)
 

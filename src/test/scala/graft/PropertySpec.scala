@@ -34,6 +34,16 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("property: millis-string codec round-trips (T4 TIMESTAMP_STRING_MILLIS)") {
+    val ms = sample(Gen.listOfN(300, Gen.chooseNum(0L, 4102444800000L)))
+    val df = ms.toDF("ms")
+    val bad = df
+      .withColumn("ts", Transforms.millisStringToTimestamp($"ms".cast("string")))
+      .withColumn("rt", Transforms.timestampToMillisString($"ts"))
+      .filter(!($"ms".cast("string") <=> $"rt")).count()
+    assert(bad == 0)
+  }
+
   test("property: map scrub removes exactly the null-valued entries (T6)") {
     val entries = sample(Gen.listOfN(300,
       Gen.zip(Gen.alphaStr.map(_.take(8)), Gen.option(Gen.chooseNum(-1000, 1000)))))

@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch == Set((1L, 1L, 10.0), (1L, 2L, 15.0), (2L, 1L, 7.0)))
   }
 
+  test("file sink + checkpoint resumes exactly-once across query restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmpDir() + "/sink"
+    val ckpt = tmpDir() + "/ckpt"
+    val stream = MemoryStream[(Long, Double)]
+
+    def start() = stream.toDF().toDF("id", "v")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // first incarnation processes batch 1
+    val q1 = start()
+    stream.addData((1L, 1.0), (2L, 2.0))
+    q1.processAllAvailable(); q1.stop()
+    // second incarnation resumes from the checkpoint: batch 1 must not
+    // be re-emitted, batch 2 must land
+    stream.addData((3L, 3.0))
+    val q2 = start()
+    stream.addData((4L, 4.0))
+    q2.processAllAvailable(); q2.stop()
+
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
+  }
+
   test("sessionized assigns gap-separated events to distinct sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
