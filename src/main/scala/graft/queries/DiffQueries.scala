@@ -110,6 +110,27 @@ object DiffQueries {
               |WHERE $tpSql IN (3,4,5,6)
               |ORDER BY o_orderkey""".stripMargin)),
 
+    // Last-writer-wins upsert merge (Cassandra reconciliation): current
+    // target state unioned with an incoming delta, greatest writetime
+    // wins per PK. Current rows carry wt=100; incoming perturbs
+    // o_totalprice (+1000) with wt=200 where tp<50 (wins) and wt=50
+    // where tp>=50 (loses).
+    Q("upsert_merge",
+      (s, dir) => {
+        val base = TableIO.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), lit(100L).as("wt"))
+        val incoming = TableIO.read(s, dir, "orders")
+          .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("o_totalprice"),
+            when(tpCol < 50, 200L).otherwise(50L).as("wt"))
+        graft.ops.Upsert.lastWriterWins(base, incoming, Seq("o_orderkey"), "wt")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey,
+              |  CASE WHEN $tpSql < 50 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+              |  CAST(CASE WHEN $tpSql < 50 THEN 200 ELSE 100 END AS BIGINT) AS wt
+              |FROM orders
+              |ORDER BY o_orderkey""".stripMargin)),
+
     // S4/A3 — counter-column additive merge: pre-aggregated deltas via
     // map-side-combined groupBy, exact DECIMAL accumulation. lineitem's
     // duplicate (l_orderkey) rows are exactly the delta-stream this models.

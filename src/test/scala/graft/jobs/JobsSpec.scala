@@ -60,6 +60,15 @@ class JobsSpec extends SparkSpec {
       .select("pk").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("Upsert lastWriterWins keeps the newest writetime and breaks ties by value") {
+    val current = Seq((1L, "old", 100L), (2L, "keep", 100L), (3L, "tie-a", 100L)).toDF("pk", "v", "wt")
+    val incoming = Seq((1L, "new", 200L), (2L, "stale", 50L), (3L, "tie-b", 100L)).toDF("pk", "v", "wt")
+    val merged = graft.ops.Upsert.lastWriterWins(current, incoming, Seq("pk"), "wt")
+      .orderBy("pk").select("pk", "v").as[(Long, String)].collect().toSeq
+    // pk 3 ties on wt=100 -> greatest value wins deterministically ("tie-b" > "tie-a")
+    assert(merged == Seq((1L, "new"), (2L, "keep"), (3L, "tie-b")))
+  }
+
   test("Guardrail flags only rows over the threshold and names columns") {
     val df = Seq((1L, "short", "x"), (2L, "a" * 500, "y")).toDF("id", "body", "tag")
     val out = Guardrail.check(df, Seq("id"), 300L)
