@@ -81,6 +81,16 @@ object TableIO {
   def tokenOf(pkCol: Column): Column =
     pmod(pkCol.cast("long") * lit(2654435761L), lit(TokenModulus))
 
+  /** Exact Cassandra Murmur3Partitioner token of a bigint partition key
+   * (live-cluster ring parity — the token a real origin cluster's range
+   * scans and SplitPartitions slices use). DuckDB cannot evaluate it, so
+   * harness queries keep the arithmetic stand-in for oracle-checked paths
+   * and expose this via a rows-only query. Core mixing validated
+   * bit-for-bit against Guava's murmur3_128; Cassandra's signed-byte tail
+   * promotion implemented per its public quirk (Murmur3RingSpec). */
+  def cassandraTokenOf(pkCol: Column): Column =
+    org.apache.spark.sql.graft.CassandraMurmur3Token.token(pkCol.cast("long"))
+
   /** Compound-partition-key token: mix each component with a distinct odd
    * multiplier before reduction (Cassandra composite partition keys hash
    * the serialized concatenation; this is the arithmetic stand-in). */

@@ -117,6 +117,20 @@ object CoreQueries {
               |WHERE (l_orderkey * 2246822519) % 100 < 15 AND $PkGuard
               |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // S1/P4 production-parity path — the EXACT Cassandra Murmur3 ring
+    // token (not the arithmetic stand-in) partitioning the scan into the
+    // same 4 ranges a live cluster's SplitPartitions would own. DuckDB
+    // cannot evaluate Cassandra's murmur3, so this is registered without
+    // an oracle (rows-only check); Murmur3RingSpec pins the hash itself
+    // against Guava.
+    Q("cassandra_token_ranges",
+      (s, dir) => TableIO.read(s, dir, "orders")
+        .select(col("o_orderkey"), TableIO.cassandraTokenOf(col("o_orderkey")).as("ring_token"))
+        .groupBy(floor(col("ring_token") / lit(1L << 62) + 2).as("range_id"))
+        .agg(count(lit(1)).as("n"), min("ring_token").as("min_token"), max("ring_token").as("max_token"))
+        .orderBy("range_id"),
+      None),
+
     // P8 — null-PK skip. The fixtures have no null PKs, so a synthetic
     // nullable PK component (nullif) exercises the guard.
     Q("skip_null_pk",
