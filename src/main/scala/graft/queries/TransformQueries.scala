@@ -153,6 +153,32 @@ object TransformQueries {
              |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // §1.3 type mapping — CQL date -> DateType and uuid -> canonical-form
+    // StringType (synthesized via md5, identical in both engines since
+    // the fixture has no uuid column).
+    Q("type_mapping",
+      (s, dir) => TableIO.read(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("ts").cast("date").as("event_date"),
+          concat_ws("-",
+            substring(md5(col("event_id").cast("string")), 1, 8),
+            substring(md5(col("event_id").cast("string")), 9, 4),
+            substring(md5(col("event_id").cast("string")), 13, 4),
+            substring(md5(col("event_id").cast("string")), 17, 4),
+            substring(md5(col("event_id").cast("string")), 21, 12)).as("synthetic_uuid"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(ts AS DATE) AS event_date,
+             |  concat_ws('-',
+             |    substring(md5(CAST(event_id AS VARCHAR)), 1, 8),
+             |    substring(md5(CAST(event_id AS VARCHAR)), 9, 4),
+             |    substring(md5(CAST(event_id AS VARCHAR)), 13, 4),
+             |    substring(md5(CAST(event_id AS VARCHAR)), 17, 4),
+             |    substring(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS synthetic_uuid
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
     // T9/A2 — automatic writetime propagation: per-cell writetimes modeled
     // as companion columns, row writetime = greatest across columns
     // ([upstream] feature/WritetimeTTL.java).
