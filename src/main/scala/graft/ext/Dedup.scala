@@ -33,8 +33,19 @@ object Dedup {
    * distinct — a duplicated tiebreak value alone cannot reintroduce
    * partitioning-dependent survivors. */
   def exactKeep(df: DataFrame, keyCols: Seq[String], tiebreak: String): DataFrame = {
-    val totalOrder = col(tiebreak) +:
-      df.columns.filterNot(c => c == tiebreak || keyCols.contains(c)).map(col).toSeq
+    // Only orderable columns may join the sort: MapType (at any nesting
+    // depth) is rejected by Spark's window ORDER BY. Rows identical on
+    // key + tiebreak + every orderable column but differing inside a map
+    // remain partition-order dependent — documented residual.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+    val totalOrder = col(tiebreak) +: df.schema.fields
+      .filter(f => f.name != tiebreak && !keyCols.contains(f.name) && orderable(f.dataType))
+      .map(f => col(f.name)).toSeq
     df.withColumn("__rn",
         row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(totalOrder: _*)))
       .filter(col("__rn") === 1)
@@ -80,8 +91,8 @@ object Dedup {
    * isnotnull(sig) predicates — those get pushed below the staged
    * projections, where predicate-pushdown substitution re-inlines the
    * full unstaged signature expression into the Filter (measured 130s at
-   * sf0.1 vs 2s without). Docs always have ≥3 tokens here, so the
-   * sentinel never appears. */
+   * sf0.1 vs 2s without). Documents with <3 tokens (empty shingle set)
+   * carry the sentinel; [[minhashPairs]] excludes that bucket. */
   def minhash(shingles: Column, a: Long, b: Long): Column =
     coalesce(org.apache.spark.sql.graft.SignatureKernels.minhashComponent(shingles, a, b, P), lit(-1L))
 
@@ -106,7 +117,11 @@ object Dedup {
    * generation is O(bucket²) per bucket, never all-pairs. */
   def minhashPairs(sigs: DataFrame, idCol: String): DataFrame = {
     val sigCols = MinhashSeeds.indices.map(i => s"sig$i")
+    // Exclude the short-document sentinel bucket: every <3-token doc
+    // carries signature (-1,...,-1), and joining them would declare all
+    // short docs mutual near-duplicates (quadratic in their count).
     val left = sigs.select((idCol +: sigCols).map(col): _*)
+      .filter(col(sigCols.head) =!= lit(-1L))
     val right = left.withColumnRenamed(idCol, s"${idCol}_b")
     left.join(right, sigCols.toSeq, "inner")
       .filter(col(idCol) < col(s"${idCol}_b"))

@@ -29,16 +29,16 @@ object Migrate {
   def plan(spark: SparkSession, cfg: CdmConfig): DataFrame = {
     var df = TableIO.read(spark, cfg.origin.path, cfg.schema.table)
 
-    // T9: expose row writetime before filters so the P5 window can use it.
+    // T9: materialize the row writetime (max across companion columns)
+    // before filters — P5 windows on it, and the write path persists it
+    // (the parquet stand-in for `USING TIMESTAMP ?`).
     val wtCol =
-      if (cfg.schema.writetimeCols.nonEmpty)
-        Some(WritetimeTtl.greatestOf(cfg.schema.writetimeCols))
-      else None
+      if (cfg.schema.writetimeCols.nonEmpty) {
+        df = WritetimeTtl.withRowWritetime(df, cfg.schema.writetimeCols)
+        Some(col("row_writetime"))
+      } else None
 
     df = Filters.applyAll(df, cfg.filters, cfg.schema.primaryKey, wtCol)
-    // T9: rows are written `USING TIMESTAMP ?` on a real target — the
-    // parquet stand-in persists the row-level writetime as a column.
-    wtCol.foreach(wt => df = df.withColumn("row_writetime", wt))
     df = Projection(df, cfg.schema)
     df = Transforms.applyAll(df, cfg.transform)
 

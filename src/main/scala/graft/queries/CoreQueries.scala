@@ -126,7 +126,9 @@ object CoreQueries {
     Q("cassandra_token_ranges",
       (s, dir) => TableIO.read(s, dir, "orders")
         .select(col("o_orderkey"), TableIO.cassandraTokenOf(col("o_orderkey")).as("ring_token"))
-        .groupBy(floor(col("ring_token") / lit(1L << 62) + 2).as("range_id"))
+        // integer shift, not division: long/long is double division in
+        // Spark and misassigns tokens within ~512 of range boundaries
+        .groupBy((shiftright(col("ring_token"), 62) + lit(2)).as("range_id"))
         .agg(count(lit(1)).as("n"), min("ring_token").as("min_token"), max("ring_token").as("max_token"))
         .orderBy("range_id"),
       None),

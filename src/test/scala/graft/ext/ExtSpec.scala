@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(sims.take(3).forall(_._2 == 0L)) // no shingles -> no bits set
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 1L).count() >= 0)
+    // short docs share the sentinel signature but must NOT pair up
+    val pairs = Dedup.minhashPairs(Dedup.withMinhashSignature(df, "text"), "doc_id")
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a > 3L && b > 3L || a != b },
+      s"sentinel docs paired: ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b) => a <= 3L || b <= 3L })
+  }
+
+  test("exactKeep tolerates map columns (unorderable types excluded from tiebreak)") {
+    val df = Seq(("k1", 2L, Map("a" -> 1)), ("k1", 1L, Map("b" -> 2)), ("k2", 3L, Map.empty[String, Int]))
+      .toDF("k", "id", "m")
+    val kept = Dedup.exactKeep(df, Seq("k"), "id").orderBy("k")
+      .select("k", "id").as[(String, Long)].collect().toSeq
+    assert(kept == Seq(("k1", 1L), ("k2", 3L)))
   }
 
   test("signature kernels are bit-identical to the HOF formulations") {

@@ -69,6 +69,13 @@ class JobsSpec extends SparkSpec {
     assert(merged == Seq((1L, "new"), (2L, "keep"), (3L, "tie-b")))
   }
 
+  test("Upsert lastWriterWins tolerates map columns") {
+    val current = Seq((1L, Map("a" -> 1), 100L)).toDF("pk", "m", "wt")
+    val incoming = Seq((1L, Map("b" -> 2), 200L)).toDF("pk", "m", "wt")
+    val merged = graft.ops.Upsert.lastWriterWins(current, incoming, Seq("pk"), "wt")
+    assert(merged.select("wt").as[Long].head() == 200L)
+  }
+
   test("Guardrail flags only rows over the threshold and names columns") {
     val df = Seq((1L, "short", "x"), (2L, "a" * 500, "y")).toDF("id", "body", "tag")
     val out = Guardrail.check(df, Seq("id"), 300L)
