@@ -91,24 +91,37 @@ object Dedup {
    * isnotnull(sig) predicates — those get pushed below the staged
    * projections, where predicate-pushdown substitution re-inlines the
    * full unstaged signature expression into the Filter (measured 130s at
-   * sf0.1 vs 2s without). Documents with <3 tokens (empty shingle set)
-   * carry the sentinel; [[minhashPairs]] excludes that bucket. */
-  def minhash(shingles: Column, a: Long, b: Long): Column =
-    coalesce(org.apache.spark.sql.graft.SignatureKernels.minhashComponent(shingles, a, b, P), lit(-1L))
+   * sf0.1 vs 2s without).
+   *
+   * The sentinel for <3-token documents (empty shingle set) is
+   * PER-DOCUMENT unique (`-id-2`, always negative — real signatures are
+   * in [0, P)): short docs therefore can never agree on a signature, so
+   * [[minhashPairs]] needs no sentinel filter — an explicit filter on a
+   * computed sig column would itself be pushed below the staging and
+   * re-inline the signature into a Filter (measured: it brought the 59s
+   * pathology back). */
+  def minhash(shingles: Column, idCol: Column, a: Long, b: Long): Column =
+    // the trailing non-nullable literal keeps the WHOLE coalesce
+    // non-nullable (a nullable id would otherwise resurrect the
+    // isnotnull pushdown pathology above); it is unreachable for any
+    // row with a non-null id
+    coalesce(org.apache.spark.sql.graft.SignatureKernels.minhashComponent(shingles, a, b, P),
+      -idCol.cast("long") - lit(2L), lit(-1L))
 
   /** HOF reference formulation of [[minhash]] (same arithmetic; kept for
    * kernel equivalence tests). */
-  def minhashHof(shingles: Column, a: Long, b: Long): Column =
-    coalesce(array_min(transform(shingles, s => (s * lit(a) + lit(b)) % lit(P))), lit(-1L))
+  def minhashHof(shingles: Column, idCol: Column, a: Long, b: Long): Column =
+    coalesce(array_min(transform(shingles, s => (s * lit(a) + lit(b)) % lit(P))),
+      -idCol.cast("long") - lit(2L), lit(-1L))
 
   /** Default 4-component signature (calibrated on the fixtures: ~26
    * candidate pairs per 500 docs). */
   val MinhashSeeds: Seq[(Long, Long)] = Seq((7L, 13L), (31L, 101L), (131L, 17L), (1009L, 3L))
 
-  def withMinhashSignature(df: DataFrame, textCol: String): DataFrame = {
+  def withMinhashSignature(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame = {
     val staged = withShingleHashes(df, textCol)
     MinhashSeeds.zipWithIndex.foldLeft(staged) { case (d, ((a, b), i)) =>
-      d.withColumn(s"sig$i", minhash(col(ShinglesCol), a, b))
+      d.withColumn(s"sig$i", minhash(col(ShinglesCol), col(idCol), a, b))
     }.drop(ShinglesCol)
   }
 
@@ -117,11 +130,9 @@ object Dedup {
    * generation is O(bucket²) per bucket, never all-pairs. */
   def minhashPairs(sigs: DataFrame, idCol: String): DataFrame = {
     val sigCols = MinhashSeeds.indices.map(i => s"sig$i")
-    // Exclude the short-document sentinel bucket: every <3-token doc
-    // carries signature (-1,...,-1), and joining them would declare all
-    // short docs mutual near-duplicates (quadratic in their count).
+    // No sentinel filter needed: short-doc sentinels are per-document
+    // unique (see minhash), so they never agree across documents.
     val left = sigs.select((idCol +: sigCols).map(col): _*)
-      .filter(col(sigCols.head) =!= lit(-1L))
     val right = left.withColumnRenamed(idCol, s"${idCol}_b")
     left.join(right, sigCols.toSeq, "inner")
       .filter(col(idCol) < col(s"${idCol}_b"))

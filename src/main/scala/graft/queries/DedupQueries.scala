@@ -13,7 +13,7 @@ object DedupQueries {
 
   private val shinglesSql = OracleSql.shingles
   private def sigSql(a: Long, b: Long) =
-    s"list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P}))"
+    s"coalesce(list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P})), -doc_id - 2)"
   private val sigsSelect = Dedup.MinhashSeeds.zipWithIndex
     .map { case ((a, b), i) => s"${sigSql(a, b)} AS sig$i" }.mkString(",\n  ")
   private val prefixKeySql = "array_to_string(string_split(text,' ')[1:3], ' ')"

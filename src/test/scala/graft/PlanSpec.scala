@@ -47,10 +47,14 @@ class PlanSpec extends SparkSpec {
   test("minhash LSH join does not re-inline signature expressions into Filters") {
     val sigs = Dedup.withMinhashSignature(TableIO.read(spark, Sf, "documents"), "text")
     val p = plan(Dedup.minhashPairs(sigs, "doc_id"))
-    // 4 signature components per side = 8 array_min occurrences; pushdown
-    // re-inlining (the 100x regression fixed in Dedup.minhash) doubles it.
-    val occurrences = "array_min".r.findAllIn(p).size
-    assert(occurrences <= 8, s"signature recomputed ($occurrences array_min sites):\n${p.take(2000)}")
+    // 4 signature components per side = 8 kernel call sites; pushdown
+    // re-inlining (the ~20x regression fixed twice in Dedup.minhash —
+    // nullable signatures generate isnotnull Filters below the staged
+    // projections) doubles it and moves copies into Filter nodes.
+    val occurrences = "minhash_component".r.findAllIn(p).size
+    assert(occurrences <= 8, s"signature recomputed ($occurrences kernel sites):\n${p.take(2000)}")
+    assert(!p.contains("isnotnull(coalesce(minhash_component"),
+      s"signature re-inlined into a Filter:\n${p.take(2000)}")
   }
 
   test("star join broadcasts every dimension (single shuffle for the groupBy)") {

@@ -27,8 +27,8 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val sigs = Dedup.withMinhashSignature(df, "text").orderBy("doc_id")
       .select("doc_id", "sig0").as[(Long, Long)].collect().toSeq
-    // short docs get the -1 sentinel, >=3 tokens get real signatures
-    assert(sigs.take(3).forall(_._2 == -1L))
+    // short docs get the per-doc-unique sentinel, >=3 tokens real sigs
+    assert(sigs.take(3).forall { case (id, s) => s == -id - 2 })
     assert(sigs.drop(3).forall(_._2 >= 0L))
     val sims = Dedup.simhash16(df, "text", "sh").select("doc_id", "sh").orderBy("doc_id")
       .as[(Long, Long)].collect().toSeq
@@ -53,8 +53,8 @@ class DedupSpec extends SparkSpec {
   test("signature kernels are bit-identical to the HOF formulations") {
     val staged = Dedup.withShingleHashes(spark.read.parquet(s"$Sf/documents.parquet"), "text")
     val diff = staged.select(
-        Dedup.minhash(col(Dedup.ShinglesCol), 31L, 101L).as("fast"),
-        Dedup.minhashHof(col(Dedup.ShinglesCol), 31L, 101L).as("ref"),
+        Dedup.minhash(col(Dedup.ShinglesCol), col("doc_id"), 31L, 101L).as("fast"),
+        Dedup.minhashHof(col(Dedup.ShinglesCol), col("doc_id"), 31L, 101L).as("ref"),
         org.apache.spark.sql.graft.SignatureKernels.simhash16(col(Dedup.ShinglesCol)).as("sfast"),
         Dedup.simhash16Hof(Dedup.ShinglesCol).as("sref"))
       .filter(!(col("fast") <=> col("ref")) || !(col("sfast") <=> col("sref")))
