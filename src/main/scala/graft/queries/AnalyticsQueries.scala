@@ -90,6 +90,26 @@ object AnalyticsQueries {
              |SELECT o_orderkey, 'intersect' AS op FROM (SELECT * FROM low INTERSECT SELECT * FROM mid)
              |ORDER BY op, o_orderkey""".stripMargin)),
 
+    // Pivot: event-type counts as columns per user cohort (wide-format
+    // reporting shape; Spark pivot == portable FILTER aggregation).
+    Q("pivot_stats",
+      (s, dir) => TableIO.read(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+        .groupBy("cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("cohort"),
+      Some("""SELECT user_id % 10 AS cohort,
+             |  count(*) FILTER (event_type = 'click') AS click,
+             |  count(*) FILTER (event_type = 'error') AS error,
+             |  count(*) FILTER (event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (event_type = 'signup') AS signup,
+             |  count(*) FILTER (event_type = 'view') AS view
+             |FROM events
+             |GROUP BY 1
+             |ORDER BY cohort""".stripMargin)),
+
     // §2.6 — multi-level aggregation (rollup + grouping id): the
     // capability the reference lacks entirely and Spark gives free.
     // NULLS FIRST is pinned explicitly — Spark and DuckDB default
