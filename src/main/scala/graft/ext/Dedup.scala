@@ -106,13 +106,23 @@ object Dedup {
     // isnotnull pushdown pathology above); it is unreachable for any
     // row with a non-null id
     coalesce(org.apache.spark.sql.graft.SignatureKernels.minhashComponent(shingles, a, b, P),
-      -idCol.cast("long") - lit(2L), lit(-1L))
+      sentinel(idCol), lit(-1L))
+
+  /** Short-doc sentinel: sign-bit-masked so it is ≤ -2 (never in the real
+   * signature range [0, P)) for EVERY long id, including negative ones —
+   * a raw `-id-2` would map id = -5 to 3 ∈ [0, P) and let a short doc
+   * spuriously collide with a real signature. Unique per document over
+   * ids sharing a sign bit (two ids differing only in the sign bit would
+   * share a sentinel — documented residual, no such id domain exists in
+   * practice). */
+  def sentinel(idCol: Column): Column =
+    -(idCol.cast("long").bitwiseAND(lit(Long.MaxValue))) - lit(2L)
 
   /** HOF reference formulation of [[minhash]] (same arithmetic; kept for
    * kernel equivalence tests). */
   def minhashHof(shingles: Column, idCol: Column, a: Long, b: Long): Column =
     coalesce(array_min(transform(shingles, s => (s * lit(a) + lit(b)) % lit(P))),
-      -idCol.cast("long") - lit(2L), lit(-1L))
+      sentinel(idCol), lit(-1L))
 
   /** Default 4-component signature (calibrated on the fixtures: ~26
    * candidate pairs per 500 docs). */
@@ -139,6 +149,71 @@ object Dedup {
       .select(col(idCol), col(s"${idCol}_b"))
   }
 
+  /** Banded LSH geometry: b bands × r rows. One AND-of-all-components
+   * band (round 1) trades recall away — standard practice (MMDS ch. 3) is
+   * b bands of r minhashes each, candidates = pairs agreeing on ANY band
+   * (OR across bands). 4×2 is calibrated to the fixtures; at 100 TB the
+   * same code runs with production b×r (e.g. 16×8) by extending the seed
+   * list. */
+  val LshBands = 4
+  val LshRowsPerBand = 2
+
+  /** b·r seed pairs for the banded signature (first 4 shared with
+   * [[MinhashSeeds]] so the single-band path stays comparable). */
+  val BandedSeeds: Seq[(Long, Long)] = Seq(
+    (7L, 13L), (31L, 101L), (131L, 17L), (1009L, 3L),
+    (503L, 11L), (2003L, 29L), (4999L, 5L), (9001L, 47L))
+
+  /**
+   * X2 — banded signature: band j's bucket key packs its r minhash
+   * components injectively (`c0·P + c1`, components ∈ [0, P)). Short-doc
+   * sentinel components are equal and negative, so a packed sentinel key
+   * stays negative and per-document unique — short docs can never collide.
+   * Every band key is non-nullable end-to-end (same pushdown discipline as
+   * [[minhash]]); signatures are per-row codegen kernels, zero shuffle.
+   */
+  def withBandKeys(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame = {
+    val staged = withShingleHashes(df, textCol)
+    (0 until LshBands).foldLeft(staged) { (d, j) =>
+      // pack the RAW kernel outputs (null for empty shingle sets) and only
+      // then coalesce to the sentinel: packing the sentinel itself would
+      // multiply a ~2^63-magnitude value by P and overflow under ANSI mode
+      val rawKey = (0 until LshRowsPerBand)
+        .map { r =>
+          val (a, b) = BandedSeeds(j * LshRowsPerBand + r)
+          org.apache.spark.sql.graft.SignatureKernels.minhashComponent(col(ShinglesCol), a, b, P)
+        }
+        .reduce((acc, c) => acc * lit(P) + c)
+      d.withColumn(s"band$j", coalesce(rawKey, sentinel(col(idCol)), lit(-1L)))
+    }.drop(ShinglesCol)
+  }
+
+  /**
+   * X2 — banded LSH candidate pairs with a per-bucket size cap.
+   *
+   * Melt (id, band0..band{b-1}) to (id, band, bkey), count bucket sizes
+   * with a window (one shuffle on (band, bkey); the self-join reuses that
+   * partitioning, so the whole pair stage is a single exchange), drop
+   * buckets over `bucketCap` — the robustness bound: a mass-duplicated
+   * boilerplate bucket would otherwise emit O(bucket²) pairs — then
+   * self-join within buckets and OR across bands (`n_bands` = number of
+   * agreeing bands per surviving pair). Never all-pairs.
+   */
+  def minhashPairsBanded(banded: DataFrame, idCol: String, bucketCap: Int = 50): DataFrame = {
+    val bandCols = (0 until LshBands).map(j => s"band$j")
+    val melted = banded
+      .select(col(idCol), posexplode(array(bandCols.map(col): _*)).as(Seq("band", "bkey")))
+    val capped = melted
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bsize") <= bucketCap)
+    val left = capped.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+    val right = capped.select(col(idCol).as("id_b"), col("band"), col("bkey"))
+    left.join(right, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** X2b — 16-bit SimHash: bit b is set when the ±1 votes from each
    * shingle's b-th (mixed) bit sum positive. One codegen'd pass over the
    * staged shingle array per row. */
@@ -159,10 +234,24 @@ object Dedup {
 
   /** X2c — n-gram Jaccard pairs: explode distinct shingles, self-join on
    * the shingle (shuffle on shingle hash — the inverted-index pattern),
-   * count co-occurrences, then Jaccard = |∩| / (|A| + |B| − |∩|). */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, minCommon: Long): DataFrame = {
-    val shingled = withShingleHashes(df, textCol)
+   * count co-occurrences, then Jaccard = |∩| / (|A| + |B| − |∩|).
+   *
+   * `maxShingleDf` is the document-frequency ceiling (prefix-filtering
+   * idiom): a shingle shared by d documents emits O(d²) join rows, so one
+   * corpus-wide boilerplate 3-gram would produce a quadratic partition at
+   * 100 TB. Shingles with df > ceiling are dropped from the inverted index
+   * AND from the per-doc set sizes, so the reported Jaccard is consistently
+   * "Jaccard over non-stop shingles". The df window shuffles on `shingle`,
+   * the same key the self-join needs — Spark reuses the partitioning, so
+   * the ceiling costs a sort, not an extra exchange. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, minCommon: Long,
+      maxShingleDf: Long = 10000L): DataFrame = {
+    val exploded = withShingleHashes(df, textCol)
       .select(col(idCol), explode(array_distinct(col(ShinglesCol))).as("shingle"))
+    val shingled = exploded
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
     val counts = shingled.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
 
     val a = shingled.withColumnRenamed(idCol, "id_a")

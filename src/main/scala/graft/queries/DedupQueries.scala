@@ -12,10 +12,22 @@ import graft.io.TableIO
 object DedupQueries {
 
   private val shinglesSql = OracleSql.shingles
+  /** Mirror of Dedup.minhash incl. the sign-bit-masked short-doc sentinel
+   * (Dedup.sentinel): ≤ -2 for every id, so never in [0, P). */
   private def sigSql(a: Long, b: Long) =
-    s"coalesce(list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P})), -doc_id - 2)"
+    s"coalesce(list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P})), -(doc_id & ${Long.MaxValue}) - 2)"
   private val sigsSelect = Dedup.MinhashSeeds.zipWithIndex
     .map { case ((a, b), i) => s"${sigSql(a, b)} AS sig$i" }.mkString(",\n  ")
+  /** Mirror of Dedup.withBandKeys: band j packs its r RAW components as
+   * c0·P + c1 (null for short docs), then coalesces to the sentinel. */
+  private def rawSigSql(a: Long, b: Long) =
+    s"list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P}))"
+  private def bandKeySql(j: Int): String = {
+    val packed = (0 until Dedup.LshRowsPerBand)
+      .map { r => val (a, b) = Dedup.BandedSeeds(j * Dedup.LshRowsPerBand + r); rawSigSql(a, b) }
+      .reduce((acc, c) => s"(($acc) * ${Dedup.P} + $c)")
+    s"coalesce($packed, -(doc_id & ${Long.MaxValue}) - 2)"
+  }
   private val prefixKeySql = "array_to_string(string_split(text,' ')[1:3], ' ')"
 
   val all: Seq[Q] = Seq(
@@ -72,6 +84,27 @@ object DedupQueries {
               | AND a.doc_id < b.doc_id
               |ORDER BY doc_id, doc_id_b""".stripMargin)),
 
+    // X2 — banded LSH pairs (4 bands × 2 rows, OR across bands) with the
+    // per-bucket size cap; n_bands = how many bands voted for the pair.
+    Q("dedup_minhash_banded",
+      (s, dir) => Dedup.minhashPairsBanded(
+          Dedup.withBandKeys(TableIO.read(s, dir, "documents"), "text"), "doc_id", bucketCap = 50)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH b AS (
+              |  ${(0 until Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM documents")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |sized AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b),
+              |capped AS (SELECT * FROM sized WHERE bsize <= 50)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+              |FROM capped a JOIN capped b
+              |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // X2b — 16-bit simhash per document.
     Q("dedup_simhash",
       (s, dir) => Dedup.simhash16(TableIO.read(s, dir, "documents"), "text", "simhash")
@@ -87,15 +120,22 @@ object DedupQueries {
 
     // X2c — n-gram Jaccard pairs via the inverted-index join (bounded to
     // doc_id < 300 so the pair set stays comparable across scale factors).
+    // maxShingleDf=5 exercises the document-frequency ceiling (the fixture
+    // subset's hottest shingle has df=6, so the ceiling is live here).
     Q("dedup_ngram_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(
           TableIO.read(s, dir, "documents").filter(col("doc_id") < 300),
-          "doc_id", "text", minCommon = 3L)
+          "doc_id", "text", minCommon = 3L, maxShingleDf = 5L)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH sh AS (
+      Some(s"""WITH sh0 AS (
               |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
               |  FROM documents WHERE doc_id < 300),
+              |sh AS (
+              |  SELECT doc_id, shingle FROM (
+              |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+              |    FROM sh0)
+              |  WHERE df <= 5),
               |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
               |common AS (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -108,6 +148,35 @@ object DedupQueries {
               |JOIN counts ca ON ca.doc_id = id_a
               |JOIN counts cb ON cb.doc_id = id_b
               |ORDER BY id_a, id_b""".stripMargin)),
+
+    // X2c — the df-ceiling at corpus scale: FULL documents table (hottest
+    // shingle df=33 at sf0.1), ceiling 20 — proof the inverted-index join
+    // stays linear when hot shingles exist. Aggregate output so the result
+    // is scale-stable in size.
+    Q("dedup_ngram_hot",
+      (s, dir) => Dedup.ngramJaccardPairs(
+          TableIO.read(s, dir, "documents"),
+          "doc_id", "text", minCommon = 2L, maxShingleDf = 20L)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("n_common")).as("sum_common"),
+          countDistinct(col("id_a")).as("n_left_docs")),
+      Some(s"""WITH sh0 AS (
+              |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
+              |  FROM documents),
+              |sh AS (
+              |  SELECT doc_id, shingle FROM (
+              |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+              |    FROM sh0)
+              |  WHERE df <= 20),
+              |common AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |  HAVING count(*) >= 2)
+              |SELECT count(*) AS n_pairs, CAST(sum(n_common) AS BIGINT) AS sum_common,
+              |       count(DISTINCT id_a) AS n_left_docs
+              |FROM common""".stripMargin)),
 
     // X6 — exact distinct stats (the oracle-checkable face of
     // approx_count_distinct; the HLL variant is registered rows-only).

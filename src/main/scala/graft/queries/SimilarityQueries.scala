@@ -175,9 +175,14 @@ object SimilarityQueries {
     Q("multimodal_binary",
       (s, dir) => Multimodal.attachPayload(TableIO.read(s, dir, "documents"))
         .withColumn("payload_bytes", octet_length(col("payload")).cast("long"))
+        // hex() so the compared output carries the full payload content in a
+        // sortable/hashable string form (the oracle harness cannot sort raw
+        // binary columns).
+        .withColumn("payload_hex", hex(col("payload")))
+        .drop("payload")
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, 'text/plain' AS mime, encode(text) AS payload,
-             |  strlen(text) AS payload_bytes
+      Some("""SELECT doc_id, 'text/plain' AS mime,
+             |  strlen(text) AS payload_bytes, hex(encode(text)) AS payload_hex
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 

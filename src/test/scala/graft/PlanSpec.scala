@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
       s"signature re-inlined into a Filter:\n${p.take(2000)}")
   }
 
+  test("banded LSH pair stage computes each kernel once and shuffles once on (band,bkey)") {
+    val banded = Dedup.withBandKeys(TableIO.read(spark, Sf, "documents"), "text")
+    val p = plan(Dedup.minhashPairsBanded(banded, "doc_id"))
+    // 8 kernel call sites (4 bands x 2 components) per self-join side = 16
+    // total, staged before the posexplode — pushdown re-inlining would
+    // multiply them further and land copies inside Filter nodes (the
+    // regression PlanSpec already guards for the single-band path)
+    val occurrences = "minhash_component".r.findAllIn(p).size
+    assert(occurrences <= 16, s"signature recomputed ($occurrences kernel sites):\n${p.take(2000)}")
+    assert(!p.contains("isnotnull(coalesce(minhash_component"),
+      s"signature re-inlined into a Filter:\n${p.take(2000)}")
+    // the bucket-size window and the self-join share the (band, bkey)
+    // partitioning; beyond the per-side window shuffle only the final
+    // groupBy may add one more exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4, s"too many exchanges ($exchanges):\n${p.take(3000)}")
+  }
+
   test("star join broadcasts every dimension (single shuffle for the groupBy)") {
     val df = SparkEntry.queries("star_join_revenue")(spark, Sf)
     val p = plan(df)

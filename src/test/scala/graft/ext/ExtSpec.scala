@@ -73,6 +73,57 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => sigMap(a) == sigMap(b) })
   }
 
+  test("banded LSH pairs are a superset of full-signature pairs") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val full = Dedup.minhashPairs(Dedup.withMinhashSignature(docs, "text"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val banded = Dedup.minhashPairsBanded(Dedup.withBandKeys(docs, "text"), "doc_id", Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // full-signature agreement implies band-0 and band-1 agreement (same
+    // seeds), so every single-band pair must reappear under OR-of-bands
+    assert(full.subsetOf(banded), s"missing: ${(full -- banded).take(5)}")
+    assert(banded.size >= full.size)
+  }
+
+  test("bucket cap bounds a mass-duplicated boilerplate group") {
+    // 200 identical docs: every band bucket for the group has size 200
+    val boiler = (0L until 200L).map(i => (i, "the same boilerplate text repeated across corpus"))
+    val normal = Seq((1000L, "some genuinely unique document body one"),
+                     (1001L, "another entirely different text body two"))
+    val df = (boiler ++ normal).toDF("doc_id", "text")
+    val banded = Dedup.withBandKeys(df, "text")
+    // uncapped: the group alone is O(n²) = 19900 pairs
+    val uncapped = Dedup.minhashPairsBanded(banded, "doc_id", Int.MaxValue).count()
+    assert(uncapped >= 19900L)
+    // capped at 10: every boilerplate bucket (size 200) is dropped whole,
+    // so the quadratic group emits NOTHING and the job stays linear
+    val capped = Dedup.minhashPairsBanded(banded, "doc_id", 10).count()
+    assert(capped == 0L, s"capped pair count $capped")
+  }
+
+  test("short-doc sentinel never collides with real signatures, even for negative ids") {
+    // a negative doc id must not map the sentinel into [0, P)
+    val df = Seq((-5L, "x"), (-6L, "y"), (7L, "full length document body here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.withMinhashSignature(df, "text")
+      .select("doc_id", "sig0").as[(Long, Long)].collect().toMap
+    assert(sigs(-5L) < 0L && sigs(-6L) < 0L && sigs(-5L) != sigs(-6L))
+    assert(Dedup.minhashPairs(Dedup.withMinhashSignature(df, "text"), "doc_id").count() == 0)
+    assert(Dedup.minhashPairsBanded(Dedup.withBandKeys(df, "text"), "doc_id").count() == 0)
+  }
+
+  test("shingle df-ceiling drops hot shingles and keeps the join linear") {
+    // one shingle (alpha beta gamma) shared by all 50 docs; the other
+    // shingles are per-doc unique (run-length tokens differ in the length
+    // term of the token hash, so no accidental hash collisions)
+    val df = (0 until 50).map(i => (i.toLong, s"alpha beta gamma ${"u" * (i + 1)} ${"v" * (i + 1)}"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 1L).count()
+    assert(uncapped == 50L * 49L / 2L) // the hot shingle pairs everything
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 1L, maxShingleDf = 10L).count()
+    assert(capped == 0L, s"capped pair count $capped")
+  }
+
   test("ngram jaccard is within (0,1] and symmetric-bounded") {
     val out = Dedup.ngramJaccardPairs(
       spark.read.parquet(s"$Sf/documents.parquet").filter($"doc_id" < 100),
