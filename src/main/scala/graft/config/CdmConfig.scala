@@ -124,7 +124,15 @@ final case class CdmConfig(
     perf: PerfConfig,
     guardrail: GuardrailConfig,
     trackRun: TrackRunConfig
-)
+) {
+  /** The target-side primary key: origin PK after renames, extended by the
+   * explode-map key column when T2 is configured (upstream ExplodeMap
+   * promotes the map key to a clustering column — SURVEY §7.5.6). */
+  def effectivePrimaryKey: Seq[String] = {
+    val renamed = schema.primaryKey.map(k => schema.renameMap.getOrElse(k, k))
+    renamed ++ transform.explodeMap.map(_.keyName).filterNot(renamed.contains)
+  }
+}
 
 object CdmConfig {
   /** Every key this engine understands; anything else under `spark.cdm.`
@@ -231,7 +239,7 @@ object CdmConfig {
         get("spark.cdm.feature.extractJson.overwrite").exists(_.toBoolean))
     }
 
-    CdmConfig(
+    val out = CdmConfig(
       origin = ClusterConfig(get("spark.cdm.connect.origin.path").getOrElse("")),
       target = ClusterConfig(get("spark.cdm.connect.target.path").getOrElse("")),
       schema = SchemaConfig(
@@ -282,5 +290,13 @@ object CdmConfig {
         previousRunId = get("spark.cdm.trackRun.previousRunId"),
         ledgerDir = get("spark.cdm.trackRun.ledgerDir"))
     )
+    // T2 makes the exploded key part of the primary key; its name (and the
+    // value's) must not shadow an existing PK column.
+    out.transform.explodeMap.foreach { e =>
+      val pk = out.schema.primaryKey.map(k => out.schema.renameMap.getOrElse(k, k))
+      require(!pk.contains(e.keyName) && !pk.contains(e.valueName),
+        s"explodeMap key/value column '${e.keyName}'/'${e.valueName}' collides with a primary-key column")
+    }
+    out
   }
 }

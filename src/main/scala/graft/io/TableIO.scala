@@ -31,12 +31,18 @@ object TableIO {
    * µs TimestampType here — the fixture's instants are µs-aligned
    * (FIXTURES.md), so no precision is lost and the DuckDB oracle sees the
    * identical instants. */
+  /** Tables whose `ts` column is known to be parquet TIMESTAMP(NANOS)
+   * (surfacing as a nanosecond long under nanosAsLong). The normalization
+   * is keyed on this explicit allowlist, NOT on any long column named
+   * `ts` — a future table whose long `ts` is already µs, or a plain
+   * counter, must not be silently rewritten by a name-based heuristic. */
+  private val NanosTsTables: Set[String] = Set("events")
+
   def read(spark: SparkSession, dir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$table.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
-    }
+    val nanosTs = NanosTsTables.contains(table) &&
+      df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+    if (nanosTs) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
   }
 
   /** Write a table to the target cluster stand-in. The production sink is

@@ -40,20 +40,23 @@ object Migrate {
 
     df = Filters.applyAll(df, cfg.filters, cfg.schema.primaryKey, wtCol)
     df = Projection(df, cfg.schema)
-    df = Transforms.applyAll(df, cfg.transform)
+    // Transforms see the POST-rename primary key; after explodeMap the
+    // key column joins it (SURVEY §7.5.6 — upstream ExplodeMap makes the
+    // map key a clustering column on the target table).
+    df = Transforms.applyAll(df, cfg.transform, cfg.effectivePrimaryKey)
 
     // perfops.numParts drives scan parallelism in the reference
     // ([upstream] SplitPartitions). Spark sizes splits itself; only
     // repartition when the user explicitly asks, and do it by PK so the
     // target write preserves partition-key locality (S3 batching).
     cfg.perf.numParts match {
-      case Some(n) if cfg.schema.primaryKey.nonEmpty =>
-        val pkAfterRename = cfg.schema.primaryKey.map(k => cfg.schema.renameMap.getOrElse(k, k))
+      case Some(n) if cfg.effectivePrimaryKey.nonEmpty =>
+        val pk = cfg.effectivePrimaryKey
         // sortWithinPartitions gives the sink runs of identical partition
         // keys, so the connector's unlogged batches (grouped by PK — S3)
         // fill without buffering; a local sort, no extra shuffle.
-        df.repartition(n, pkAfterRename.map(col): _*)
-          .sortWithinPartitions(pkAfterRename.map(col): _*)
+        df.repartition(n, pk.map(col): _*)
+          .sortWithinPartitions(pk.map(col): _*)
       case Some(n) => df.repartition(n)
       case None    => df
     }

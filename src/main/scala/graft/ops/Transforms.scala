@@ -84,23 +84,83 @@ object Transforms {
   /** T8 — custom writetime/TTL override (`spark.cdm.transform.custom.*`):
    * force a constant writetime (optionally incremented per row to break
    * ties) and/or TTL on every written row.
-   * `[upstream] feature/WritetimeTTL.java`. */
-  def customWritetime(df: DataFrame, wtMicros: Long, incrementBy: Long, outCol: String = "writetime"): DataFrame =
+   * `[upstream] feature/WritetimeTTL.java`.
+   *
+   * The increment is derived from the primary key's ring-token stand-in,
+   * NOT `monotonically_increasing_id()` — the latter depends on
+   * partitioning, so assigned writetimes would change across reruns,
+   * violating the engine's determinism contract (stable reruns / oracle
+   * comparison). A PK-derived increment is rerun- and partitioning-stable;
+   * distinctness is hash-grade rather than guaranteed, which satisfies the
+   * upstream intent (spread writetimes to break ties). */
+  def customWritetime(df: DataFrame, wtMicros: Long, incrementBy: Long,
+      pkCols: Seq[String] = Nil, outCol: String = "writetime"): DataFrame =
     if (incrementBy == 0L) df.withColumn(outCol, lit(wtMicros))
-    else df.withColumn(outCol, lit(wtMicros) + monotonically_increasing_id() * lit(incrementBy))
+    else {
+      require(pkCols.nonEmpty,
+        "custom.writetime.incrementBy needs a primary key for a deterministic per-row increment")
+      df.withColumn(outCol,
+        lit(wtMicros) + graft.io.TableIO.tokenOfCompound(pkCols.map(col)) * lit(incrementBy))
+    }
 
   def customTtl(df: DataFrame, ttlSeconds: Long, outCol: String = "ttl"): DataFrame =
     df.withColumn(outCol, lit(ttlSeconds))
 
+  /** T4/T5 — apply configured codecs (`spark.cdm.transform.codecs`) at the
+   * write boundary: convert every non-PK column whose origin type matches
+   * the codec's source side. Unknown codec names fail fast (E4). The
+   * deterministic directions are wired; DOUBLE_STRING is excluded because
+   * float formatting is engine-specific — configuring it throws rather
+   * than silently writing engine-dependent strings. */
+  def applyCodecs(df: DataFrame, t: TransformConfig, pkCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    def convert(d: DataFrame, pred: DataType => Boolean, f: Column => Column): DataFrame =
+      d.schema.fields
+        .filter(fl => pred(fl.dataType) && !pkCols.contains(fl.name))
+        .foldLeft(d)((dd, fl) => dd.withColumn(fl.name, f(col(fl.name))))
+    t.codecs.foldLeft(df) { (d, codec) =>
+      codec.toUpperCase match {
+        case "TIMESTAMP_STRING_FORMAT" =>
+          val fmt = t.timestampStringFormat.getOrElse(throw new IllegalArgumentException(
+            "codec TIMESTAMP_STRING_FORMAT requires spark.cdm.transform.codecs.timestamp.string.format"))
+          convert(d, _ == TimestampType, timestampToString(_, fmt))
+        case "TIMESTAMP_STRING_MILLIS" => convert(d, _ == TimestampType, timestampToMillisString)
+        case "INT_STRING"    => convert(d, _ == IntegerType, longToString)
+        case "BIGINT_STRING" => convert(d, _ == LongType, longToString)
+        case "DECIMAL_STRING" => convert(d, _.isInstanceOf[DecimalType], _.cast("string"))
+        case other => throw new IllegalArgumentException(
+          s"unsupported codec '$other' (supported: TIMESTAMP_STRING_FORMAT, TIMESTAMP_STRING_MILLIS, INT_STRING, BIGINT_STRING, DECIMAL_STRING)")
+      }
+    }
+  }
+
   /** Apply the configured subset in reference pipeline order
    * (WritetimeTTL → filters happen upstream; then constants → explode →
-   * extract-json → codecs/conversions; SURVEY.md §3.1 step 10). */
-  def applyAll(df: DataFrame, t: TransformConfig): DataFrame = {
+   * extract-json → map scrubs → codecs → custom writetime/TTL;
+   * SURVEY.md §3.1 step 10). Every parsed TransformConfig knob is either
+   * applied here or fails fast — nothing configured is silently ignored
+   * (matching the E4 fail-fast posture and upstream, where e.g.
+   * `map.remove.null.value` acts on map columns during migration). */
+  def applyAll(df: DataFrame, t: TransformConfig, pkCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, TimestampType}
     var d = df
     t.constantColumns.foreach(c => d = constantColumns(d, c))
     t.explodeMap.foreach(c => d = explodeMap(d, c))
     t.extractJson.foreach(c => d = extractJson(d, c))
-    t.customWritetime.foreach(wt => d = customWritetime(d, wt, t.customWritetimeIncrement))
+    if (t.mapRemoveNullValue)
+      d.schema.fields.collect { case f if f.dataType.isInstanceOf[MapType] => f.name }
+        .foreach(c => d = mapRemoveNullValues(d, c))
+    t.missingKeyTsReplace.foreach { micros =>
+      val tsKeyed = d.schema.fields.collect {
+        case f if (f.dataType match {
+          case MapType(TimestampType, _, _) => true
+          case _ => false
+        }) => f.name
+      }
+      tsKeyed.foreach(c => d = repairMissingMapKeyTs(d, c, micros))
+    }
+    d = applyCodecs(d, t, pkCols)
+    t.customWritetime.foreach(wt => d = customWritetime(d, wt, t.customWritetimeIncrement, pkCols))
     t.customTtl.foreach(ttl => d = customTtl(d, ttl))
     d
   }

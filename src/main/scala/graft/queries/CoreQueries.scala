@@ -101,9 +101,11 @@ object CoreQueries {
       (s, dir) => Filters.columnValue(TableIO.read(s, dir, "events"), "event_type", "error")
         .select("event_id", "event_type", "value")
         .orderBy("event_id"),
+      // IS DISTINCT FROM mirrors the Spark side's null-safe !(col <=> lit):
+      // rows with NULL event_type are KEPT (a bare != would drop them).
       Some("""SELECT event_id, event_type, value
              |FROM events
-             |WHERE NOT (event_type = 'error')
+             |WHERE event_type IS DISTINCT FROM 'error'
              |ORDER BY event_id""".stripMargin)),
 
     // P7 — deterministic token-percent sampling (15% of the ring).

@@ -153,6 +153,49 @@ object TransformQueries {
              |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // T4/T5 through the FULL Migrate config path: spark.cdm.transform.codecs
+    // converts every matching non-PK column at the write boundary (PK
+    // columns l_orderkey/l_linenumber stay typed).
+    Q("migrate_codec_strings",
+      (s, dir) => Migrate.plan(s, CdmConfig.fromMap(Map(
+          "spark.cdm.connect.origin.path" -> dir,
+          "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+          "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber",
+          "spark.cdm.transform.codecs" -> "BIGINT_STRING,TIMESTAMP_STRING_FORMAT",
+          "spark.cdm.transform.codecs.timestamp.string.format" -> "yyyy-MM-dd HH:mm:ss")))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_partkey AS VARCHAR) AS l_partkey,
+             |  CAST(l_suppkey AS VARCHAR) AS l_suppkey,
+             |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
+             |FROM lineitem
+             |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+             |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    // T8 with incrementBy != 0: the per-row increment is derived from the
+    // PK ring-token stand-in — deterministic across reruns/partitionings
+    // (monotonically_increasing_id is neither).
+    Q("custom_writetime_inc",
+      (s, dir) => Migrate.plan(s, CdmConfig.fromMap(Map(
+          "spark.cdm.connect.origin.path" -> dir,
+          "spark.cdm.schema.origin.keyspaceTable" -> "lineitem",
+          "spark.cdm.schema.origin.primaryKey" -> "l_orderkey,l_linenumber",
+          "spark.cdm.transform.custom.writetime" -> "1704067200000000",
+          "spark.cdm.transform.custom.writetime.incrementBy" -> "3")))
+        .select("l_orderkey", "l_linenumber", "writetime")
+        .orderBy("l_orderkey", "l_linenumber", "writetime"),
+      Some({
+        // mirror of TableIO.tokenOfCompound's mixer sequence
+        val m1 = 2654435761L
+        val m2 = m1 * 31L + 17L
+        s"""SELECT l_orderkey, l_linenumber,
+           |  1704067200000000 + ((l_orderkey * $m1 + l_linenumber * $m2) % 2147483648) * 3 AS writetime
+           |FROM lineitem
+           |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+           |ORDER BY 1, 2, 3""".stripMargin
+      })),
+
     // §1.3 type mapping — CQL date -> DateType and uuid -> canonical-form
     // StringType (synthesized via md5, identical in both engines since
     // the fixture has no uuid column).
