@@ -21,10 +21,34 @@ import org.apache.spark.sql.SparkSession
  * wrapper's hard error on unknown properties
  * (`/root/reference/entrypoint.sh:146-149`).
  */
+/** S7 — TLS settings for one cluster side (`spark.cdm.connect.*.tls.*`).
+ * Typed passthrough: in production these feed the Cassandra connector's
+ * SSL context (the wrapper imports the trust material with keytool,
+ * `/root/reference/entrypoint.sh:189-221`); the parquet harness has no TLS
+ * semantics, but a real cdm.properties must load unmodified (E4). */
+final case class TlsConfig(
+    enabled: Boolean,
+    trustStorePath: Option[String],
+    trustStorePassword: Option[String],
+    trustStoreType: String,
+    keyStorePath: Option[String],
+    keyStorePassword: Option[String],
+    enabledAlgorithms: Option[String]
+)
+
 final case class ClusterConfig(
     /** Directory holding one parquet file per table (harness stand-in for a
      * Cassandra cluster contact point, SURVEY.md §5.3). */
-    path: String
+    path: String,
+    /** Live-cluster contact point (`spark.cdm.connect.*.host/.port`) —
+     * mutually exclusive with `scb`. Typed passthrough to the connector. */
+    host: Option[String] = None,
+    port: Option[Int] = None,
+    /** Astra secure connect bundle path (`spark.cdm.connect.*.scb`). */
+    scb: Option[String] = None,
+    username: Option[String] = None,
+    password: Option[String] = None,
+    tls: TlsConfig = TlsConfig(false, None, None, "JKS", None, None, None)
 )
 
 /** Origin-side schema knobs (upstream reads these from live cluster
@@ -138,9 +162,19 @@ object CdmConfig {
   /** Every key this engine understands; anything else under `spark.cdm.`
    * is rejected (E4 — `[upstream] PropertyHelper.isValidConfig()` plus the
    * wrapper's `error_exit` at `/root/reference/entrypoint.sh:146-149`). */
-  val KnownKeys: Set[String] = Set(
-    "spark.cdm.connect.origin.path",
-    "spark.cdm.connect.target.path",
+  /** Connection keys repeated per cluster side (S7/E3 parity: a real CDM
+   * properties file must pass the unknown-key check unmodified). */
+  private val PerSideConnectKeys: Seq[String] = Seq(
+    "path", "host", "port", "scb", "username", "password",
+    "tls.enabled", "tls.trustStore.path", "tls.trustStore.password",
+    "tls.trustStore.type", "tls.keyStore.path", "tls.keyStore.password",
+    "tls.enabledAlgorithms")
+
+  val KnownKeys: Set[String] =
+    (for {
+      side <- Seq("origin", "target")
+      key <- PerSideConnectKeys
+    } yield s"spark.cdm.connect.$side.$key").toSet ++ Set(
     "spark.cdm.schema.origin.keyspaceTable",
     "spark.cdm.schema.target.keyspaceTable",
     "spark.cdm.schema.origin.primaryKey",
@@ -239,9 +273,35 @@ object CdmConfig {
         get("spark.cdm.feature.extractJson.overwrite").exists(_.toBoolean))
     }
 
+    def cluster(side: String): ClusterConfig = {
+      def g(k: String) = get(s"spark.cdm.connect.$side.$k")
+      val c = ClusterConfig(
+        path = g("path").getOrElse(""),
+        host = g("host"),
+        port = g("port").map(_.toInt),
+        scb = g("scb"),
+        username = g("username"),
+        password = g("password"),
+        tls = TlsConfig(
+          enabled = g("tls.enabled").exists(_.toBoolean),
+          trustStorePath = g("tls.trustStore.path"),
+          trustStorePassword = g("tls.trustStore.password"),
+          trustStoreType = g("tls.trustStore.type").getOrElse("JKS"),
+          keyStorePath = g("tls.keyStore.path"),
+          keyStorePassword = g("tls.keyStore.password"),
+          enabledAlgorithms = g("tls.enabledAlgorithms")))
+      // an SCB embeds endpoint + TLS material; combining it with an
+      // explicit contact point is a config contradiction (fail fast, E4)
+      require(c.scb.isEmpty || c.host.isEmpty,
+        s"spark.cdm.connect.$side: scb and host are mutually exclusive")
+      require(c.tls.trustStorePath.nonEmpty || !c.tls.enabled || c.scb.nonEmpty,
+        s"spark.cdm.connect.$side.tls.enabled requires tls.trustStore.path (or an scb)")
+      c
+    }
+
     val out = CdmConfig(
-      origin = ClusterConfig(get("spark.cdm.connect.origin.path").getOrElse("")),
-      target = ClusterConfig(get("spark.cdm.connect.target.path").getOrElse("")),
+      origin = cluster("origin"),
+      target = cluster("target"),
       schema = SchemaConfig(
         table = get("spark.cdm.schema.origin.keyspaceTable").getOrElse(""),
         targetTable = get("spark.cdm.schema.target.keyspaceTable"),

@@ -45,12 +45,24 @@ object TableIO {
     if (nanosTs) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
   }
 
+  /** Backend dispatch: a cluster with a live contact point (host or SCB)
+   * reads through the Cassandra connector; otherwise the parquet harness
+   * path. Operator code above this seam is identical for both. */
+  def read(spark: SparkSession, cluster: graft.config.ClusterConfig, table: String): DataFrame =
+    if (cluster.host.nonEmpty || cluster.scb.nonEmpty) CassandraTableIO.read(spark, cluster, table)
+    else read(spark, cluster.path, table)
+
   /** Write a table to the target cluster stand-in. The production sink is
    * the Cassandra connector, which groups unlogged batches by partition
    * key natively (`spark.cassandra.output.batch.grouping.key=partition`),
    * matching `[upstream] CopyJobSession` batching (SURVEY.md §2.2 S3). */
   def write(df: DataFrame, dir: String, table: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(s"$dir/$table.parquet")
+
+  /** Backend-dispatching write (see the read overload). */
+  def write(df: DataFrame, cluster: graft.config.ClusterConfig, table: String): Unit =
+    if (cluster.host.nonEmpty || cluster.scb.nonEmpty) CassandraTableIO.write(df, cluster, table)
+    else write(df, cluster.path, table)
 
   /**
    * Bucketed write — the 100 TB co-location path (SURVEY.md §7.5.8):

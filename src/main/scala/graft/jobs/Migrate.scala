@@ -27,7 +27,9 @@ object Migrate {
 
   /** Build the migrate lineage without materializing it. */
   def plan(spark: SparkSession, cfg: CdmConfig): DataFrame = {
-    var df = TableIO.read(spark, cfg.origin.path, cfg.schema.table)
+    // backend-dispatching read: live connector when the config names a
+    // contact point / SCB, parquet harness otherwise
+    var df = TableIO.read(spark, cfg.origin, cfg.schema.table)
 
     // T9: materialize the row writetime (max across companion columns)
     // before filters — P5 windows on it, and the write path persists it
@@ -62,8 +64,9 @@ object Migrate {
     }
   }
 
-  /** Execute: write the planned lineage to the target cluster stand-in. */
+  /** Execute: write the planned lineage to the target cluster (live
+   * connector or parquet stand-in, per the target config). */
   def run(spark: SparkSession, cfg: CdmConfig): Unit =
-    TableIO.write(plan(spark, cfg), cfg.target.path,
+    TableIO.write(plan(spark, cfg), cfg.target,
       cfg.schema.targetTable.getOrElse(cfg.schema.table))
 }

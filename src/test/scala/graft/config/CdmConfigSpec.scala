@@ -56,4 +56,104 @@ class CdmConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CdmConfig.fromMap(Map(
       "spark.cdm.schema.origin.column.names.to.target" -> "a=b")))
   }
+
+  test("round-trips a realistic production cdm.properties (S7/E3 parity)") {
+    val cfg = CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.host" -> "10.0.0.1",
+      "spark.cdm.connect.origin.port" -> "9042",
+      "spark.cdm.connect.origin.username" -> "cdm_user",
+      "spark.cdm.connect.origin.password" -> "s3cret",
+      "spark.cdm.connect.origin.tls.enabled" -> "true",
+      "spark.cdm.connect.origin.tls.trustStore.path" -> "/certs/truststore.jks",
+      "spark.cdm.connect.origin.tls.trustStore.password" -> "tsp",
+      "spark.cdm.connect.origin.tls.trustStore.type" -> "PKCS12",
+      "spark.cdm.connect.origin.tls.enabledAlgorithms" -> "TLS_RSA_WITH_AES_256_CBC_SHA",
+      "spark.cdm.connect.target.scb" -> "/astra/scb.zip",
+      "spark.cdm.connect.target.username" -> "token",
+      "spark.cdm.connect.target.password" -> "AstraCS:xxx",
+      "spark.cdm.schema.origin.keyspaceTable" -> "ks.tbl",
+      "spark.cdm.schema.origin.primaryKey" -> "pk",
+      "spark.cdm.perfops.consistency.read" -> "LOCAL_ONE",
+      "spark.cdm.perfops.consistency.write" -> "EACH_QUORUM"))
+    assert(cfg.origin.host.contains("10.0.0.1") && cfg.origin.port.contains(9042))
+    assert(cfg.origin.tls.enabled && cfg.origin.tls.trustStoreType == "PKCS12")
+    assert(cfg.target.scb.contains("/astra/scb.zip") && cfg.target.host.isEmpty)
+    assert(cfg.perf.consistencyRead == "LOCAL_ONE" && cfg.perf.consistencyWrite == "EACH_QUORUM")
+  }
+
+  test("rejects contradictory connection configs") {
+    intercept[IllegalArgumentException](CdmConfig.fromMap(Map( // scb + host
+      "spark.cdm.connect.origin.host" -> "h",
+      "spark.cdm.connect.origin.scb" -> "/scb.zip")))
+    intercept[IllegalArgumentException](CdmConfig.fromMap(Map( // tls w/o truststore
+      "spark.cdm.connect.origin.tls.enabled" -> "true")))
+  }
+}
+
+/** The wrapper's env-var rewrite engine (entrypoint.sh:88-179) as a pure
+ * function. */
+class EnvPropertiesSpec extends AnyFunSuite {
+  import EnvProperties._
+
+  test("CDM_PROPERTY_FOO_BAR rewrites property foo.bar") {
+    assert(confKeyOf("CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PATH") == "spark.cdm.connect.origin.path")
+    val out = applyEnv(Map("CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PATH" -> "/data/origin"))
+    assert(out == Map("spark.cdm.connect.origin.path" -> "/data/origin"))
+  }
+
+  test("matches camelCase file keys case-insensitively and keeps their spelling") {
+    // the derived key is all-lowercase (entrypoint.sh:133); the stock file
+    // spells it spark.cdm.schema.origin.keyspaceTable
+    val out = applyEnv(Map("CDM_PROPERTY_SPARK_CDM_SCHEMA_ORIGIN_KEYSPACETABLE" -> "ks.tbl"))
+    assert(out == Map("spark.cdm.schema.origin.keyspaceTable" -> "ks.tbl"))
+  }
+
+  test("env: indirection resolves through the environment (entrypoint.sh:137-141)") {
+    val out = applyEnv(Map(
+      "CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PASSWORD" -> "env:ORIGIN_PW",
+      "ORIGIN_PW" -> "hunter2"))
+    assert(out("spark.cdm.connect.origin.password") == "hunter2")
+    val e = intercept[IllegalArgumentException](applyEnv(Map(
+      "CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PASSWORD" -> "env:MISSING_VAR")))
+    assert(e.getMessage.contains("MISSING_VAR"))
+  }
+
+  test("unknown properties are rejected (entrypoint.sh:146-149)") {
+    val e = intercept[IllegalArgumentException](applyEnv(Map(
+      "CDM_PROPERTY_SPARK_CDM_NO_SUCH_PROP" -> "x")))
+    assert(e.getMessage.contains("Unable to find property spark.cdm.no.such.prop"))
+  }
+
+  test("updates active values and enables commented ones") {
+    val tpl = PropertiesTemplate(
+      values = Map("spark.cdm.perfops.batchSize" -> "5"),
+      disabled = Set("spark.cdm.perfops.numParts"))
+    val out = applyEnv(Map(
+      "CDM_PROPERTY_SPARK_CDM_PERFOPS_BATCHSIZE" -> "10",
+      "CDM_PROPERTY_SPARK_CDM_PERFOPS_NUMPARTS" -> "64"), tpl)
+    assert(out == Map("spark.cdm.perfops.batchSize" -> "10", "spark.cdm.perfops.numParts" -> "64"))
+  }
+
+  test("credentials documents fill username/password, explicit env wins") {
+    val env = applyCredentials(
+      Map("CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_USERNAME" -> "from_env"),
+      originCreds = Map("username" -> "from_file", "password" -> "pw_o"),
+      targetCreds = Map("username" -> "t_user", "password" -> "pw_t"))
+    val out = applyEnv(env)
+    assert(out("spark.cdm.connect.origin.username") == "from_env") // env wins
+    assert(out("spark.cdm.connect.origin.password") == "pw_o")
+    assert(out("spark.cdm.connect.target.username") == "t_user")
+  }
+
+  test("end-to-end: env → properties → typed CdmConfig") {
+    val cfg = configFromEnv(Map(
+      "CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PATH" -> "/o",
+      "CDM_PROPERTY_SPARK_CDM_SCHEMA_ORIGIN_KEYSPACETABLE" -> "lineitem",
+      "CDM_PROPERTY_SPARK_CDM_SCHEMA_ORIGIN_PRIMARYKEY" -> "a,b",
+      "CDM_PROPERTY_SPARK_CDM_PERFOPS_NUMPARTS" -> "32"))
+    assert(cfg.origin.path == "/o")
+    assert(cfg.schema.table == "lineitem")
+    assert(cfg.schema.primaryKey == Seq("a", "b"))
+    assert(cfg.perf.numParts.contains(32))
+  }
 }
