@@ -109,6 +109,13 @@ object TableIO {
   def cassandraTokenOf(pkCol: Column): Column =
     org.apache.spark.sql.graft.CassandraMurmur3Token.token(pkCol.cast("long"))
 
+  /** Exact Murmur3 ring token of an arbitrary partition key: bigint/int/
+   * text/blob columns serialize per CQL; MULTI-column keys hash the
+   * CompositeType concatenation (2-byte length + bytes + 0x00 per
+   * component) — byte-identical to what a live cluster hashes. */
+  def cassandraTokenOfKey(pkCols: Seq[Column]): Column =
+    org.apache.spark.sql.graft.CassandraMurmur3Token.tokenOfKey(pkCols)
+
   /** Compound-partition-key token: mix each component with a distinct odd
    * multiplier before reduction (Cassandra composite partition keys hash
    * the serialized concatenation; this is the arithmetic stand-in). */

@@ -135,6 +135,25 @@ object CoreQueries {
         .orderBy("range_id"),
       None),
 
+    // S1+/P4 — the same 4-range split for a TEXT partition key and for a
+    // composite (bigint, text) key: the general block-loop murmur3 over
+    // CQL/CompositeType serializations. Rows-only like the bigint variant
+    // (DuckDB cannot evaluate Cassandra's murmur3).
+    Q("cassandra_token_ranges_text",
+      (s, dir) => {
+        val c = TableIO.read(s, dir, "customer")
+        c.select(
+            TableIO.cassandraTokenOfKey(Seq(col("c_name"))).as("t_text"),
+            TableIO.cassandraTokenOfKey(Seq(col("c_custkey"), col("c_name"))).as("t_comp"))
+          .groupBy((shiftright(col("t_text"), 62) + lit(2)).as("range_id"))
+          .agg(
+            count(lit(1)).as("n_text"),
+            min("t_text").as("min_text_token"),
+            countDistinct(shiftright(col("t_comp"), 62)).as("comp_ranges_hit"))
+          .orderBy("range_id")
+      },
+      None),
+
     // P8 — null-PK skip. The fixtures have no null PKs, so a synthetic
     // nullable PK component (nullif) exercises the guard.
     Q("skip_null_pk",

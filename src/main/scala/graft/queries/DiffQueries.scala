@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.TableIO
 import graft.jobs.{DiffData, Guardrail}
-import graft.ops.Counters
+import graft.ops.{Counters, Transforms}
 import graft.run.RunLedger
 
 /**
@@ -156,6 +156,74 @@ object DiffQueries {
              |FROM documents
              |WHERE greatest(strlen(text), strlen(lang), strlen(source)) > 300
              |ORDER BY doc_id""".stripMargin)),
+
+    // J2 after T2 — reconciliation of an EXPLODED table: the map key joins
+    // the primary key (SURVEY §7.5.6 / CdmConfig.effectivePrimaryKey), so
+    // DiffData keys on (event_id, map_key). Target perturbation: every
+    // 20th event's 'etype' row dropped (MISSING), every (20k+1)th event's
+    // 'kval' value rewritten (MISMATCH).
+    Q("diff_after_explode",
+      (s, dir) => {
+        val exploded = Transforms.explodeMap(
+          TableIO.read(s, dir, "events")
+            .withColumn("m", map(
+              lit("etype"), col("event_type"),
+              lit("kval"), get_json_object(col("props"), "$.k")))
+            .select("event_id", "m"),
+          graft.config.ExplodeMapConfig("m", "map_key", "map_value"))
+        val target = exploded
+          .filter(!(pmod(col("event_id"), lit(20)) === 0 && col("map_key") === "etype"))
+          .withColumn("map_value",
+            when(pmod(col("event_id"), lit(20)) === 1 && col("map_key") === "kval", lit("X"))
+              .otherwise(col("map_value")))
+        DiffData.classify(exploded, target, Seq("event_id", "map_key"))
+          .orderBy("event_id", "map_key")
+      },
+      Some("""WITH o AS (
+             |  SELECT event_id, 'etype' AS map_key, event_type AS map_value FROM events
+             |  UNION ALL
+             |  SELECT event_id, 'kval' AS map_key, json_extract_string(props, '$.k') AS map_value FROM events)
+             |SELECT event_id, map_key, map_value,
+             |  CASE WHEN event_id % 20 = 0 AND map_key = 'etype' THEN 'MISSING'
+             |       WHEN event_id % 20 = 1 AND map_key = 'kval'
+             |            AND map_value IS DISTINCT FROM 'X' THEN 'MISMATCH'
+             |       ELSE 'VALID' END AS diff_class,
+             |  CASE WHEN event_id % 20 = 1 AND map_key = 'kval'
+             |            AND map_value IS DISTINCT FROM 'X' THEN 'map_value'
+             |       ELSE '' END AS diff_cols
+             |FROM o
+             |ORDER BY event_id, map_key""".stripMargin)),
+
+    // J3/A4 — guardrail over COLLECTION columns: the CQL-serialized-size
+    // estimate (4-byte count + per-element 4-byte prefixes; 8 per map
+    // entry) — upstream sizes every column, and collections are where
+    // oversized cells actually live. The fixture has no native
+    // collections, so array/map columns are derived from event fields.
+    Q("guardrail_collections",
+      (s, dir) => {
+        val df = TableIO.read(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("props"),
+            array(col("event_type"), col("props")).as("tags"),
+            map(col("event_type"), col("value")).as("attrs"))
+        Guardrail.check(df, Seq("event_id"), 26L).orderBy("event_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT event_id,
+             |    strlen(event_type) AS bytes_event_type,
+             |    strlen(props) AS bytes_props,
+             |    12 + strlen(event_type) + strlen(props) AS bytes_tags,
+             |    20 + strlen(event_type) AS bytes_attrs
+             |  FROM events)
+             |SELECT event_id, bytes_event_type, bytes_props, bytes_tags, bytes_attrs,
+             |  greatest(bytes_event_type, bytes_props, bytes_tags, bytes_attrs) AS max_bytes,
+             |  concat_ws(',',
+             |    CASE WHEN bytes_event_type > 26 THEN 'event_type' END,
+             |    CASE WHEN bytes_props > 26 THEN 'props' END,
+             |    CASE WHEN bytes_tags > 26 THEN 'tags' END,
+             |    CASE WHEN bytes_attrs > 26 THEN 'attrs' END) AS offending_cols
+             |FROM s
+             |WHERE greatest(bytes_event_type, bytes_props, bytes_tags, bytes_attrs) > 26
+             |ORDER BY event_id""".stripMargin)),
 
     // S5/S6/E1 — resume: full range set anti-joined against the previous
     // run's PASSed partitions (broadcast anti-join).

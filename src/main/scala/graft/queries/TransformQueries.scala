@@ -239,6 +239,28 @@ object TransformQueries {
              |  epoch_us(ts) + (event_id * 13) % 50 AS wt_value,
              |  greatest(epoch_us(ts) + (event_id * 7) % 50, epoch_us(ts) + (event_id * 13) % 50) AS row_writetime
              |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // T9/A2, TTL half — per-cell TTLs modeled as ttl_<c> companions, row
+    // TTL = greatest across columns (upstream writes USING TTL ? with the
+    // max surviving TTL; rows whose every cell has no TTL keep none).
+    Q("ttl_greatest",
+      (s, dir) => {
+        val df = TableIO.read(s, dir, "events")
+          .withColumn("ttl_event_type",
+            when(pmod(col("event_id"), lit(5)) =!= 0, pmod(col("event_id") * 11, lit(86400))))
+          .withColumn("ttl_value", pmod(col("event_id") * 17, lit(86400)))
+        WritetimeTtl.withRowTtl(df, Seq("ttl_event_type", "ttl_value"))
+          .select("event_id", "ttl_event_type", "ttl_value", "row_ttl")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 5 != 0 THEN (event_id * 11) % 86400 END AS ttl_event_type,
+             |  (event_id * 17) % 86400 AS ttl_value,
+             |  greatest(
+             |    CASE WHEN event_id % 5 != 0 THEN (event_id * 11) % 86400 END,
+             |    (event_id * 17) % 86400) AS row_ttl
+             |FROM events
              |ORDER BY event_id""".stripMargin))
   )
 }
