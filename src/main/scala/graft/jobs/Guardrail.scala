@@ -29,13 +29,42 @@ object Guardrail {
    * then per element a 4-byte length prefix + payload (8 bytes of
    * prefixes per map entry); structs (UDTs) sum their fields. Null
    * elements inside a collection count 4 bytes (their length prefix). */
+  /** Fixed CQL width of a scalar type, when it has one. */
+  private def fixedWidth(dt: DataType): Option[Long] = dt match {
+    case LongType | DoubleType | TimestampType => Some(8L)
+    case IntegerType | FloatType | DateType => Some(4L)
+    case ShortType => Some(2L)
+    case ByteType | BooleanType => Some(1L)
+    case _: DecimalType => Some(16L)
+    case _ => None
+  }
+
+  /** Sum of element byte-lengths of an array<string>, codegen-friendly:
+   * array_join skips nulls, matching "null element counts 0 payload". */
+  private def stringElemBytes(arr: Column): Column =
+    octet_length(array_join(arr, "")).cast("long")
+
   def serializedSize(c: Column, dt: DataType): Column = dt match {
     case StringType | BinaryType => octet_length(c).cast("long")
-    case LongType | DoubleType | TimestampType => lit(8L)
-    case IntegerType | FloatType | DateType => lit(4L)
-    case ShortType => lit(2L)
-    case ByteType | BooleanType => lit(1L)
-    case _: DecimalType => lit(16L)
+    case t if fixedWidth(t).isDefined => lit(fixedWidth(t).get)
+    // Common collection shapes get non-HOF forms — higher-order lambdas
+    // are interpreted per element, and guardrail runs on every row of the
+    // scan, so the hot shapes must stay inside whole-stage codegen.
+    case ArrayType(et, _) if fixedWidth(et).isDefined =>
+      lit(4L) + size(c).cast("long") * lit(4L + fixedWidth(et).get)
+    case ArrayType(StringType, _) =>
+      lit(4L) + size(c).cast("long") * lit(4L) + stringElemBytes(c)
+    case MapType(kt, vt, _) if fixedWidth(kt).isDefined && fixedWidth(vt).isDefined =>
+      lit(4L) + size(c).cast("long") * lit(8L + fixedWidth(kt).get + fixedWidth(vt).get)
+    case MapType(StringType, vt, _) if fixedWidth(vt).isDefined =>
+      lit(4L) + size(c).cast("long") * lit(8L + fixedWidth(vt).get) + stringElemBytes(map_keys(c))
+    case MapType(kt, StringType, _) if fixedWidth(kt).isDefined =>
+      lit(4L) + size(c).cast("long") * lit(8L + fixedWidth(kt).get) + stringElemBytes(map_values(c))
+    case MapType(StringType, StringType, _) =>
+      lit(4L) + size(c).cast("long") * lit(8L) +
+        stringElemBytes(map_keys(c)) + stringElemBytes(map_values(c))
+    // General nested shapes fall back to the HOF fold (interpreted — fine
+    // for rare deeply-nested columns, not the common path).
     case ArrayType(et, _) =>
       lit(4L) + aggregate(c, lit(0L),
         (acc, x) => acc + lit(4L) + coalesce(serializedSize(x, et), lit(0L)))

@@ -82,4 +82,39 @@ class JobsSpec extends SparkSpec {
     val rows = out.select("id", "offending_cols", "max_bytes").as[(Long, String, Long)].collect()
     assert(rows.toSeq == Seq((2L, "body", 500L)))
   }
+
+  test("Guardrail sizes collection columns per the CQL layout") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq("ab", "cde"), Seq(7L, 8L, 9L), Map("k1" -> 1.5, "key2" -> 2.5)))
+      .toDF("id", "tags", "nums", "attrs")
+    val sized = df.select(
+      Guardrail.serializedSize(col("tags"), df.schema("tags").dataType).as("s_tags"),
+      Guardrail.serializedSize(col("nums"), df.schema("nums").dataType).as("s_nums"),
+      Guardrail.serializedSize(col("attrs"), df.schema("attrs").dataType).as("s_attrs"))
+      .as[(Long, Long, Long)].head()
+    // tags: 4 + 2*4 + (2+3) = 17; nums: 4 + 3*(4+8) = 40
+    // attrs: 4 + 2*(8+8) + (2+4) = 42
+    assert(sized == ((17L, 40L, 42L)))
+    // codegen'd specializations agree with the general HOF fold
+    val hof = df.select(
+      (lit(4L) + aggregate(col("tags"), lit(0L),
+        (a, x) => a + lit(4L) + coalesce(octet_length(x).cast("long"), lit(0L)))).as("t"),
+      (lit(4L) + aggregate(map_entries(col("attrs")), lit(0L),
+        (a, e) => a + lit(8L) + coalesce(octet_length(e.getField("key")).cast("long"), lit(0L)) + lit(8L))).as("m"))
+      .as[(Long, Long)].head()
+    assert(hof == ((17L, 42L)))
+    // null element payload counts 0 (length prefix only)
+    val withNull = Seq((1L, Seq(Option("ab"), None))).toDF("id", "tags")
+    val s = withNull.select(
+      Guardrail.serializedSize(col("tags"), withNull.schema("tags").dataType)).as[Long].head()
+    assert(s == 4L + 2L * 4L + 2L)
+  }
+
+  test("Guardrail check plans without interpreted higher-order lambdas for common shapes") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq("a"), Map("k" -> 1.0))).toDF("id", "tags", "attrs")
+    val plan = Guardrail.check(df, Seq("id"), 10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("aggregate(") && !plan.contains("lambdafunction"),
+      s"HOF fold leaked into the common-shape plan:\n$plan")
+  }
 }
