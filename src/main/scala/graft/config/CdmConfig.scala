@@ -138,6 +138,17 @@ final case class GuardrailConfig(colSizeInKB: Int)
 
 final case class TrackRunConfig(enabled: Boolean, previousRunId: Option[String], ledgerDir: Option[String])
 
+/** S5 — failed-token-range partition files
+ * (`spark.cdm.tokenrange.partitionFile.*`): `input` seeds a retry run with
+ * previously-failed ranges, `output` records this run's failures,
+ * `appendOnDiff` also records DiffData mismatched ranges. The harness's
+ * [[graft.run.RunLedger]] is the parquet analog of these files. */
+final case class PartitionFileConfig(
+    input: Option[String],
+    output: Option[String],
+    appendOnDiff: Boolean
+)
+
 final case class CdmConfig(
     origin: ClusterConfig,
     target: ClusterConfig,
@@ -147,7 +158,8 @@ final case class CdmConfig(
     autocorrect: AutocorrectConfig,
     perf: PerfConfig,
     guardrail: GuardrailConfig,
-    trackRun: TrackRunConfig
+    trackRun: TrackRunConfig,
+    partitionFile: PartitionFileConfig
 ) {
   /** The target-side primary key: origin PK after renames, extended by the
    * explode-map key column when T2 is configured (upstream ExplodeMap
@@ -221,7 +233,10 @@ object CdmConfig {
     "spark.cdm.perfops.consistency.write",
     "spark.cdm.trackRun",
     "spark.cdm.trackRun.previousRunId",
-    "spark.cdm.trackRun.ledgerDir"
+    "spark.cdm.trackRun.ledgerDir",
+    "spark.cdm.tokenrange.partitionFile.input",
+    "spark.cdm.tokenrange.partitionFile.output",
+    "spark.cdm.tokenrange.partitionFile.appendOnDiff"
   )
 
   def from(spark: SparkSession): CdmConfig = from(spark.sparkContext.getConf)
@@ -348,7 +363,11 @@ object CdmConfig {
       trackRun = TrackRunConfig(
         enabled = get("spark.cdm.trackRun").exists(_.toBoolean),
         previousRunId = get("spark.cdm.trackRun.previousRunId"),
-        ledgerDir = get("spark.cdm.trackRun.ledgerDir"))
+        ledgerDir = get("spark.cdm.trackRun.ledgerDir")),
+      partitionFile = PartitionFileConfig(
+        input = get("spark.cdm.tokenrange.partitionFile.input"),
+        output = get("spark.cdm.tokenrange.partitionFile.output"),
+        appendOnDiff = get("spark.cdm.tokenrange.partitionFile.appendOnDiff").exists(_.toBoolean))
     )
     // T2 makes the exploded key part of the primary key; its name (and the
     // value's) must not shadow an existing PK column.

@@ -37,6 +37,19 @@ object TextOps {
   def tokenHashSql(t: String): String =
     s"(ascii($t)*96 + ascii(substring($t,-1,1)) + length($t)*7)"
 
+  /**
+   * BPE-style subword token counting: a GPT-2-flavored pre-tokenizer
+   * pattern reduced to dialect-shared character classes (letter runs,
+   * single digits, single punctuation marks) so Spark's Java regex and
+   * DuckDB's RE2 match identically. Counts approximate BPE token budgets
+   * (real BPE merges within letter runs; the run count is the stable
+   * lower-bound pipelines budget against).
+   */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Count of tokens appearing in a fixed stopword list. `array_contains`
    * over a literal array, not array_intersect (which would dedup). */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column = {

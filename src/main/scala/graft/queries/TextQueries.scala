@@ -32,6 +32,26 @@ object TextQueries {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // BPE-style subword budget: regex pre-tokenizer counts (letter runs /
+    // digits / punctuation) beside whitespace tokens — the two numbers a
+    // training pipeline budgets against.
+    Q("text_tokens_bpe",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .withColumn("bpe_per_ws",
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"), 6))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  len(string_split(text, ' ')) AS n_ws_tokens,
+              |  len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS n_bpe_tokens,
+              |  round(CAST(len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS DOUBLE)
+              |        / len(string_split(text, ' ')), 6) AS bpe_per_ws
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
     // Per-language corpus stats (count + exact total/avg token counts).
     Q("text_lang_stats",
       (s, dir) => TableIO.read(s, dir, "documents")

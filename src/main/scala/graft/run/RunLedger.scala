@@ -40,6 +40,19 @@ object RunLedger {
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(ledgerPath(dir))
 
+  /** S5 — the reference's failed-range partition FILE
+   * (`spark.cdm.tokenrange.partitionFile.input/.output`: a text file,
+   * one range per line, `[upstream] job/SplitPartitions.java` file I/O).
+   * Harness analog: one part id per line — readable/writable as text so
+   * an operator can hand-edit it exactly like the reference's. */
+  def readPartitionFile(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("part_id INT").csv(path)
+
+  def writePartitionFile(parts: DataFrame, path: String): Unit =
+    parts.select(col("part_id").cast("string"))
+      .coalesce(1) // operator-editable single file; the id list is tiny
+      .write.mode("overwrite").text(path)
+
   /**
    * Partitions still owed work given a previous run: the full range set
    * minus ranges the previous run PASSed. Mirrors the reference's

@@ -40,12 +40,17 @@ object TrackedMigrate {
     val pk = cfg.schema.primaryKey.headOption
       .getOrElse(throw new IllegalArgumentException("trackRun requires a primary key"))
 
-    val pending: Seq[Int] = cfg.trackRun.previousRunId match {
-      case Some(prev) =>
+    val pending: Seq[Int] = (cfg.trackRun.previousRunId, cfg.partitionFile.input) match {
+      case (Some(prev), _) =>
         val all = spark.range(numParts).select(col("id").cast("int").as("part_id"))
         RunLedger.pendingParts(all, RunLedger.load(spark, ledgerDir), prev)
           .collect().map(_.getInt(0)).toSeq.sorted
-      case None => 0 until numParts
+      // S5: a partition FILE seeds the retry set directly (the reference's
+      // tokenrange.partitionFile.input text file of failed ranges)
+      case (None, Some(pf)) =>
+        RunLedger.readPartitionFile(spark, pf)
+          .collect().map(_.getInt(0)).toSeq.sorted
+      case _ => 0 until numParts
     }
     if (pending.isEmpty) return Nil
 
@@ -68,6 +73,14 @@ object TrackedMigrate {
     import spark.implicits._
     RunLedger.record(spark, ledgerDir, runId,
       pending.toDF("part_id").withColumn("status", lit(RunLedger.Pass)))
+    // S5: a configured output partition file records the ranges STILL
+    // failed after this run — empty here, because a Spark write that
+    // commits has processed every pending bucket (a failed write throws
+    // before the ledger/file are touched, so the previous file stands).
+    cfg.partitionFile.output.foreach { out =>
+      RunLedger.writePartitionFile(
+        Seq.empty[Int].toDF("part_id"), out)
+    }
     pending
   }
 }

@@ -51,4 +51,31 @@ class TrackedMigrateSpec extends SparkSpec {
     assert(out.select("o_orderkey").except(origin.select("o_orderkey")).count() == 0)
     assert(out.groupBy("o_orderkey").count().filter($"count" > 1).count() == 0)
   }
+
+  test("a partition file seeds the retry set and the output file empties on success") {
+    val target = tmpDir(); val ledger = tmpDir()
+    val pfIn = tmpDir() + "/failed_in"; val pfOut = tmpDir() + "/failed_out"
+    RunLedger.writePartitionFile(Seq(2, 5).toDF("part_id"), pfIn)
+    assert(RunLedger.readPartitionFile(spark, pfIn)
+      .as[Int].collect().sorted.toSeq == Seq(2, 5))
+
+    val c = CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.path" -> Sf,
+      "spark.cdm.connect.target.path" -> target,
+      "spark.cdm.schema.origin.keyspaceTable" -> "orders",
+      "spark.cdm.schema.origin.primaryKey" -> "o_orderkey",
+      "spark.cdm.perfops.numParts" -> "8",
+      "spark.cdm.trackRun" -> "true",
+      "spark.cdm.trackRun.ledgerDir" -> ledger,
+      "spark.cdm.tokenrange.partitionFile.input" -> pfIn,
+      "spark.cdm.tokenrange.partitionFile.output" -> pfOut))
+    val done = TrackedMigrate.run(spark, c, "retry-1")
+    assert(done == Seq(2, 5))
+    // only the seeded buckets were written
+    val written = spark.read.parquet(s"$target/orders.parquet")
+      .select(TrackedMigrate.BucketCol).distinct().as[Int].collect().sorted.toSeq
+    assert(written == Seq(2, 5))
+    // success => the output failed-ranges file exists and is empty
+    assert(RunLedger.readPartitionFile(spark, pfOut).count() == 0)
+  }
 }
