@@ -31,7 +31,15 @@ object Transforms {
    * in Spark it is the built-in `explode` Generate node. */
   def explodeMap(df: DataFrame, cfg: ExplodeMapConfig): DataFrame = {
     val others = df.columns.filterNot(_ == cfg.originName).map(col)
-    df.select(others.toIndexedSeq :+ explode(col(cfg.originName)).as(Seq(cfg.keyName, cfg.valueName)): _*)
+    // explode_outer + key-not-null filter ≡ explode (map keys are never
+    // null; only the empty/null-map row gets a null key, and explode
+    // drops it) — but WITHOUT the `size(m) > 0` guard Catalyst infers for
+    // non-outer Generate. That guard lands BELOW the map-building
+    // projection and re-computes the map expression (json extraction
+    // included) a second time for every input row — measured 2x the
+    // per-row transform cost on the events fixture.
+    df.select(others.toIndexedSeq :+ explode_outer(col(cfg.originName)).as(Seq(cfg.keyName, cfg.valueName)): _*)
+      .filter(col(cfg.keyName).isNotNull)
   }
 
   /** T3 — extract JSON (`spark.cdm.feature.extractJson.*`): pull one
