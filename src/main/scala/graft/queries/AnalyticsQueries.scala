@@ -125,6 +125,24 @@ object AnalyticsQueries {
              |GROUP BY ROLLUP (lang, source)
              |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)),
 
+    // §2.6 — CUBE: every grouping-set combination (completes the
+    // rollup/pivot/cube family). Same NULLS FIRST pinning as rollup.
+    Q("cube_stats",
+      (s, dir) => TableIO.read(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(5L)))
+        .cube("event_type", "cohort")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first, col("cohort").asc_nulls_first),
+      Some("""SELECT event_type, user_id % 5 AS cohort, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |  CAST(GROUPING(event_type, user_id % 5) AS BIGINT) AS gid
+             |FROM events
+             |GROUP BY CUBE (event_type, user_id % 5)
+             |ORDER BY gid, event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""".stripMargin)),
+
     // X4 — tf-idf-lite: term frequency × corpus-frequency ratio, no
     // transcendentals so both engines agree bit-for-bit. The doc-frequency
     // join is the inverted-index shuffle pattern (token-keyed).

@@ -154,6 +154,25 @@ object CoreQueries {
       },
       None),
 
+    // S8 end-to-end — the ENTIRE wrapper config path in one query: env
+    // vars (CDM_PROPERTY_* + env: indirection) → properties → CdmConfig →
+    // Migrate.plan. Output equals the same pipeline configured directly,
+    // so the oracle doubles as a rewrite-engine integration check.
+    Q("env_config_migrate",
+      (s, dir) => Migrate.plan(s, graft.config.EnvProperties.configFromEnv(Map(
+          "CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PATH" -> "env:GRAFT_SF_DIR",
+          "GRAFT_SF_DIR" -> dir,
+          "CDM_PROPERTY_SPARK_CDM_SCHEMA_ORIGIN_KEYSPACETABLE" -> "lineitem",
+          "CDM_PROPERTY_SPARK_CDM_SCHEMA_ORIGIN_PRIMARYKEY" -> "l_orderkey,l_linenumber",
+          "CDM_PROPERTY_SPARK_CDM_FILTER_CASSANDRA_WHERECONDITION" -> "l_quantity > 45",
+          "CDM_PROPERTY_SPARK_CDM_SCHEMA_ORIGIN_COLUMN_SKIP" ->
+            "l_tax,l_returnflag,l_linestatus,l_shipdate,l_discount,l_extendedprice,l_partkey,l_suppkey")))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity
+              |FROM lineitem
+              |WHERE l_quantity > 45 AND $PkGuard
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
     // P8 — null-PK skip. The fixtures have no null PKs, so a synthetic
     // nullable PK component (nullif) exercises the guard.
     Q("skip_null_pk",
