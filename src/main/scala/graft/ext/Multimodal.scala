@@ -57,6 +57,41 @@ object Multimodal {
     }
   }
 
+  final case class MediaFrames(doc_id: Long, n_frames: Int, f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /**
+   * Partition-batched frame sampling — the video/audio "sample every k-th
+   * frame" step of a multimodal pipeline, STUBBED deterministically:
+   * `frames` fixed-size byte windows at evenly spaced offsets, each
+   * reduced to the rolling checksum. The real pipeline swaps the window
+   * checksum for a codec's frame decode; the dataflow (narrow, per-row,
+   * payloads never shuffled) is identical. Payloads shorter than one
+   * frame yield n_frames=0 with sentinel checksums.
+   */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 16, frames: Int = 4): Dataset[MediaFrames] = {
+    import media.sparkSession.implicits._
+    require(frames >= 2, "frame sampling needs at least 2 frames for the offset spacing")
+    media.mapPartitions { records =>
+      records.map { r =>
+        val n = r.payload.length
+        if (n < frameBytes) MediaFrames(r.doc_id, 0, -1L, -1L, -1L, -1L)
+        else {
+          val cs = Array.tabulate(frames) { j =>
+            val off = ((j.toLong * (n - frameBytes)) / (frames - 1)).toInt
+            var acc = 0L
+            var i = 0
+            while (i < frameBytes) {
+              acc = (acc * 131 + (r.payload(off + i) & 0xff)) % 1000000007L
+              i += 1
+            }
+            acc
+          }
+          MediaFrames(r.doc_id, frames, cs(0), cs(1), cs(2), cs(3))
+        }
+      }
+    }
+  }
+
   /** X5 — multimodal join: text rows with their (nullable) embedding
    * modality. Ids and small columns shuffle; at production scale the
    * embeddings side would be bucketed on vec_id to kill even that. */

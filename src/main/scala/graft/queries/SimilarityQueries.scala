@@ -186,6 +186,34 @@ object SimilarityQueries {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // Frame sampling: 4 evenly spaced 16-byte windows per payload, each
+    // rolled to a checksum — the video frame-sample dataflow with a
+    // deterministic stand-in for the codec (payloads stay unshuffled).
+    Q("multimodal_frames",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.sampleFrames(
+            Multimodal.attachPayload(TableIO.read(s, dir, "documents")).as[Multimodal.MediaRecord])
+          .select("doc_id", "n_frames", "f0", "f1", "f2", "f3")
+          .orderBy("doc_id")
+      },
+      Some {
+        def frameSql(j: Int): String = {
+          val off = s"CAST((($j * (strlen(text) - 16)) // 3) AS BIGINT)"
+          s"""CASE WHEN strlen(text) < 16 THEN -1 ELSE
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range($off + 1, $off + 17),
+             |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+             |    (acc, b) -> (acc * 131 + b) % 1000000007) END AS f$j""".stripMargin
+        }
+        s"""SELECT doc_id,
+           |  CASE WHEN strlen(text) < 16 THEN 0 ELSE 4 END AS n_frames,
+           |  ${(0 until 4).map(frameSql).mkString(",\n  ")}
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // The mapPartitions decode stub end-to-end: deterministic checksum +
     // size per payload (text is ASCII, so the oracle's per-char fold over
     // codepoints equals the Spark-side fold over UTF-8 bytes).

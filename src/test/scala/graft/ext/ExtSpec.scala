@@ -218,6 +218,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => f.features.forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("sampleFrames is deterministic, respects offsets, and guards short payloads") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "text/plain", ("a" * 64).getBytes("UTF-8")),
+      Multimodal.MediaRecord(2L, "text/plain", "short".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.sampleFrames(media).collect().sortBy(_.doc_id)
+    // uniform payload: every frame window has the same bytes -> equal checksums
+    assert(out(0).n_frames == 4)
+    assert(Set(out(0).f0, out(0).f1, out(0).f2, out(0).f3).size == 1)
+    // sub-frame payload: sentinel path
+    assert(out(1).n_frames == 0 && out(1).f0 == -1L)
+    // deterministic across partitionings
+    val again = Multimodal.sampleFrames(media.repartition(3)).collect().sortBy(_.doc_id)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("joinModalities flags missing embeddings as null dim") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet").filter($"vec_id" < 100)
