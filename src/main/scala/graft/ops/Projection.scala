@@ -19,8 +19,14 @@ import graft.config.SchemaConfig
  */
 object Projection {
 
-  /** Drop skip-listed columns, then apply the rename map in one select. */
+  /** Drop skip-listed columns, then apply the rename map in one select.
+   * Skipping a primary-key column is a config contradiction (the target
+   * write would lose its key) — fail fast, matching E4 and upstream,
+   * where PK columns are always bound. */
   def apply(df: DataFrame, schema: SchemaConfig): DataFrame = {
+    val skippedPk = schema.primaryKey.filter(schema.skipColumns.contains)
+    require(skippedPk.isEmpty,
+      s"column.skip removes primary-key column(s): ${skippedPk.mkString(", ")}")
     val kept = df.columns.filterNot(schema.skipColumns.contains)
     val cols = kept.map(c => col(c).as(schema.renameMap.getOrElse(c, c)))
     df.select(cols.toIndexedSeq: _*)

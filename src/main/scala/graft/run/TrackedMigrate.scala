@@ -20,10 +20,13 @@ import graft.jobs.Migrate
  * replaces exactly the buckets it processed, never the whole table), and
  * appends PASS rows to the run ledger only after the write commits.
  *
- * Scale: resume filters the origin scan by pending bucket — a pushed
- * predicate on a derived column — so a 99%-complete 100 TB migrate reads
- * only the missing 1%'s input splits' worth of work, not the whole table
- * twice.
+ * Scale: resume filters the origin rows by pending bucket. Against a live
+ * cluster the bucket predicate IS a set of ring-token ranges, which the
+ * connector pushes into the CQL scan — a 99%-complete migrate re-reads
+ * ~1% of the data. In the parquet harness the bucket is a derived column,
+ * so the scan still reads rows and the filter drops them before any
+ * shuffle/write — the expensive phases stay proportional to the missing
+ * work in both backends; only the live backend also prunes the read.
  */
 object TrackedMigrate {
 

@@ -60,6 +60,15 @@ class TransformsSpec extends SparkSpec {
     }
   }
 
+  test("skipping a primary-key column fails fast") {
+    val df = Seq((1L, 2L, "x")).toDF("pk", "ck", "v")
+    val schema = CdmConfig.fromMap(Map(
+      "spark.cdm.schema.origin.primaryKey" -> "pk,ck",
+      "spark.cdm.schema.origin.column.skip" -> "ck,v")).schema
+    val e = intercept[IllegalArgumentException](Projection(df, schema))
+    assert(e.getMessage.contains("ck"))
+  }
+
   test("effectivePrimaryKey extends the renamed PK with the explode key") {
     val cfg = CdmConfig.fromMap(Map(
       "spark.cdm.schema.origin.primaryKey" -> "a,b",
