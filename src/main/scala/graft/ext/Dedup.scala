@@ -214,6 +214,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /**
+   * X2 — dedup clusters: connected components over the candidate-pair
+   * graph, by iterative min-label propagation. Each iteration is one
+   * distributed join + map-side-combined min aggregation; the loop runs
+   * until no label changes (O(graph diameter) iterations — near-dup
+   * cluster graphs are shallow chains/cliques, so convergence is fast;
+   * production-scale variants swap in large-star/small-star to collapse
+   * diameter, same seam). Labels persist + materialize per iteration so
+   * the lineage does not grow unboundedly.
+   *
+   * Returns (id, cluster) for every node APPEARING IN A PAIR — the
+   * cluster is the minimum reachable doc id, i.e. the deterministic
+   * survivor the dedup keeps. Singleton documents never enter the pair
+   * graph and implicitly keep themselves.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    edges.count()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    labels.count()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy("src").agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+        .select(
+          labels("id"),
+          labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .persist()
+      changed = updated.filter(col("label") =!= col("old_label")).count()
+      val next = updated.select("id", "label").persist()
+      next.count()
+      labels.unpersist()
+      updated.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** X2b — 16-bit SimHash: bit b is set when the ±1 votes from each
    * shingle's b-th (mixed) bit sum positive. One codegen'd pass over the
    * staged shingle array per row. */

@@ -105,6 +105,43 @@ object DedupQueries {
               |GROUP BY 1, 2
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // X2 — dedup CLUSTERS: connected components over the banded-LSH
+    // candidate graph (iterative min-label propagation; oracle = the
+    // recursive-CTE transitive closure). cluster = min reachable doc id,
+    // the deterministic survivor.
+    Q("dedup_clusters",
+      (s, dir) => Dedup.connectedComponents(
+          Dedup.minhashPairsBanded(
+            Dedup.withBandKeys(TableIO.read(s, dir, "documents"), "text"), "doc_id", bucketCap = 50),
+          "id_a", "id_b")
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE b AS (
+              |  ${(0 until Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM documents")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |sized AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b),
+              |capped AS (SELECT * FROM sized WHERE bsize <= 50),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM capped a JOIN capped b
+              |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM p
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM p),
+              |reach AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+              |SELECT src AS id, least(src, min(dst)) AS cluster
+              |FROM reach
+              |GROUP BY src
+              |ORDER BY id""".stripMargin)),
+
     // X2b — 16-bit simhash per document.
     Q("dedup_simhash",
       (s, dir) => Dedup.simhash16(TableIO.read(s, dir, "documents"), "text", "simhash")

@@ -100,6 +100,35 @@ object SimilarityQueries {
               |QUALIFY rank <= 3
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // X3 — multi-probe LSH top-k: each query also probes the 8 buckets at
+    // Hamming distance 1 (query side explodes into 9 probe keys; the
+    // candidate join stays a bucketed equi-join). Recall ≥ single-probe at
+    // ~9/256 of the corpus per query.
+    Q("topk_cosine_lsh_probe",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.topKLshMultiProbe(emb.filter(col("vec_id") < 20), emb, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val probeList = ("q_bucket" +: (0 until Similarity.LshPlanes)
+          .map(j => s"xor(q_bucket, ${1 << j})")).mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q0 AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < 20),
+           |q AS (SELECT query_id, q_emb, unnest($probeList) AS probe FROM q0),
+           |p AS (
+           |  SELECT q.query_id, e.vec_id AS neighbor_id,
+           |         ${cosSql("q.q_emb", "e.embedding")} AS cos6
+           |  FROM b e JOIN q ON e.bucket = q.probe
+           |  WHERE e.vec_id != q.query_id)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
+           |       neighbor_id, cos6
+           |FROM p
+           |QUALIFY rank <= 3
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
     // Skew-salted dimension join: results must equal the plain join (the
     // salt is invisible in the output) — verified against an unsalted
     // oracle formulation.

@@ -124,6 +124,23 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L, s"capped pair count $capped")
   }
 
+  test("connectedComponents converges on chains and assigns the min id") {
+    // a 10-node chain (worst-case diameter) + a separate triangle + a pair
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pair = Seq((200L, 201L))
+    val pairs = (chain ++ tri ++ pair).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    (0L to 9L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    // deterministic across partitionings
+    val again = Dedup.connectedComponents(pairs.repartition(7), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == again)
+  }
+
   test("ngram jaccard is within (0,1] and symmetric-bounded") {
     val out = Dedup.ngramJaccardPairs(
       spark.read.parquet(s"$Sf/documents.parquet").filter($"doc_id" < 100),
@@ -172,6 +189,26 @@ class SimilaritySpec extends SparkSpec {
     val bmap = buckets.as[(Long, Int)].collect().toMap
     val rows = out.select("query_id", "neighbor_id").as[(Long, Long)].collect()
     assert(rows.nonEmpty && rows.forall { case (q, n) => bmap(q) == bmap(n) })
+  }
+
+  test("multi-probe LSH recall is at least single-probe recall") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 30)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.topK(queries, emb, 3))
+    val single = hits(Similarity.topKLsh(queries, emb, 3))
+    val multi = hits(Similarity.topKLshMultiProbe(queries, emb, 3))
+    val singleRecall = (single intersect exact).size.toDouble / exact.size
+    val multiRecall = (multi intersect exact).size.toDouble / exact.size
+    assert(multiRecall >= singleRecall,
+      s"multi-probe recall $multiRecall < single-probe $singleRecall")
+    // every multi-probe neighbor shares a bucket within Hamming distance 1
+    val buckets = emb.select($"vec_id", Similarity.lshBucket($"embedding").as("b"))
+      .as[(Long, Int)].collect().toMap
+    multi.foreach { case (q, n) =>
+      assert(Integer.bitCount(buckets(q) ^ buckets(n)) <= 1, s"($q,$n) too far")
+    }
   }
 
   test("salted join equals the plain join") {
