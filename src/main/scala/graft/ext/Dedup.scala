@@ -235,30 +235,34 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    edges.count()
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
-    labels.count()
+    var prev: Option[DataFrame] = None
 
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
+      // propagate: min label across neighbors. (A pointer-jumping variant
+      // — l(id) := l(l(id)) for O(log diameter) rounds — was measured
+      // SLOWER here: near-dup cluster diameters are already 2-4, so the
+      // extra self-join per round costs more than the rounds it saves.
+      // Re-introduce it only for deep-chain graphs.)
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy("src").agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
         .select(
           labels("id"),
           labels("label").as("old_label"),
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
         .persist()
-      changed = updated.filter(col("label") =!= col("old_label")).count()
-      val next = updated.select("id", "label").persist()
-      next.count()
+      // single action per iteration: materializes `next` and counts moves
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      prev.foreach(_.unpersist())
+      prev = Some(next)
       labels.unpersist()
-      updated.unpersist()
-      labels = next
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
