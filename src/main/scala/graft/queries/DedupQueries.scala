@@ -142,6 +142,51 @@ object DedupQueries {
               |GROUP BY src
               |ORDER BY id""".stripMargin)),
 
+    // X2 — near-dup REMOVAL end-to-end: the corpus minus everything but
+    // each cluster's representative (min doc id); singletons pass
+    // untouched. This is the query a training pipeline actually ships.
+    Q("dedup_apply",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val clusters = Dedup.connectedComponents(
+          Dedup.minhashPairsBanded(
+            Dedup.withBandKeys(docs, "text"), "doc_id", bucketCap = 50),
+          "id_a", "id_b")
+        docs.join(clusters, docs("doc_id") === clusters("id"), "left_outer")
+          .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+          .select(docs("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE b AS (
+              |  ${(0 until Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM documents")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |sized AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b),
+              |capped AS (SELECT * FROM sized WHERE bsize <= 50),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM capped a JOIN capped b
+              |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM p
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM p),
+              |reach AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+              |cl AS (
+              |  SELECT src AS id, least(src, min(dst)) AS cluster
+              |  FROM reach GROUP BY src)
+              |SELECT d.doc_id, d.lang, d.source
+              |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+              |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // X2b — 16-bit simhash per document.
     Q("dedup_simhash",
       (s, dir) => Dedup.simhash16(TableIO.read(s, dir, "documents"), "text", "simhash")

@@ -114,6 +114,72 @@ object TextQueries {
               |FROM documents
               |ORDER BY doc_id""".stripMargin)),
 
+    // Token-budget shard packing: per language, documents in id order are
+    // packed into training shards of <= 5000 tokens via a running-sum
+    // window — the "write shards under a token budget" step of a training
+    // pipeline, shuffle-keyed on the partition column only.
+    Q("shard_packing",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        TableIO.read(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .withColumn("shard_id", expr("(cum_tokens - 1) div 5000"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  CAST(SUM(len(string_split(text, ' ')))
+             |       OVER (PARTITION BY lang ORDER BY doc_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+             |  (CAST(SUM(len(string_split(text, ' ')))
+             |       OVER (PARTITION BY lang ORDER BY doc_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1) // 5000 AS shard_id
+             |FROM documents
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // C4-style cleaning pipeline in ONE declarative lineage: length gate →
+    // language-ID confidence gate → deterministic exact dedup by 3-token
+    // prefix. The composition is the point — every stage fuses into the
+    // same scan + one window shuffle.
+    Q("corpus_clean",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val scored = TableIO.read(s, dir, "documents")
+          .select(
+            col("doc_id"), col("text"),
+            size(toks).cast("long").as("n_tokens"),
+            TextOps.predictedLang(toks).as("predicted_lang"))
+          .filter(col("n_tokens") >= 20 && col("predicted_lang") =!= "tie")
+          .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+        graft.ext.Dedup.exactKeep(scored, Seq("prefix_key"), "doc_id")
+          .select("doc_id", "predicted_lang", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id,
+              |    len(string_split(text, ' ')) AS n_tokens,
+              |    CASE
+              |      WHEN len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.EnglishMarkers)})))
+              |         > len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.TechMarkers)}))) THEN 'en'
+              |      WHEN len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.TechMarkers)})))
+              |         > len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.EnglishMarkers)}))) THEN 'tech'
+              |      ELSE 'tie' END AS predicted_lang,
+              |    array_to_string(string_split(text,' ')[1:3], ' ') AS prefix_key
+              |  FROM documents
+              |  WHERE len(string_split(text, ' ')) >= 20),
+              |gated AS (SELECT * FROM scored WHERE predicted_lang != 'tie')
+              |SELECT doc_id, predicted_lang, n_tokens
+              |FROM (SELECT doc_id, predicted_lang, n_tokens,
+              |        row_number() OVER (PARTITION BY prefix_key ORDER BY doc_id) AS rn
+              |      FROM gated)
+              |WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin)),
+
     // Exact interpolated percentiles of per-doc token counts by language
     // (corpus length distribution — the standard quality-filter input).
     // Spark percentile() and DuckDB quantile_cont share the
