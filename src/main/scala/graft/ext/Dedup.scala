@@ -287,6 +287,38 @@ object Dedup {
             |       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
             |  CAST(0 AS BIGINT), (acc, bit) -> acc + bit)""".stripMargin)
 
+  /**
+   * X2b — SimHash near-dup pairs with a HAMMING DISTANCE bound, without
+   * all-pairs: split the 16-bit sketch into 4 nibble blocks; by
+   * pigeonhole, any pair within Hamming distance 3 agrees exactly on at
+   * least one block, so candidates = pairs sharing (block index, block
+   * value) — a bucketed equi-join, exact-complete for maxHamming <= 3.
+   * The final `bit_count(xor)` filter discards pigeonhole false
+   * positives. Same robustness lever as the banded minhash join:
+   * `bucketCap` drops degenerate mass-duplicate buckets whole.
+   */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole is only complete for maxHamming <= 3")
+    val sh = simhash16(df, textCol, "__sh").select(col(idCol), col("__sh"))
+    val blocks = sh.select(
+      col(idCol), col("__sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sh"), b * 4).bitwiseAND(lit(15L))): _*)).as(Seq("block", "bval")))
+    val capped = blocks
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("block", "bval")))
+      .filter(col("bsize") <= bucketCap)
+    val left = capped.select(col(idCol).as("id_a"), col("__sh").as("sh_a"), col("block"), col("bval"))
+    val right = capped.select(col(idCol).as("id_b"), col("__sh").as("sh_b"), col("block"), col("bval"))
+    left.join(right, Seq("block", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** X2c — n-gram Jaccard pairs: explode distinct shingles, self-join on
    * the shingle (shuffle on shingle hash — the inverted-index pattern),
    * count co-occurrences, then Jaccard = |∩| / (|A| + |B| − |∩|).

@@ -200,6 +200,30 @@ object DedupQueries {
               |FROM documents
               |ORDER BY doc_id""".stripMargin)),
 
+    // X2b — SimHash pairs within Hamming distance 3 via the 4-block
+    // pigeonhole join (complete for d<=3, never all-pairs; the oracle IS
+    // the brute-force comparison, so completeness is hash-verified).
+    // Bounded to doc_id < 300 like the ngram query; at production scale
+    // the same code runs a 64-bit sketch with 16-bit blocks (65k buckets
+    // per block) — the 16-bit fixture sketch keeps the oracle portable.
+    Q("dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(
+          TableIO.read(s, dir, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |    CAST(list_sum(list_transform(range(0, 16), b ->
+              |      CASE WHEN list_sum(list_transform($shinglesSql,
+              |                   s -> ((CAST((s * 2654435761) % 65536 AS BIGINT) >> b) & 1) * 2 - 1)) > 0
+              |           THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+              |  FROM documents WHERE doc_id < 300)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // X2c — n-gram Jaccard pairs via the inverted-index join (bounded to
     // doc_id < 300 so the pair set stays comparable across scale factors).
     // maxShingleDf=5 exercises the document-frequency ceiling (the fixture

@@ -124,6 +124,21 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L, s"capped pair count $capped")
   }
 
+  test("simhashPairs pigeonhole join equals brute-force Hamming comparison") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").filter($"doc_id" < 200)
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sk = Dedup.simhash16(docs, "text", "sh").select("doc_id", "sh")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sk; (b, sb) <- sk
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // maxHamming > 3 must be rejected (pigeonhole completeness bound)
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 4))
+  }
+
   test("connectedComponents converges on chains and assigns the min id") {
     // a 10-node chain (worst-case diameter) + a separate triangle + a pair
     val chain = (0L until 9L).map(i => (i, i + 1))
