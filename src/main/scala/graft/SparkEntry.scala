@@ -11,10 +11,15 @@ import graft.queries._
 object SparkEntry {
 
   /** Everything registered, in build order (SURVEY.md §7.3). */
-  def registry: Seq[Q] =
-    CoreQueries.all ++ TransformQueries.all ++ DiffQueries.all ++
+  def registry: Seq[Q] = {
+    val all = CoreQueries.all ++ TransformQueries.all ++ DiffQueries.all ++
       WindowQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ AnalyticsQueries.all
+    // a duplicated name would silently shadow its twin in the maps below
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.sizeIs > 1 => n }
+    require(dups.isEmpty, s"duplicate query names registered: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
    * J1 Migrate lineage: scan → rename → pushed filter (SURVEY.md §3.1). */
