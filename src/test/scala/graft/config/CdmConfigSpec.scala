@@ -145,6 +145,21 @@ class EnvPropertiesSpec extends AnyFunSuite {
     assert(out("spark.cdm.connect.target.username") == "t_user")
   }
 
+  test("the same engine rewrites log4j config under the CDM_LOGGING_ prefix (entrypoint.sh:186)") {
+    val tpl = PropertiesTemplate(
+      values = Map("log4j.rootLogger" -> "INFO, stdout"),
+      disabled = Set("log4j.logger.com.datastax"))
+    val out = applyEnv(
+      Map(
+        "CDM_LOGGING_LOG4J_ROOTLOGGER" -> "DEBUG, stdout",
+        "CDM_LOGGING_LOG4J_LOGGER_COM_DATASTAX" -> "TRACE",
+        "CDM_PROPERTY_SPARK_CDM_PERFOPS_NUMPARTS" -> "8"), // different prefix: ignored here
+      tpl, prefix = "CDM_LOGGING_")
+    assert(out == Map(
+      "log4j.rootLogger" -> "DEBUG, stdout",
+      "log4j.logger.com.datastax" -> "TRACE"))
+  }
+
   test("end-to-end: env → properties → typed CdmConfig") {
     val cfg = configFromEnv(Map(
       "CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PATH" -> "/o",
