@@ -108,15 +108,19 @@ object Dedup {
     coalesce(org.apache.spark.sql.graft.SignatureKernels.minhashComponent(shingles, a, b, P),
       sentinel(idCol), lit(-1L))
 
-  /** Short-doc sentinel: sign-bit-masked so it is ≤ -2 (never in the real
-   * signature range [0, P)) for EVERY long id, including negative ones —
-   * a raw `-id-2` would map id = -5 to 3 ∈ [0, P) and let a short doc
-   * spuriously collide with a real signature. Unique per document over
-   * ids sharing a sign bit (two ids differing only in the sign bit would
-   * share a sentinel — documented residual, no such id domain exists in
+  /** Short-doc sentinel: masked to the low 62 bits so it is in
+   * [-(2^62-1)-2, -2] — never in the real signature range [0, P) and
+   * never overflowing int64 — for EVERY long id, including negative ones:
+   * a raw `-id-2` would map id = -5 to 3 ∈ [0, P), and a 63-bit mask
+   * would overflow `-x-2` for ids with all low bits set (-1,
+   * Long.MaxValue) under ANSI arithmetic. Unique per document over ids
+   * sharing their top two bits (ids differing only there share a
+   * sentinel — documented residual, no such id domain exists in
    * practice). */
+  val SentinelMask: Long = Long.MaxValue >>> 1 // low 62 bits
+
   def sentinel(idCol: Column): Column =
-    -(idCol.cast("long").bitwiseAND(lit(Long.MaxValue))) - lit(2L)
+    -(idCol.cast("long").bitwiseAND(lit(SentinelMask))) - lit(2L)
 
   /** HOF reference formulation of [[minhash]] (same arithmetic; kept for
    * kernel equivalence tests). */
@@ -266,6 +270,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // fail loudly rather than hand back non-minimum labels: a silent
+    // partial convergence would keep documents dedup should have dropped
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations iterations " +
+        s"($changed labels still moving) — raise maxIterations for deep-chain graphs")
     labels.withColumnRenamed("label", "cluster")
   }
 

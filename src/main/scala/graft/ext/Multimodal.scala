@@ -68,9 +68,14 @@ object Multimodal {
    * payloads never shuffled) is identical. Payloads shorter than one
    * frame yield n_frames=0 with sentinel checksums.
    */
-  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 16, frames: Int = 4): Dataset[MediaFrames] = {
+  /** Frames per payload — fixed because [[MediaFrames]] carries one field
+   * per checksum (a variable count would need an array column, which the
+   * oracle harness cannot sort/hash). */
+  val FramesPerDoc = 4
+
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 16): Dataset[MediaFrames] = {
     import media.sparkSession.implicits._
-    require(frames >= 2, "frame sampling needs at least 2 frames for the offset spacing")
+    val frames = FramesPerDoc
     media.mapPartitions { records =>
       records.map { r =>
         val n = r.payload.length

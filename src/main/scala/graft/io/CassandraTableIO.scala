@@ -51,15 +51,17 @@ object CassandraTableIO {
       c.tls.enabledAlgorithms.foreach(a => b += "spark.cassandra.connection.ssl.enabledAlgorithms" -> a)
     }
     perf.foreach { p =>
-      // E2/E3 passthrough: consistency + fetch/batch sizing map onto the
+      // E3 passthrough: consistency + fetch/batch sizing map onto the
       // connector's input/output knobs (S3 batching is native: unlogged
-      // batches grouped by partition key)
+      // batches grouped by partition key). E2 rate limits are NOT mapped:
+      // CDM's ratelimit.* is rows/second while the connector only offers
+      // throughputMBPerSec (megabytes/second) — a unit mismatch that
+      // would mis-throttle by orders of magnitude. Rows/s throttling
+      // stays in graft.run.RateLimiter, the upstream-faithful mechanism.
       b += "spark.cassandra.input.consistency.level" -> p.consistencyRead
       b += "spark.cassandra.output.consistency.level" -> p.consistencyWrite
       b += "spark.cassandra.input.fetch.sizeInRows" -> p.fetchSizeInRows.toString
       b += "spark.cassandra.output.batch.grouping.key" -> "partition"
-      if (p.writeRateLimit > 0)
-        b += "spark.cassandra.output.throughputMBPerSec" -> p.writeRateLimit.toString
     }
     b.result()
   }

@@ -46,10 +46,12 @@ object TableIO {
   }
 
   /** Backend dispatch: a cluster with a live contact point (host or SCB)
-   * reads through the Cassandra connector; otherwise the parquet harness
-   * path. Operator code above this seam is identical for both. */
-  def read(spark: SparkSession, cluster: graft.config.ClusterConfig, table: String): DataFrame =
-    if (cluster.host.nonEmpty || cluster.scb.nonEmpty) CassandraTableIO.read(spark, cluster, table)
+   * reads through the Cassandra connector (with the perfops consistency/
+   * fetch knobs applied); otherwise the parquet harness path. Operator
+   * code above this seam is identical for both. */
+  def read(spark: SparkSession, cluster: graft.config.ClusterConfig, table: String,
+      perf: Option[graft.config.PerfConfig] = None): DataFrame =
+    if (cluster.host.nonEmpty || cluster.scb.nonEmpty) CassandraTableIO.read(spark, cluster, table, perf)
     else read(spark, cluster.path, table)
 
   /** Write a table to the target cluster stand-in. The production sink is
@@ -59,9 +61,12 @@ object TableIO {
   def write(df: DataFrame, dir: String, table: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(s"$dir/$table.parquet")
 
-  /** Backend-dispatching write (see the read overload). */
-  def write(df: DataFrame, cluster: graft.config.ClusterConfig, table: String): Unit =
-    if (cluster.host.nonEmpty || cluster.scb.nonEmpty) CassandraTableIO.write(df, cluster, table)
+  /** Backend-dispatching write (see the read overload). `perf` is
+   * explicit (no default) because the sibling parquet overload already
+   * defaults `mode` and Scala forbids two defaulted overloads. */
+  def write(df: DataFrame, cluster: graft.config.ClusterConfig, table: String,
+      perf: Option[graft.config.PerfConfig]): Unit =
+    if (cluster.host.nonEmpty || cluster.scb.nonEmpty) CassandraTableIO.write(df, cluster, table, perf)
     else write(df, cluster.path, table)
 
   /**

@@ -27,9 +27,9 @@ object Migrate {
 
   /** Build the migrate lineage without materializing it. */
   def plan(spark: SparkSession, cfg: CdmConfig): DataFrame = {
-    // backend-dispatching read: live connector when the config names a
-    // contact point / SCB, parquet harness otherwise
-    var df = TableIO.read(spark, cfg.origin, cfg.schema.table)
+    // backend-dispatching read: live connector (with perfops knobs) when
+    // the config names a contact point / SCB, parquet harness otherwise
+    var df = TableIO.read(spark, cfg.origin, cfg.schema.table, Some(cfg.perf))
 
     // T9: materialize the row writetime (max across companion columns)
     // before filters — P5 windows on it, and the write path persists it
@@ -68,5 +68,5 @@ object Migrate {
    * connector or parquet stand-in, per the target config). */
   def run(spark: SparkSession, cfg: CdmConfig): Unit =
     TableIO.write(plan(spark, cfg), cfg.target,
-      cfg.schema.targetTable.getOrElse(cfg.schema.table))
+      cfg.schema.targetTable.getOrElse(cfg.schema.table), Some(cfg.perf))
 }

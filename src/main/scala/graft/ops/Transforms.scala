@@ -107,8 +107,18 @@ object Transforms {
     else {
       require(pkCols.nonEmpty,
         "custom.writetime.incrementBy needs a primary key for a deterministic per-row increment")
-      df.withColumn(outCol,
-        lit(wtMicros) + graft.io.TableIO.tokenOfCompound(pkCols.map(col)) * lit(incrementBy))
+      // integral PKs use the oracle-mirrorable arithmetic token; any other
+      // PK shape (text keys, the explode-map key column, mixed composites)
+      // takes xxhash64 — still deterministic across reruns/partitionings,
+      // where a cast("long") would throw under ANSI or null the writetime
+      import org.apache.spark.sql.types._
+      val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+      val allIntegral = pkCols.forall(c =>
+        df.schema.fields.find(_.name == c).exists(f => integral.contains(f.dataType)))
+      val token =
+        if (allIntegral) graft.io.TableIO.tokenOfCompound(pkCols.map(col))
+        else pmod(xxhash64(pkCols.map(col): _*), lit(graft.io.TableIO.TokenModulus))
+      df.withColumn(outCol, lit(wtMicros) + token * lit(incrementBy))
     }
 
   def customTtl(df: DataFrame, ttlSeconds: Long, outCol: String = "ttl"): DataFrame =

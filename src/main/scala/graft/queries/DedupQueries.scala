@@ -12,10 +12,10 @@ import graft.io.TableIO
 object DedupQueries {
 
   private val shinglesSql = OracleSql.shingles
-  /** Mirror of Dedup.minhash incl. the sign-bit-masked short-doc sentinel
+  /** Mirror of Dedup.minhash incl. the 62-bit-masked short-doc sentinel
    * (Dedup.sentinel): ≤ -2 for every id, so never in [0, P). */
   private def sigSql(a: Long, b: Long) =
-    s"coalesce(list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P})), -(doc_id & ${Long.MaxValue}) - 2)"
+    s"coalesce(list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P})), -(doc_id & ${Dedup.SentinelMask}) - 2)"
   private val sigsSelect = Dedup.MinhashSeeds.zipWithIndex
     .map { case ((a, b), i) => s"${sigSql(a, b)} AS sig$i" }.mkString(",\n  ")
   /** Mirror of Dedup.withBandKeys: band j packs its r RAW components as
@@ -26,7 +26,7 @@ object DedupQueries {
     val packed = (0 until Dedup.LshRowsPerBand)
       .map { r => val (a, b) = Dedup.BandedSeeds(j * Dedup.LshRowsPerBand + r); rawSigSql(a, b) }
       .reduce((acc, c) => s"(($acc) * ${Dedup.P} + $c)")
-    s"coalesce($packed, -(doc_id & ${Long.MaxValue}) - 2)"
+    s"coalesce($packed, -(doc_id & ${Dedup.SentinelMask}) - 2)"
   }
   private val prefixKeySql = "array_to_string(string_split(text,' ')[1:3], ' ')"
 

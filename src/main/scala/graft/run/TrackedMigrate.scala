@@ -55,7 +55,16 @@ object TrackedMigrate {
           .collect().map(_.getInt(0)).toSeq.sorted
       case _ => 0 until numParts
     }
-    if (pending.isEmpty) return Nil
+    // the output partition file must reflect THIS run's outcome even when
+    // nothing is pending — a stale failed-ranges file from a prior run
+    // would otherwise re-seed ranges that are already done
+    def writeEmptyFailedFile(): Unit = {
+      import spark.implicits._
+      cfg.partitionFile.output.foreach { out =>
+        RunLedger.writePartitionFile(Seq.empty[Int].toDF("part_id"), out)
+      }
+    }
+    if (pending.isEmpty) { writeEmptyFailedFile(); return Nil }
 
     val planned = Migrate.plan(spark, cfg)
     val pkAfterRename = cfg.schema.renameMap.getOrElse(pk, pk)
@@ -80,10 +89,7 @@ object TrackedMigrate {
     // failed after this run — empty here, because a Spark write that
     // commits has processed every pending bucket (a failed write throws
     // before the ledger/file are touched, so the previous file stands).
-    cfg.partitionFile.output.foreach { out =>
-      RunLedger.writePartitionFile(
-        Seq.empty[Int].toDF("part_id"), out)
-    }
+    writeEmptyFailedFile()
     pending
   }
 }

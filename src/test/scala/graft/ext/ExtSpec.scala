@@ -101,15 +101,27 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L, s"capped pair count $capped")
   }
 
-  test("short-doc sentinel never collides with real signatures, even for negative ids") {
-    // a negative doc id must not map the sentinel into [0, P)
-    val df = Seq((-5L, "x"), (-6L, "y"), (7L, "full length document body here"))
+  test("short-doc sentinel never collides with real signatures, even for extreme ids") {
+    // a negative doc id must not map the sentinel into [0, P); ids with
+    // all low bits set (-1, Long.MaxValue) must not overflow -x-2 under
+    // ANSI arithmetic
+    val df = Seq((-5L, "x"), (-6L, "y"), (-1L, "z"), (Long.MaxValue, "w"),
+        (7L, "full length document body here"))
       .toDF("doc_id", "text")
     val sigs = Dedup.withMinhashSignature(df, "text")
       .select("doc_id", "sig0").as[(Long, Long)].collect().toMap
-    assert(sigs(-5L) < 0L && sigs(-6L) < 0L && sigs(-5L) != sigs(-6L))
-    assert(Dedup.minhashPairs(Dedup.withMinhashSignature(df, "text"), "doc_id").count() == 0)
-    assert(Dedup.minhashPairsBanded(Dedup.withBandKeys(df, "text"), "doc_id").count() == 0)
+    assert(Seq(-5L, -6L, -1L, Long.MaxValue).forall(id => sigs(id) < 0L))
+    assert(sigs(-5L) != sigs(-6L))
+    // the documented residual, pinned: ids differing ONLY in their top two
+    // bits (-1 and Long.MaxValue mask to the same 62 bits) share a
+    // sentinel and may spuriously pair; no other pair is allowed
+    val residual = Set((-1L, Long.MaxValue))
+    val pairs = Dedup.minhashPairs(Dedup.withMinhashSignature(df, "text"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(residual), s"unexpected pairs: ${pairs -- residual}")
+    val banded = Dedup.minhashPairsBanded(Dedup.withBandKeys(df, "text"), "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(residual), s"unexpected banded pairs: ${banded -- residual}")
   }
 
   test("shingle df-ceiling drops hot shingles and keeps the join linear") {
