@@ -275,7 +275,14 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIterations iterations " +
         s"($changed labels still moving) — raise maxIterations for deep-chain graphs")
-    labels.withColumnRenamed("label", "cluster")
+    // materialize the result into its own (small: one row per paired doc)
+    // cache so the last iteration's intermediate can be released — without
+    // this, every call leaked one persisted frame for the session. The
+    // returned frame stays cached for the caller; unpersist it when done.
+    val result = labels.withColumnRenamed("label", "cluster").persist()
+    result.count()
+    prev.foreach(_.unpersist())
+    result
   }
 
   /** X2b — 16-bit SimHash: bit b is set when the ±1 votes from each

@@ -50,6 +50,11 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
+  /** First-n-token prefix key — the exact-dedup blocking key used by the
+   * dedup and corpus-cleaning queries (SQL mirror: OracleSql.prefixKey). */
+  def prefixKey(text: Column, n: Int = 3): Column =
+    concat_ws(" ", slice(split(text, " "), 1, n))
+
   /** Count of tokens appearing in a fixed stopword list. `array_contains`
    * over a literal array, not array_intersect (which would dedup). */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column = {

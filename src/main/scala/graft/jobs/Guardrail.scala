@@ -49,15 +49,27 @@ object Guardrail {
     case t if fixedWidth(t).isDefined => lit(fixedWidth(t).get)
     // Common collection shapes get non-HOF forms — higher-order lambdas
     // are interpreted per element, and guardrail runs on every row of the
-    // scan, so the hot shapes must stay inside whole-stage codegen.
-    case ArrayType(et, _) if fixedWidth(et).isDefined =>
-      lit(4L) + size(c).cast("long") * lit(4L + fixedWidth(et).get)
+    // scan, so the hot shapes must stay inside whole-stage codegen. A
+    // null element carries only its 4-byte length prefix (same rule as
+    // the general fold below), so nullable fixed-width elements count
+    // payload width only for the non-null ones (array_compact).
+    case ArrayType(et, containsNull) if fixedWidth(et).isDefined =>
+      val payload =
+        if (containsNull) size(array_compact(c)).cast("long") * lit(fixedWidth(et).get)
+        else size(c).cast("long") * lit(fixedWidth(et).get)
+      lit(4L) + size(c).cast("long") * lit(4L) + payload
     case ArrayType(StringType, _) =>
       lit(4L) + size(c).cast("long") * lit(4L) + stringElemBytes(c)
-    case MapType(kt, vt, _) if fixedWidth(kt).isDefined && fixedWidth(vt).isDefined =>
-      lit(4L) + size(c).cast("long") * lit(8L + fixedWidth(kt).get + fixedWidth(vt).get)
-    case MapType(StringType, vt, _) if fixedWidth(vt).isDefined =>
-      lit(4L) + size(c).cast("long") * lit(8L + fixedWidth(vt).get) + stringElemBytes(map_keys(c))
+    case MapType(kt, vt, valueHasNull) if fixedWidth(kt).isDefined && fixedWidth(vt).isDefined =>
+      val valPayload =
+        if (valueHasNull) size(array_compact(map_values(c))).cast("long") * lit(fixedWidth(vt).get)
+        else size(c).cast("long") * lit(fixedWidth(vt).get)
+      lit(4L) + size(c).cast("long") * lit(8L + fixedWidth(kt).get) + valPayload
+    case MapType(StringType, vt, valueHasNull) if fixedWidth(vt).isDefined =>
+      val valPayload =
+        if (valueHasNull) size(array_compact(map_values(c))).cast("long") * lit(fixedWidth(vt).get)
+        else size(c).cast("long") * lit(fixedWidth(vt).get)
+      lit(4L) + size(c).cast("long") * lit(8L) + stringElemBytes(map_keys(c)) + valPayload
     case MapType(kt, StringType, _) if fixedWidth(kt).isDefined =>
       lit(4L) + size(c).cast("long") * lit(8L + fixedWidth(kt).get) + stringElemBytes(map_values(c))
     case MapType(StringType, StringType, _) =>

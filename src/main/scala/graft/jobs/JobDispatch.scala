@@ -45,21 +45,41 @@ object JobDispatch {
         val table = cfg.schema.table
         val targetTable = cfg.schema.targetTable.getOrElse(table)
         val liveTarget = cfg.target.host.nonEmpty || cfg.target.scb.nonEmpty
-        val origin = TableIO.read(spark, cfg.origin, table, Some(cfg.perf))
+        // Upstream validate drives the SAME origin select pipeline as
+        // Migrate (filters, renames, skip list, transforms) — a raw scan
+        // would mis-classify filtered-out rows as MISSING and reference
+        // pre-rename column names the target does not have. The PK is the
+        // post-rename (+ explode-key) effective PK for the same reason.
+        val origin = graft.jobs.Migrate.plan(spark, cfg)
+        val pk = cfg.effectivePrimaryKey
         val target = TableIO.read(spark, cfg.target, targetTable, Some(cfg.perf))
+          // a TrackedMigrate-written target carries its bucket column —
+          // an engine artifact, not data; never part of the comparison
+          .drop(graft.run.TrackedMigrate.BucketCol)
         // Parquet target: persist the report FIRST (upstream logs every
         // diff row) so downstream reads are decoupled from the target
         // files the autocorrect pass may overwrite below. A live target is
         // never overwritten file-wise, so its report can stay lazy.
         val classified =
-          if (liveTarget) graft.jobs.DiffData.classify(origin, target, cfg.schema.primaryKey)
+          if (liveTarget) graft.jobs.DiffData.classify(origin, target, pk)
           else {
             val reportTable = s"${targetTable}_diff_report"
             TableIO.write(
-              graft.jobs.DiffData.classify(origin, target, cfg.schema.primaryKey),
+              graft.jobs.DiffData.classify(origin, target, pk),
               cfg.target.path, reportTable)
             TableIO.read(spark, cfg.target.path, reportTable)
           }
+        // S5 appendOnDiff: record the ring buckets holding non-VALID rows
+        // to the partition file, seeding a targeted re-validate/re-migrate
+        // (the reference appends DIFF ranges to its token-range file).
+        if (cfg.partitionFile.appendOnDiff) cfg.partitionFile.output.foreach { out =>
+          val numParts = cfg.perf.numParts.getOrElse(32)
+          val diffParts = classified
+            .filter(col("diff_class") =!= graft.jobs.DiffData.Valid)
+            .select(TrackedMigrate.bucketOf(pk.head, numParts).as("part_id"))
+            .distinct()
+          graft.run.RunLedger.writePartitionFile(diffParts, out)
+        }
         // A5: autocorrect — MISSING re-inserted / MISMATCH overwritten per
         // flags. Live cluster: CQL upserts are in-place by PK, so the
         // corrections write directly through the connector. Parquet
@@ -69,6 +89,11 @@ object JobDispatch {
           val corrections = graft.jobs.DiffData
             .autocorrectRows(classified, cfg.autocorrect.missing, cfg.autocorrect.mismatch)
             .drop("diff_class", "diff_cols")
+            // align to the target's schema: the origin pipeline may carry
+            // derived columns (row_writetime, wt_* companions) the target
+            // table does not store; a target column absent from the
+            // pipeline output fails fast here by name
+            .select(target.columns.map(col).toIndexedSeq: _*)
           if (liveTarget) {
             CassandraTableIO.write(corrections, cfg.target, targetTable, Some(cfg.perf))
           } else {

@@ -130,11 +130,19 @@ object Transforms {
    * deterministic directions are wired; DOUBLE_STRING is excluded because
    * float formatting is engine-specific — configuring it throws rather
    * than silently writing engine-dependent strings. */
+  /** Engine-derived metadata columns (writetime/TTL companions and the
+   * effective row values) — codecs convert DATA columns; stringifying a
+   * LongType writetime would make later writetime-window filters and
+   * last-writer-wins merges compare lexicographically. */
+  private def isDerivedMeta(name: String): Boolean =
+    name == "writetime" || name == "ttl" || name == "row_writetime" || name == "row_ttl" ||
+      name.startsWith("wt_") || name.startsWith("ttl_")
+
   def applyCodecs(df: DataFrame, t: TransformConfig, pkCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     def convert(d: DataFrame, pred: DataType => Boolean, f: Column => Column): DataFrame =
       d.schema.fields
-        .filter(fl => pred(fl.dataType) && !pkCols.contains(fl.name))
+        .filter(fl => pred(fl.dataType) && !pkCols.contains(fl.name) && !isDerivedMeta(fl.name))
         .foldLeft(d)((dd, fl) => dd.withColumn(fl.name, f(col(fl.name))))
     t.codecs.foldLeft(df) { (d, codec) =>
       codec.toUpperCase match {

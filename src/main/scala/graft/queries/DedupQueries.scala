@@ -28,7 +28,7 @@ object DedupQueries {
       .reduce((acc, c) => s"(($acc) * ${Dedup.P} + $c)")
     s"coalesce($packed, -(doc_id & ${Dedup.SentinelMask}) - 2)"
   }
-  private val prefixKeySql = "array_to_string(string_split(text,' ')[1:3], ' ')"
+  private val prefixKeySql = OracleSql.prefixKey()
 
   val all: Seq[Q] = Seq(
 
@@ -36,7 +36,7 @@ object DedupQueries {
     Q("dedup_exact",
       (s, dir) => Dedup.representatives(
           TableIO.read(s, dir, "documents")
-            .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3))),
+            .withColumn("prefix_key", graft.ext.TextOps.prefixKey(col("text"))),
           Seq("prefix_key"), "doc_id")
         .select("keep_id", "dup_count")
         .orderBy("keep_id"),
@@ -50,7 +50,7 @@ object DedupQueries {
     Q("dedup_exact_keep",
       (s, dir) => Dedup.exactKeep(
           TableIO.read(s, dir, "documents")
-            .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3))),
+            .withColumn("prefix_key", graft.ext.TextOps.prefixKey(col("text"))),
           Seq("prefix_key"), "doc_id")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id"),

@@ -202,6 +202,7 @@ object DiffQueries {
     Q("guardrail_collections",
       (s, dir) => {
         val df = TableIO.read(s, dir, "events")
+          .filter(col("event_type").isNotNull) // null map keys are a runtime error
           .select(col("event_id"), col("event_type"), col("props"),
             array(col("event_type"), col("props")).as("tags"),
             map(col("event_type"), col("value")).as("attrs"))
@@ -213,7 +214,7 @@ object DiffQueries {
              |    strlen(props) AS bytes_props,
              |    12 + strlen(event_type) + strlen(props) AS bytes_tags,
              |    20 + strlen(event_type) AS bytes_attrs
-             |  FROM events)
+             |  FROM events WHERE event_type IS NOT NULL)
              |SELECT event_id, bytes_event_type, bytes_props, bytes_tags, bytes_attrs,
              |  greatest(bytes_event_type, bytes_props, bytes_tags, bytes_attrs) AS max_bytes,
              |  concat_ws(',',

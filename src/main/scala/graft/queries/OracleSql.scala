@@ -14,6 +14,10 @@ object OracleSql {
   def tokenHash(t: String): String =
     s"(ascii($t)*96 + ascii(right($t,1)) + strlen($t)*7)"
 
+  /** Mirror of TextOps.prefixKey. */
+  def prefixKey(n: Int = 3): String =
+    s"array_to_string(string_split(text,' ')[1:$n], ' ')"
+
   /** Mirror of Dedup.withShingleHashes: 3-gram shingle hashes over the
    * whitespace tokenization (range(1, len-1) is empty for < 3 tokens,
    * matching the Spark-side guard). */

@@ -155,7 +155,7 @@ object TextQueries {
             size(toks).cast("long").as("n_tokens"),
             TextOps.predictedLang(toks).as("predicted_lang"))
           .filter(col("n_tokens") >= 20 && col("predicted_lang") =!= "tie")
-          .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+          .withColumn("prefix_key", TextOps.prefixKey(col("text")))
         graft.ext.Dedup.exactKeep(scored, Seq("prefix_key"), "doc_id")
           .select("doc_id", "predicted_lang", "n_tokens")
           .orderBy("doc_id")
@@ -169,7 +169,7 @@ object TextQueries {
               |      WHEN len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.TechMarkers)})))
               |         > len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(TextOps.EnglishMarkers)}))) THEN 'tech'
               |      ELSE 'tie' END AS predicted_lang,
-              |    array_to_string(string_split(text,' ')[1:3], ' ') AS prefix_key
+              |    ${OracleSql.prefixKey()} AS prefix_key
               |  FROM documents
               |  WHERE len(string_split(text, ' ')) >= 20),
               |gated AS (SELECT * FROM scored WHERE predicted_lang != 'tie')

@@ -107,6 +107,9 @@ object TransformQueries {
     Q("map_scrub",
       (s, dir) => {
         val df = TableIO.read(s, dir, "events")
+          // Spark rejects null map KEYS at runtime; guard the derived map
+          // (no-op on the fixture, which has no null event_type)
+          .filter(col("event_type").isNotNull)
           .withColumn("m", map(col("event_type"), when(col("value") > 50, col("value"))))
         val scrubbed = Transforms.mapRemoveNullValues(df, "m")
         Transforms.explodeMap(scrubbed.select("event_id", "m"), ExplodeMapConfig("m", "k", "v"))
@@ -114,7 +117,7 @@ object TransformQueries {
       },
       Some("""SELECT event_id, event_type AS k, value AS v
              |FROM events
-             |WHERE value > 50
+             |WHERE value > 50 AND event_type IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
 
     // T7 — missing-key-timestamp repair: null/epoch-0 timestamp map keys
@@ -123,6 +126,7 @@ object TransformQueries {
       (s, dir) => {
         val repl = 1700000000000000L
         val df = TableIO.read(s, dir, "events")
+          .filter(col("ts").isNotNull) // null map keys are a runtime error
           .withColumn("m", map(
             when(pmod(col("event_id"), lit(10)) === 0, timestamp_micros(lit(0L))).otherwise(col("ts")),
             col("value")))
@@ -133,6 +137,7 @@ object TransformQueries {
       Some("""SELECT event_id,
              |  CASE WHEN event_id % 10 = 0 THEN 1700000000000000 ELSE epoch_us(ts) END AS key_us
              |FROM events
+             |WHERE ts IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
 
     // T8 — custom writetime/TTL override on every written row

@@ -45,8 +45,17 @@ object RunLedger {
    * one range per line, `[upstream] job/SplitPartitions.java` file I/O).
    * Harness analog: one part id per line — readable/writable as text so
    * an operator can hand-edit it exactly like the reference's. */
-  def readPartitionFile(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema("part_id INT").csv(path)
+  def readPartitionFile(spark: SparkSession, path: String): DataFrame = {
+    // the file is operator-hand-editable by contract, so validate eagerly
+    // with a clear error naming the bad lines — a permissive cast would
+    // surface later as a bare NullPointerException in the resume path
+    val raw = spark.read.schema("raw STRING").csv(path)
+    val bad = raw.filter(!col("raw").rlike("^\\s*-?\\d+\\s*$")).limit(5)
+      .collect().map(_.getString(0))
+    require(bad.isEmpty,
+      s"partition file $path contains non-numeric lines: ${bad.mkString("'", "', '", "'")}")
+    raw.select(col("raw").cast("int").as("part_id"))
+  }
 
   def writePartitionFile(parts: DataFrame, path: String): Unit =
     parts.select(col("part_id").cast("string"))
