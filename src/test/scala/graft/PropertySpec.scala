@@ -75,6 +75,37 @@ class PropertySpec extends SparkSpec {
     assert(once.select("k", "id").except(mins).count() == 0)
   }
 
+  test("property: general murmur3 equals Guava on arbitrary byte arrays (S1+)") {
+    import org.apache.spark.sql.graft.Murmur3Ring
+    val guava = com.google.common.hash.Hashing.murmur3_128(0)
+    val arrays = sample(Gen.listOfN(400,
+      Gen.chooseNum(0, 300).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))))
+    arrays.foreach { bytes =>
+      val arr = bytes.toArray
+      assert(Murmur3Ring.hash64(arr, cassandraSigned = false) == guava.hashBytes(arr).asLong(),
+        s"mismatch at length ${arr.length}")
+    }
+  }
+
+  test("property: composite framing is injective over component boundaries (S1+)") {
+    import org.apache.spark.sql.graft.Murmur3Ring
+    // ("ab","c") and ("a","bc") must frame to different byte streams —
+    // naive concatenation would collide them and merge ring tokens
+    val pairs = sample(Gen.listOfN(200, for {
+      a <- Gen.alphaStr.map(_.take(10)); b <- Gen.alphaStr.map(_.take(10))
+    } yield (a, b)))
+    def frame(parts: Seq[String]): Seq[Byte] =
+      parts.flatMap(p => Murmur3Ring.compositeWrap(p.getBytes("UTF-8")).toSeq)
+    pairs.foreach { case (a, b) =>
+      val whole = a + b
+      (0 to whole.length).foreach { cut =>
+        val framed = frame(Seq(whole.take(cut), whole.drop(cut)))
+        if (cut != a.length)
+          assert(framed != frame(Seq(a, b)), s"collision: ($a,$b) vs cut $cut of '$whole'")
+      }
+    }
+  }
+
   test("property: rate limiter holds the configured ceiling") {
     val limiter = new graft.run.RateLimiter(1000.0)
     val t0 = System.nanoTime()
