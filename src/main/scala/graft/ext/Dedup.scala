@@ -314,13 +314,35 @@ object Dedup {
    * `bucketCap` drops degenerate mass-duplicate buckets whole.
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame =
+    simhashPairsOn(simhash16(df, textCol, "__sh"), idCol, blockBits = 4, maxHamming, bucketCap)
+
+  /** X2b at production sketch width: 60-bit wide simhash (see
+   * [[org.apache.spark.sql.graft.SimhashWide]]) with 4 × 15-bit blocks —
+   * 32768 buckets per block, so bucket sizes stay tiny even on
+   * billion-document corpora (the 16-bit variant's 16 buckets per block
+   * degenerate to n/16 at scale). Same pigeonhole completeness for
+   * Hamming distance ≤ 3. */
+  def simhashWide(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    withShingleHashes(df, textCol)
+      .withColumn(outCol, org.apache.spark.sql.graft.SignatureKernels.simhashWide(col(ShinglesCol)))
+      .drop(ShinglesCol)
+
+  def simhashPairsWide(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame =
+    simhashPairsOn(simhashWide(df, textCol, "__sh"), idCol, blockBits = 15, maxHamming, bucketCap)
+
+  /** Shared pigeonhole machinery: sketch column `__sh`, 4 blocks of
+   * `blockBits` bits each. */
+  private def simhashPairsOn(sketched: DataFrame, idCol: String, blockBits: Int,
+      maxHamming: Int, bucketCap: Int): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole is only complete for maxHamming <= 3")
-    val sh = simhash16(df, textCol, "__sh").select(col(idCol), col("__sh"))
+    val blockMask = (1L << blockBits) - 1L
+    val sh = sketched.select(col(idCol), col("__sh"))
     val blocks = sh.select(
       col(idCol), col("__sh"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sh"), b * 4).bitwiseAND(lit(15L))): _*)).as(Seq("block", "bval")))
+        shiftright(col("__sh"), b * blockBits).bitwiseAND(lit(blockMask))): _*)).as(Seq("block", "bval")))
     val capped = blocks
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("block", "bval")))
       .filter(col("bsize") <= bucketCap)

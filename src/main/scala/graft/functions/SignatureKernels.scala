@@ -124,10 +124,85 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit wide simhash over an array<bigint> of shingle hashes, built
+ * from two 30-bit halves so EVERY intermediate stays < 2^52 (portable to
+ * engines whose int64 arithmetic errors on overflow): per shingle,
+ * h1 = (s*m1) mod 2^30 votes bits 0..29, h2 = (s*m2) mod 2^30 votes bits
+ * 30..59. Empty array → 0. The production-width sketch for
+ * Hamming-blocked near-dup joins (4 × 15-bit blocks → 32768 buckets per
+ * block). */
+case class SimhashWide(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_wide"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](60)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getLong(i)
+      val h1 = (s * 2654435761L) % 1073741824L
+      val h2 = (s * 2246822519L) % 1073741824L
+      var b = 0
+      while (b < 30) {
+        counts(b) += (((h1 >> b) & 1L) * 2 - 1).toInt
+        counts(b + 30) += (((h2 >> b) & 1L) * 2 - 1).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val s = ctx.freshName("s")
+      val counts = ctx.freshName("counts")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $x.numElements();
+         |int[] $counts = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $s = $x.getLong($i);
+         |  long $h1 = ($s * 2654435761L) % 1073741824L;
+         |  long $h2 = ($s * 2246822519L) % 1073741824L;
+         |  for (int $b = 0; $b < 30; $b++) {
+         |    $counts[$b] += (int) ((($h1 >> $b) & 1L) * 2 - 1);
+         |    $counts[$b + 30] += (int) ((($h2 >> $b) & 1L) * 2 - 1);
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 60; $b++) {
+         |  if ($counts[$b] > 0) $out |= 1L << $b;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SignatureKernels {
   def minhashComponent(shingles: Column, a: Long, b: Long, p: Long): Column =
     ExpressionUtils.column(MinhashComponent(ExpressionUtils.expression(shingles), a, b, p))
 
   def simhash16(shingles: Column): Column =
     ExpressionUtils.column(Simhash16(ExpressionUtils.expression(shingles)))
+
+  def simhashWide(shingles: Column): Column =
+    ExpressionUtils.column(SimhashWide(ExpressionUtils.expression(shingles)))
 }

@@ -224,6 +224,33 @@ object DedupQueries {
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // X2b at production sketch width: 60-bit simhash (two portable 30-bit
+    // halves) with 4 x 15-bit pigeonhole blocks — 32768 buckets per block.
+    // Oracle = brute force again, so block completeness at width 60 is
+    // hash-verified too.
+    Q("dedup_simhash_wide_pairs",
+      (s, dir) => Dedup.simhashPairsWide(
+          TableIO.read(s, dir, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some {
+        def half(m: Long, off: Int) =
+          s"""CAST(list_sum(list_transform(range(0, 30), b ->
+             |      CASE WHEN list_sum(list_transform($shinglesSql,
+             |                   s -> ((CAST((s * $m) % 1073741824 AS BIGINT) >> b) & 1) * 2 - 1)) > 0
+             |           THEN CAST(1 AS BIGINT) << (b + $off) ELSE 0 END)) AS BIGINT)""".stripMargin
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |    ${half(2654435761L, 0)}
+           |    + ${half(2246822519L, 30)} AS simhash
+           |  FROM documents WHERE doc_id < 300)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // X2c — n-gram Jaccard pairs via the inverted-index join (bounded to
     // doc_id < 300 so the pair set stays comparable across scale factors).
     // maxShingleDf=5 exercises the document-frequency ceiling (the fixture

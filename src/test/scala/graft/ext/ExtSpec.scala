@@ -151,6 +151,23 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 4))
   }
 
+  test("wide simhash pigeonhole join equals brute force and spreads buckets") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").filter($"doc_id" < 200)
+    val got = Dedup.simhashPairsWide(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sk = Dedup.simhashWide(docs, "text", "sh").select("doc_id", "sh")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sk; (b, sb) <- sk
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // sketches use all 60 bits and far fewer collisions than the 16-bit
+    // sketch: the distinct-sketch count approaches the doc count
+    assert(sk.forall { case (_, s) => s >= 0 && s < (1L << 60) })
+    assert(sk.map(_._2).distinct.length > sk.length * 9 / 10)
+  }
+
   test("connectedComponents converges on chains and assigns the min id") {
     // a 10-node chain (worst-case diameter) + a separate triangle + a pair
     val chain = (0L until 9L).map(i => (i, i + 1))
