@@ -164,6 +164,49 @@ object SimilarityQueries {
               |  AND ${cosSql("a.embedding", "b.embedding")} > 0.40
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Int8 scalar quantization with reconstruction-error accounting: the
+    // 4x-compression step of a production vector store. Scalar outputs
+    // only (sum of codes, max abs reconstruction error) so the compared
+    // frame stays sortable/hashable.
+    Q("embedding_quantize",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+        emb.select(col("vec_id"), scale.as("s"), q.as("q"), col("embedding"))
+          .select(
+            col("vec_id"),
+            round(col("s"), 6).as("scale6"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+            round(
+              aggregate(
+                zip_with(Similarity.dequantize(col("q"), col("s")), col("embedding"),
+                  (d, v) => abs(d - v.cast("double"))),
+                lit(0.0), (acc, e) => greatest(acc, e)),
+              8).as("max_err8"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+             |      (acc, x) -> greatest(acc, x)) AS s
+             |  FROM embeddings),
+             |coded AS (
+             |  SELECT vec_id, embedding, s,
+             |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS INT)) AS q
+             |  FROM base)
+             |SELECT vec_id,
+             |  round(s, 6) AS scale6,
+             |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+             |  round(
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, 65),
+             |        i -> abs(CAST(q[i] AS DOUBLE) * s / 127.0 - CAST(embedding[i] AS DOUBLE)))),
+             |      (acc, e) -> greatest(acc, e)),
+             |    8) AS max_err8
+             |FROM coded
+             |ORDER BY vec_id""".stripMargin)),
+
     // Vector norm stats per coarse cell (exercises T10 vector passthrough
     // + grouped aggregation with deterministic DECIMAL accumulation).
     Q("embedding_norm_stats",

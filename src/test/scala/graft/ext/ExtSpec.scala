@@ -235,6 +235,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall { case (q, n) => bmap(q) == bmap(n) })
   }
 
+  test("int8 quantization stays in code range with bounded reconstruction error") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val (scale, q) = Similarity.quantizeInt8($"embedding")
+    val checked = emb.select(
+        scale.as("s"), q.as("q"),
+        aggregate(zip_with(Similarity.dequantize(q, scale), $"embedding",
+          (d, v) => abs(d - v.cast("double"))), lit(0.0), (a, e) => greatest(a, e)).as("err"))
+      .select(
+        aggregate($"q", lit(true), (acc, x) => acc && x.between(-127, 127)).as("in_range"),
+        ($"err" <= $"s" / 127.0 / 2.0 + lit(1e-12)).as("err_ok"))
+    assert(checked.filter(!$"in_range" || !$"err_ok").count() == 0)
+  }
+
   test("multi-probe LSH recall is at least single-probe recall") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 30)
