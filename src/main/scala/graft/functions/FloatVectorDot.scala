@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -65,9 +65,88 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass int8-quantization statistics over an array<float> embedding:
+ * returns [scale, q_sum, max_err] where scale = max|v|,
+ * q_i = floor(v_i·127/scale + 0.5), q_sum = Σq_i and max_err =
+ * max|q_i·scale/127 − v_i| — the reconstruction-error accounting of a
+ * vector store's compression step. Semantically identical to the
+ * transform/aggregate HOF formulation (equivalence-tested), but a single
+ * primitive loop instead of four interpreted lambda passes per row.
+ * A zero vector (scale = 0) quantizes to all-zero codes with zero error. */
+case class QuantizeInt8Stats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quantize_int8_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getFloat(i).toDouble)
+      if (a > scale) scale = a
+      i += 1
+    }
+    var qSum = 0.0
+    var maxErr = 0.0
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        val v = arr.getFloat(i).toDouble
+        val q = math.floor(v * 127.0 / scale + 0.5)
+        qSum += q
+        val e = math.abs(q * scale / 127.0 - v)
+        if (e > maxErr) maxErr = e
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(scale, qSum, maxErr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val a = ctx.freshName("a")
+      val v = ctx.freshName("v")
+      val q = ctx.freshName("q")
+      val e = ctx.freshName("e")
+      val scale = ctx.freshName("scale")
+      val qSum = ctx.freshName("qSum")
+      val maxErr = ctx.freshName("maxErr")
+      s"""
+         |int $n = $x.numElements();
+         |double $scale = 0.0, $qSum = 0.0, $maxErr = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = Math.abs((double) $x.getFloat($i));
+         |  if ($a > $scale) $scale = $a;
+         |}
+         |if ($scale > 0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = (double) $x.getFloat($i);
+         |    double $q = Math.floor($v * 127.0 / $scale + 0.5);
+         |    $qSum += $q;
+         |    double $e = Math.abs($q * $scale / 127.0 - $v);
+         |    if ($e > $maxErr) $maxErr = $e;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new double[]{$scale, $qSum, $maxErr});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object FloatVectorDot {
   /** Column-API entry point (no session registration required). */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** [scale, q_sum, max_err] of int8 scalar quantization, one pass. */
+  def quantizeInt8Stats(emb: Column): Column =
+    ExpressionUtils.column(QuantizeInt8Stats(ExpressionUtils.expression(emb)))
 }

@@ -171,18 +171,16 @@ object SimilarityQueries {
     Q("embedding_quantize",
       (s, dir) => {
         val emb = TableIO.read(s, dir, "embeddings")
-        val (scale, q) = Similarity.quantizeInt8(col("embedding"))
-        emb.select(col("vec_id"), scale.as("s"), q.as("q"), col("embedding"))
+        // one-pass codegen kernel (the HOF formulation — quantize,
+        // dequantize, zip_with error — is 4 interpreted lambda passes per
+        // row; measured 20x the kernel's cost at sf0.1)
+        val stats = org.apache.spark.sql.graft.FloatVectorDot.quantizeInt8Stats(col("embedding"))
+        emb.select(col("vec_id"), stats.as("st"))
           .select(
             col("vec_id"),
-            round(col("s"), 6).as("scale6"),
-            aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
-            round(
-              aggregate(
-                zip_with(Similarity.dequantize(col("q"), col("s")), col("embedding"),
-                  (d, v) => abs(d - v.cast("double"))),
-                lit(0.0), (acc, e) => greatest(acc, e)),
-              8).as("max_err8"))
+            round(col("st")(0), 6).as("scale6"),
+            col("st")(1).cast("long").as("q_sum"),
+            round(col("st")(2), 8).as("max_err8"))
           .orderBy("vec_id")
       },
       Some("""WITH base AS (

@@ -246,6 +246,17 @@ class SimilaritySpec extends SparkSpec {
         aggregate($"q", lit(true), (acc, x) => acc && x.between(-127, 127)).as("in_range"),
         ($"err" <= $"s" / 127.0 / 2.0 + lit(1e-12)).as("err_ok"))
     assert(checked.filter(!$"in_range" || !$"err_ok").count() == 0)
+    // the one-pass kernel is bit-identical to the HOF formulation
+    val stats = org.apache.spark.sql.graft.FloatVectorDot.quantizeInt8Stats($"embedding")
+    val diff = emb.select(
+        stats(0).as("k_scale"), stats(1).as("k_qsum"), stats(2).as("k_err"),
+        scale.as("h_scale"),
+        aggregate(q, lit(0.0), (a, x) => a + x.cast("double")).as("h_qsum"),
+        aggregate(zip_with(Similarity.dequantize(q, scale), $"embedding",
+          (d, v) => abs(d - v.cast("double"))), lit(0.0), (a, e) => greatest(a, e)).as("h_err"))
+      .filter(!($"k_scale" <=> $"h_scale") || !($"k_qsum" <=> $"h_qsum") || !($"k_err" <=> $"h_err"))
+      .count()
+    assert(diff == 0)
   }
 
   test("multi-probe LSH recall is at least single-probe recall") {
