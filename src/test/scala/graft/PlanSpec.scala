@@ -75,6 +75,39 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"too many exchanges ($exchanges):\n${p.take(3000)}")
   }
 
+  test("shard packing is one scan and one hash shuffle (the window key)") {
+    val df = SparkEntry.queries("shard_packing")(spark, Sf)
+    val p = plan(df)
+    assert("FileScan".r.findAllIn(p).size == 1, s"extra scans:\n${p.take(2000)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n${p.take(2000)}")
+  }
+
+  test("corpus cleaning composes into one scan plus the dedup window shuffle") {
+    val df = SparkEntry.queries("corpus_clean")(spark, Sf)
+    val p = plan(df)
+    assert("FileScan".r.findAllIn(p).size == 1, s"extra scans:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than the prefix-key window shuffle:\n${p.take(2000)}")
+  }
+
+  test("wide simhash pair join keeps the kernel staged (no re-inlining into Filters)") {
+    val df = graft.ext.Dedup.simhashPairsWide(
+      TableIO.read(spark, Sf, "documents"), "text", "doc_id")
+    val p = plan(df)
+    val occurrences = "simhash_wide".r.findAllIn(p).size
+    assert(occurrences <= 2, s"sketch recomputed ($occurrences kernel sites):\n${p.take(2000)}")
+    assert(!p.contains("isnotnull(simhash_wide"), s"sketch re-inlined into a Filter:\n${p.take(2000)}")
+  }
+
+  test("quantization stats run as one kernel call per row, no interpreted lambdas") {
+    val df = SparkEntry.queries("embedding_quantize")(spark, Sf)
+    val p = plan(df)
+    assert("quantize_int8_stats".r.findAllIn(p).size <= 1,
+      s"kernel duplicated:\n${p.take(2000)}")
+    assert(!p.contains("lambdafunction"), s"interpreted HOF leaked into the plan:\n${p.take(2000)}")
+  }
+
   test("star join broadcasts every dimension (single shuffle for the groupBy)") {
     val df = SparkEntry.queries("star_join_revenue")(spark, Sf)
     val p = plan(df)
