@@ -225,8 +225,14 @@ object Dedup {
    * until no label changes (O(graph diameter) iterations — near-dup
    * cluster graphs are shallow chains/cliques, so convergence is fast;
    * production-scale variants swap in large-star/small-star to collapse
-   * diameter, same seam). Labels persist + materialize per iteration so
-   * the lineage does not grow unboundedly.
+   * diameter, same seam). Each iteration's labels are materialized with
+   * an eager localCheckpoint, which truncates the LOGICAL lineage:
+   * persist() alone leaves the logical tree doubling per iteration
+   * (labels appears twice in each next plan), and by ~10 iterations the
+   * cache-lookup/explain walk over that exponential tree OOMs the driver
+   * regardless of cached execution. On a real cluster, swap
+   * localCheckpoint for reliable checkpoint(dir) if executor loss during
+   * the loop must be survivable.
    *
    * Returns (id, cluster) for every node APPEARING IN A PAIR — the
    * cluster is the minimum reachable doc id, i.e. the deterministic
@@ -238,12 +244,11 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint(eager = true)
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
-    var prev: Option[DataFrame] = None
+      .localCheckpoint(eager = true)
 
     var changed = 1L
     var iter = 0
@@ -255,34 +260,28 @@ object Dedup {
       // Re-introduce it only for deep-chain graphs.)
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy("src").agg(min("label").as("nlabel"))
+      // eager checkpoint = the one materializing action per iteration;
+      // the follow-up count only scans the checkpointed blocks. Lineage
+      // is cut here, so every iteration plans over two LogicalRDD leaves
+      // — constant-size plans, no unpersist bookkeeping, and blocks from
+      // superseded iterations are released by the ContextCleaner once the
+      // frames become unreachable.
       val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
         .select(
           labels("id"),
           labels("label").as("old_label"),
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-        .persist()
-      // single action per iteration: materializes `next` and counts moves
+        .localCheckpoint(eager = true)
       changed = next.filter(col("label") =!= col("old_label")).count()
-      prev.foreach(_.unpersist())
-      prev = Some(next)
-      labels.unpersist()
       labels = next.select("id", "label")
       iter += 1
     }
-    edges.unpersist()
     // fail loudly rather than hand back non-minimum labels: a silent
     // partial convergence would keep documents dedup should have dropped
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIterations iterations " +
         s"($changed labels still moving) — raise maxIterations for deep-chain graphs")
-    // materialize the result into its own (small: one row per paired doc)
-    // cache so the last iteration's intermediate can be released — without
-    // this, every call leaked one persisted frame for the session. The
-    // returned frame stays cached for the caller; unpersist it when done.
-    val result = labels.withColumnRenamed("label", "cluster").persist()
-    result.count()
-    prev.foreach(_.unpersist())
-    result
+    labels.withColumnRenamed("label", "cluster")
   }
 
   /** X2b — 16-bit SimHash: bit b is set when the ±1 votes from each

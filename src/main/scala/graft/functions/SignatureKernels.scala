@@ -124,8 +124,12 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** 60-bit wide simhash over an array<bigint> of shingle hashes, built
- * from two 30-bit halves so EVERY intermediate stays < 2^52 (portable to
+/** 60-bit wide simhash over an array<bigint> of shingle hashes.
+ * PRECONDITION: inputs must lie in [0, 2^20) — the Dedup.withShingleHashes
+ * contract (shingles mod P=1048573). Only under that bound does s*m1 stay
+ * < 2^52; feeding raw 64-bit hashes would overflow the multiply and
+ * silently diverge from the DuckDB mirror. Built
+ * from two 30-bit halves so every intermediate stays < 2^52 (portable to
  * engines whose int64 arithmetic errors on overflow): per shingle,
  * h1 = (s*m1) mod 2^30 votes bits 0..29, h2 = (s*m2) mod 2^30 votes bits
  * 30..59. Empty array → 0. The production-width sketch for

@@ -78,7 +78,7 @@ object JobDispatch {
             .filter(col("diff_class") =!= graft.jobs.DiffData.Valid)
             .select(TrackedMigrate.bucketOf(pk.head, numParts).as("part_id"))
             .distinct()
-          graft.run.RunLedger.writePartitionFile(diffParts, out)
+          graft.run.RunLedger.appendPartitionFile(spark, diffParts, out)
         }
         // A5: autocorrect — MISSING re-inserted / MISMATCH overwritten per
         // flags. Live cluster: CQL upserts are in-place by PK, so the
@@ -97,10 +97,14 @@ object JobDispatch {
           if (liveTarget) {
             CassandraTableIO.write(corrections, cfg.target, targetTable, Some(cfg.perf))
           } else {
+            // merge on the EFFECTIVE PK (post-rename + explode key): the
+            // frames carry post-rename names, and after explodeMap the key
+            // column joins the PK — partitioning on the base PK alone
+            // would collapse all exploded rows sharing it to one survivor.
             val merged = Upsert.lastWriterWins(
               target.withColumn("__w", lit(0L)),
               corrections.withColumn("__w", lit(1L)),
-              cfg.schema.primaryKey, "__w").drop("__w")
+              pk, "__w").drop("__w")
             val staging = s"${targetTable}__staging"
             TableIO.write(merged, cfg.target.path, staging)
             TableIO.write(TableIO.read(spark, cfg.target.path, staging), cfg.target.path, targetTable)

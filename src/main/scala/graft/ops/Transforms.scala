@@ -146,11 +146,18 @@ object Transforms {
         .foldLeft(d)((dd, fl) => dd.withColumn(fl.name, f(col(fl.name))))
     t.codecs.foldLeft(df) { (d, codec) =>
       codec.toUpperCase match {
+        // Parquet timestamps without isAdjustedToUTC (the fixture's
+        // timestamp[ms] columns) surface as TimestampNTZType in Spark 4
+        // (inferTimestampNTZ default on) — the codec must cover both
+        // flavors or it silently skips the column (round-2 red row).
+        // Session TZ is pinned UTC, so NTZ→TZ cast is the identity.
         case "TIMESTAMP_STRING_FORMAT" =>
           val fmt = t.timestampStringFormat.getOrElse(throw new IllegalArgumentException(
             "codec TIMESTAMP_STRING_FORMAT requires spark.cdm.transform.codecs.timestamp.string.format"))
-          convert(d, _ == TimestampType, timestampToString(_, fmt))
-        case "TIMESTAMP_STRING_MILLIS" => convert(d, _ == TimestampType, timestampToMillisString)
+          convert(d, dt => dt == TimestampType || dt == TimestampNTZType, timestampToString(_, fmt))
+        case "TIMESTAMP_STRING_MILLIS" =>
+          convert(d, dt => dt == TimestampType || dt == TimestampNTZType,
+            c => timestampToMillisString(c.cast("timestamp")))
         case "INT_STRING"    => convert(d, _ == IntegerType, longToString)
         case "BIGINT_STRING" => convert(d, _ == LongType, longToString)
         case "DECIMAL_STRING" => convert(d, _.isInstanceOf[DecimalType], _.cast("string"))

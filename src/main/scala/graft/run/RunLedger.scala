@@ -62,6 +62,24 @@ object RunLedger {
       .coalesce(1) // operator-editable single file; the id list is tiny
       .write.mode("overwrite").text(path)
 
+  /** Append semantics for the failed-range file: the reference's
+   * appendOnDiff APPENDS mismatched ranges to the existing file — a
+   * validate run must not clobber ranges recorded by a prior migrate.
+   * The existing ids are materialized up front (the list is ≤ numParts by
+   * construction) because text overwrite deletes the path before a lazy
+   * read of the same path would execute. */
+  def appendPartitionFile(spark: SparkSession, parts: DataFrame, path: String): Unit = {
+    val existing: Seq[Int] =
+      if (new java.io.File(path).exists())
+        readPartitionFile(spark, path).collect().map(_.getInt(0)).toIndexedSeq
+      else Seq.empty
+    import spark.implicits._
+    val merged = parts.select(col("part_id").cast("int"))
+      .union(existing.toDF("part_id"))
+      .distinct()
+    writePartitionFile(merged, path)
+  }
+
   /**
    * Partitions still owed work given a previous run: the full range set
    * minus ranges the previous run PASSed. Mirrors the reference's

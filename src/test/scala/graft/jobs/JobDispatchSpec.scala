@@ -53,6 +53,61 @@ class JobDispatchSpec extends SparkSpec {
     assert(corrected == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("autocorrect merges on the effective PK under rename + explodeMap") {
+    // PK rename (pk -> id) + explodeMap: the merge key is the post-rename
+    // PK PLUS the exploded key column. Partitioning the last-writer-wins
+    // merge on the base PK alone would collapse every exploded row sharing
+    // a base id to one survivor — this pins the effective-PK path.
+    val origin = tmpDir(); val target = tmpDir()
+    Seq(
+      (1L, Map("k1" -> 10L, "k2" -> 20L)),
+      (2L, Map("k1" -> 30L, "k2" -> 40L)))
+      .toDF("pk", "m").write.parquet(s"$origin/t.parquet")
+    // target already exploded: (1,k2) mismatches, (2,k2) missing
+    Seq((1L, "k1", 10L), (1L, "k2", 999L), (2L, "k1", 30L))
+      .toDF("id", "mk", "mv").write.parquet(s"$target/t.parquet")
+    val cfg = CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.path" -> origin,
+      "spark.cdm.connect.target.path" -> target,
+      "spark.cdm.schema.origin.keyspaceTable" -> "t",
+      "spark.cdm.schema.origin.primaryKey" -> "pk",
+      "spark.cdm.schema.origin.column.names.to.target" -> "pk:id",
+      "spark.cdm.feature.explodeMap.origin.name" -> "m",
+      "spark.cdm.feature.explodeMap.target.name.key" -> "mk",
+      "spark.cdm.feature.explodeMap.target.name.value" -> "mv",
+      "spark.cdm.autocorrect.missing" -> "true",
+      "spark.cdm.autocorrect.mismatch" -> "true"))
+    assert(cfg.effectivePrimaryKey == Seq("id", "mk"))
+    JobDispatch.run(spark, "validate", cfg)
+    // every exploded row survives, with the two corrections applied
+    val corrected = spark.read.parquet(s"$target/t.parquet")
+      .select("id", "mk", "mv").as[(Long, String, Long)].collect().toSet
+    assert(corrected == Set(
+      (1L, "k1", 10L), (1L, "k2", 20L), (2L, "k1", 30L), (2L, "k2", 40L)))
+  }
+
+  test("appendOnDiff accumulates failed ranges across runs") {
+    val origin = tmpDir(); val target = tmpDir(); val pf = s"${tmpDir()}/parts.txt"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "v")
+      .write.parquet(s"$origin/t.parquet")
+    Seq((1L, "a")).toDF("pk", "v").write.parquet(s"$target/t.parquet")
+    // pre-existing failed ranges from a prior run
+    graft.run.RunLedger.writePartitionFile(
+      Seq(7, 9).toDF("part_id"), pf)
+    val cfg = CdmConfig.fromMap(Map(
+      "spark.cdm.connect.origin.path" -> origin,
+      "spark.cdm.connect.target.path" -> target,
+      "spark.cdm.schema.origin.keyspaceTable" -> "t",
+      "spark.cdm.schema.origin.primaryKey" -> "pk",
+      "spark.cdm.tokenrange.partitionFile.appendOnDiff" -> "true",
+      "spark.cdm.tokenrange.partitionFile.output" -> pf))
+    JobDispatch.run(spark, "validate", cfg)
+    val parts = graft.run.RunLedger.readPartitionFile(spark, pf)
+      .as[Int].collect().toSet
+    // prior ranges 7 and 9 survive alongside the newly-recorded diff ranges
+    assert(Set(7, 9).subsetOf(parts) && parts.size > 2)
+  }
+
   test("dispatched guardrail applies colSizeInKB") {
     val cfg = CdmConfig.fromMap(Map(
       "spark.cdm.connect.origin.path" -> Sf,
