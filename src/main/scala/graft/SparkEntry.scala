@@ -13,8 +13,8 @@ object SparkEntry {
   /** Everything registered, in build order (SURVEY.md §7.3). */
   def registry: Seq[Q] = {
     val all = CoreQueries.all ++ TransformQueries.all ++ DiffQueries.all ++
-      WindowQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ AnalyticsQueries.all
+      WindowQueries.all ++ TemporalQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all
     // a duplicated name would silently shadow its twin in the maps below
     val dups = all.groupBy(_.name).collect { case (n, qs) if qs.sizeIs > 1 => n }
     require(dups.isEmpty, s"duplicate query names registered: ${dups.mkString(", ")}")

@@ -65,6 +65,19 @@ object TextOps {
   /** Quality heuristics: token count, stopword ratio, mean token length. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Word 2-grams ("a b") of the token array — the unit of Gopher-style
+   * repetition scoring. Empty for < 2 tokens (mirrors DuckDB
+   * `range(1, len(w))`, empty on the same inputs). */
+  def bigrams(toks: Column): Column =
+    transform(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (_, i) => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+
+  /** Within-document duplicate-word fraction, 1 − distinct/total — the
+   * Gopher repetition-filter signal that catches boilerplate padding.
+   * Shuffle-free per row. */
+  def dupWordFrac(toks: Column): Column =
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
     stopwordHits(toks, stopwords).cast("double") / size(toks).cast("double")
 

@@ -174,6 +174,48 @@ object AnalyticsQueries {
              |  CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf_lite
              |FROM tf JOIN dfreq USING (token) CROSS JOIN n
              |WHERE doc_id < 50
-             |ORDER BY doc_id, token""".stripMargin))
+             |ORDER BY doc_id, token""".stripMargin)),
+
+    // Z-order (Morton) layout: cluster lineitem by the bit-interleave of
+    // 8-bit hashes of (l_partkey, l_suppkey) and cut the 16-bit z-domain
+    // into 32 equal-width "files"; report each file's min/max envelope on
+    // BOTH coordinates — the write-side clustering that lets scan-time
+    // min/max pruning skip files on either predicate column (random
+    // layout ⇒ every file spans the full domain; z-layout ⇒ ~1/√32 of
+    // it). File assignment is pure per-row arithmetic (zval >> 11), so
+    // the whole query is scan → groupBy: no window, no global sort — at
+    // 100 TB the same zval feeds repartitionByRange + sortWithinPartitions
+    // before the write, and THIS query audits the resulting layout.
+    Q("zorder_layout",
+      (s, dir) => {
+        // multiplicative mix before the modulo so both coordinates cover
+        // the 8-bit domain at every scale factor (raw l_suppkey spans
+        // only 10 values at sf0.001); same arithmetic in the oracle
+        val x = pmod(col("l_partkey") * lit(2654435761L), lit(256L))
+        val y = pmod(col("l_suppkey") * lit(2654435761L), lit(256L))
+        TableIO.read(s, dir, "lineitem")
+          .select(x.as("x"), y.as("y"),
+            graft.ext.Layout.zorder2(x, y).as("zval"))
+          .withColumn("file_id", shiftrightunsigned(col("zval"), 11))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .orderBy("file_id")
+      },
+      Some {
+        val xSql = "((l_partkey * 2654435761) % 256)"
+        val ySql = "((l_suppkey * 2654435761) % 256)"
+        val zSql = graft.ext.Layout.zorder2Sql(xSql, ySql)
+        s"""WITH z AS (
+           |  SELECT $xSql AS x, $ySql AS y, $zSql AS zval
+           |  FROM lineitem)
+           |SELECT (zval >> 11) AS file_id, count(*) AS n,
+           |  min(x) AS min_x, max(x) AS max_x,
+           |  min(y) AS min_y, max(y) AS max_y
+           |FROM z
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin
+      })
   )
 }

@@ -331,6 +331,38 @@ object DedupQueries {
         .groupBy("lang")
         .agg(approx_count_distinct(col("doc_id")).as("approx_docs"))
         .orderBy("lang"),
-      None)
+      None),
+
+    // Train/eval contamination check: per train document (source != src0),
+    // the fraction of its distinct 3-gram shingles that also appear
+    // anywhere in the held-out eval slice (source = src0) — the test-set
+    // decontamination scan every training pipeline runs before a bake.
+    // The eval shingle set is a sub-aggregation orders of magnitude
+    // smaller than the corpus, so AQE turns the probe into a broadcast
+    // join at runtime; the train side stays one (doc, shingle) shuffle.
+    // Docs under 3 tokens have no shingles and drop out on both engines.
+    Q("contamination_check",
+      (s, dir) => {
+        val sh = Dedup.withShingleHashes(TableIO.read(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("source"), explode(col(Dedup.ShinglesCol)).as("sh"))
+        val train = sh.filter(col("source") =!= "src0").select("doc_id", "sh").distinct()
+        val eval = sh.filter(col("source") === "src0").select("sh").distinct()
+          .withColumn("hit", lit(1))
+        train.join(eval, Seq("sh"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+          .withColumn("overlap_frac",
+            round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, source, unnest($shinglesSql) AS sh FROM documents),
+              |tr AS (SELECT DISTINCT doc_id, sh FROM s WHERE source <> 'src0'),
+              |ev AS (SELECT DISTINCT sh FROM s WHERE source = 'src0')
+              |SELECT tr.doc_id, count(*) AS n_shingles, count(ev.sh) AS n_overlap,
+              |  round(CAST(count(ev.sh) AS DOUBLE) / count(*), 6) AS overlap_frac
+              |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+              |GROUP BY 1
+              |ORDER BY 1""".stripMargin))
   )
 }

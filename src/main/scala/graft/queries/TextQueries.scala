@@ -210,6 +210,51 @@ object TextQueries {
               |      list_transform(string_split(text, ' '), t -> CAST(${hSql("t")} AS BIGINT))),
               |    (acc, x) -> (acc * 131 + x) % ${TextOps.FingerprintMod}) AS fp
               |FROM documents
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition scoring: the most-frequent word 2-gram's
+    // share of all 2-grams, plus the duplicate-word fraction — the two
+    // repetition filters that catch boilerplate/spam padding. Bigram
+    // counts go through (doc, bigram) groupBy with map-side combine; the
+    // per-row fractions are shuffle-free HOFs joined back by doc_id.
+    Q("text_repetition",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val perDoc = docs.select(col("doc_id"),
+            TextOps.dupWordFrac(toks).as("dup_word_frac"))
+        val top = docs
+          .select(col("doc_id"), explode(TextOps.bigrams(toks)).as("bigram"))
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+          .withColumn("top_bigram_frac",
+            round(col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 6))
+        perDoc.join(top, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+            coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+            col("dup_word_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             |                  i -> w[i] || ' ' || w[i+1])) AS bigram
+             |  FROM t),
+             |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+             |top AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |         CAST(max(c) AS BIGINT) AS top_bigram_n,
+             |         round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+             |  FROM cnt GROUP BY 1)
+             |SELECT t.doc_id,
+             |  coalesce(top.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(top.top_bigram_n, 0) AS top_bigram_n,
+             |  coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac,
+             |  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_word_frac
+             |FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+             |ORDER BY t.doc_id""".stripMargin))
   )
 }
