@@ -343,8 +343,12 @@ object DedupQueries {
     // Docs under 3 tokens have no shingles and drop out on both engines.
     Q("contamination_check",
       (s, dir) => {
+        // explode_outer + null filter keeps InferFiltersFromGenerate from
+        // re-inlining the staged shingle pipeline below the Generate
+        // (see Dedup.ngramJaccardPairs)
         val sh = Dedup.withShingleHashes(TableIO.read(s, dir, "documents"), "text")
-          .select(col("doc_id"), col("source"), explode(col(Dedup.ShinglesCol)).as("sh"))
+          .select(col("doc_id"), col("source"), explode_outer(col(Dedup.ShinglesCol)).as("sh"))
+          .filter(col("sh").isNotNull)
         val train = sh.filter(col("source") =!= "src0").select("doc_id", "sh").distinct()
         val eval = sh.filter(col("source") === "src0").select("sh").distinct()
           .withColumn("hit", lit(1))

@@ -303,6 +303,55 @@ object SimilarityQueries {
              |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
              |    (acc, b) -> (acc * 131 + b) % 1000000007) AS checksum
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // X3+ — IVF-training E-step: nearest-centroid assignment over the
+    // whole table (centroids = the first 8 vectors, broadcast). Squared
+    // L2 via the three-dot identity, each dot a fixed-order fold; argmin
+    // is a map-side-combined min(struct), ties on centroid id.
+    Q("kmeans_assign",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.assignToCentroids(emb, emb.filter(col("vec_id") < 8))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+              |p AS (
+              |  SELECT e.vec_id, c.c_id,
+              |         round(${dotSql("e.embedding", "e.embedding")}
+              |               - 2.0 * ${dotSql("e.embedding", "c.c_emb")}
+              |               + ${dotSql("c.c_emb", "c.c_emb")}, 6) AS dist6
+              |  FROM embeddings e, c)
+              |SELECT vec_id, c_id AS centroid_id, dist6
+              |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist6, c_id) AS rn FROM p)
+              |WHERE rn = 1
+              |ORDER BY vec_id""".stripMargin)),
+
+    // X3+ — per-dimension feature statistics (the normalization-fit pass
+    // of an embedding pipeline): posexplode to (dim, value), one groupBy.
+    // Values are fixed-point-quantized (floor(v·1e6) as BIGINT) BEFORE
+    // aggregation: long sums are exact and order-independent, where float
+    // sums differ by partitioning and float→DECIMAL casts differ between
+    // engines (Spark rounds the binary expansion, DuckDB the shortest
+    // representation). floor, not round — no half-tie ambiguity.
+    Q("embedding_dim_stats",
+      (s, dir) => TableIO.read(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("v").cast("double") * lit(1000000.0)).as("q"))
+        .groupBy("dim")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("q").as("sum_q"),
+          min("q").as("min_q"),
+          max("q").as("max_q"))
+        .orderBy("dim"),
+      Some("""SELECT i - 1 AS dim, count(*) AS n,
+             |  CAST(sum(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)) AS BIGINT) AS sum_q,
+             |  CAST(min(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)) AS BIGINT) AS min_q,
+             |  CAST(max(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)) AS BIGINT) AS max_q
+             |FROM embeddings, range(1, 65) r(i)
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin))
   )
 }

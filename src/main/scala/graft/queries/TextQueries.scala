@@ -199,6 +199,46 @@ object TextQueries {
              |GROUP BY lang
              |ORDER BY lang""".stripMargin)),
 
+    // Domain capping: keep at most 5 documents per source (the "no
+    // domain dominates the mixture" step of corpus curation) — one
+    // window shuffle on the partition column, deterministic survivors.
+    Q("source_cap",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        TableIO.read(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+             |FROM (SELECT source, doc_id,
+             |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |      FROM documents)
+             |WHERE rn <= 5
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // Deterministic train/val split by multiplicative hash of the PK —
+    // reproducible across reruns, partitionings, and engines (never
+    // rand()); per-(split, lang) counts audit the stratification.
+    Q("train_val_split",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .withColumn("split",
+          when(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 90, lit("train"))
+            .otherwise(lit("val")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang"),
+      Some("""SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90
+             |            THEN 'train' ELSE 'val' END AS split,
+             |       lang, count(*) AS n
+             |FROM documents
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Order-sensitive rolling document fingerprint.
     Q("text_fingerprint",
       (s, dir) => TableIO.read(s, dir, "documents")
@@ -219,12 +259,18 @@ object TextQueries {
     // per-row fractions are shuffle-free HOFs joined back by doc_id.
     Q("text_repetition",
       (s, dir) => {
+        // stage the token array in a column: bigrams() reads it 3× and
+        // per ELEMENT in its lambda — an inline split(text) expression
+        // would re-split the whole text per bigram (quadratic per doc)
         val docs = TableIO.read(s, dir, "documents")
-        val toks = TextOps.tokens(col("text"))
+          .withColumn("__toks", TextOps.tokens(col("text")))
         val perDoc = docs.select(col("doc_id"),
-            TextOps.dupWordFrac(toks).as("dup_word_frac"))
+            TextOps.dupWordFrac(col("__toks")).as("dup_word_frac"))
+        // explode_outer + null filter: see Dedup.ngramJaccardPairs on the
+        // InferFiltersFromGenerate re-inlining pathology
         val top = docs
-          .select(col("doc_id"), explode(TextOps.bigrams(toks)).as("bigram"))
+          .select(col("doc_id"), explode_outer(TextOps.bigrams(col("__toks"))).as("bigram"))
+          .filter(col("bigram").isNotNull)
           .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
