@@ -252,58 +252,61 @@ object Dedup {
     // (580 pairs out of 50k docs on the sf0.1 fixture), and every iteration
     // pays per-partition scheduling on each of its two jobs. ~2M edges per
     // partition keeps a partition tens of MB; clamped to the session width
-    // so a genuinely large graph keeps full parallelism. The session conf
-    // is restored after the loop (everything inside is materialized by the
-    // eager checkpoints, so no downstream plan sees the narrow setting).
+    // so a genuinely large graph keeps full parallelism. The width is
+    // applied ONLY through explicit repartition(loopWidth, key) on the
+    // loop's own frames — never by mutating the session-global
+    // spark.sql.shuffle.partitions, which would silently narrow any query
+    // running concurrently on the same shared SparkSession.
     val edgeCount = edges.count()
-    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopWidth = math.max(1L, math.min(sessionWidth.toLong, edgeCount / 2000000L + 1L))
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopWidth = math.max(1L, math.min(sessionWidth.toLong, edgeCount / 2000000L + 1L)).toInt
 
     var changed = 1L
     var iter = 0
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
-      // re-checkpoint the edge list at loop width, hash-partitioned on the
-      // join key: every iteration's map side is then loopWidth tasks and
-      // the dst side of the join needs no further exchange.
-      val e = edges.repartition(loopWidth.toInt, col("dst")).localCheckpoint(eager = true)
-      var labels = e.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(eager = true)
+    // Checkpoint the edge list hash-partitioned on the join key at loop
+    // width: Dataset.localCheckpoint preserves outputPartitioning, so every
+    // iteration's join sees a dst-partitioned build side of loopWidth
+    // partitions and plans no further exchange for it.
+    val e = edges.repartition(loopWidth, col("dst")).localCheckpoint(eager = true)
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .repartition(loopWidth, col("id"))
+      .localCheckpoint(eager = true)
 
-      while (changed > 0 && iter < maxIterations) {
-        // propagate: min label across neighbors. (A pointer-jumping variant
-        // — l(id) := l(l(id)) for O(log diameter) rounds — was measured
-        // SLOWER here: near-dup cluster diameters are already 2-4, so the
-        // extra self-join per round costs more than the rounds it saves.
-        // Re-introduce it only for deep-chain graphs.)
-        val neighborMin = e.join(labels, e("dst") === labels("id"))
-          .groupBy("src").agg(min("label").as("nlabel"))
-        // eager checkpoint = the one materializing action per iteration;
-        // the follow-up count only scans the checkpointed blocks. Lineage
-        // is cut here, so every iteration plans over two LogicalRDD leaves
-        // — constant-size plans, no unpersist bookkeeping, and blocks from
-        // superseded iterations are released by the ContextCleaner once the
-        // frames become unreachable.
-        val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-          .select(
-            labels("id"),
-            labels("label").as("old_label"),
-            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-          .localCheckpoint(eager = true)
-        changed = next.filter(col("label") =!= col("old_label")).count()
-        labels = next.select("id", "label")
-        iter += 1
-      }
-      // fail loudly rather than hand back non-minimum labels: a silent
-      // partial convergence would keep documents dedup should have dropped
-      if (changed > 0) throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIterations iterations " +
-          s"($changed labels still moving) — raise maxIterations for deep-chain graphs")
-      labels.withColumnRenamed("label", "cluster")
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
+    while (changed > 0 && iter < maxIterations) {
+      // propagate: min label across neighbors. (A pointer-jumping variant
+      // — l(id) := l(l(id)) for O(log diameter) rounds — was measured
+      // SLOWER here: near-dup cluster diameters are already 2-4, so the
+      // extra self-join per round costs more than the rounds it saves.
+      // Re-introduce it only for deep-chain graphs.)
+      // The explicit repartition before the groupBy keeps the aggregation
+      // at loopWidth tasks regardless of the session's shuffle width; both
+      // join inputs are already loopWidth-partitioned on their keys.
+      val neighborMin = e.join(labels, e("dst") === labels("id"))
+        .repartition(loopWidth, col("src"))
+        .groupBy("src").agg(min("label").as("nlabel"))
+      // eager checkpoint = the one materializing action per iteration;
+      // the follow-up count only scans the checkpointed blocks. Lineage
+      // is cut here, so every iteration plans over two LogicalRDD leaves
+      // — constant-size plans, no unpersist bookkeeping, and blocks from
+      // superseded iterations are released by the ContextCleaner once the
+      // frames become unreachable.
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+        .select(
+          labels("id"),
+          labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select("id", "label")
+      iter += 1
     }
+    // fail loudly rather than hand back non-minimum labels: a silent
+    // partial convergence would keep documents dedup should have dropped
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations iterations " +
+        s"($changed labels still moving) — raise maxIterations for deep-chain graphs")
+    labels.withColumnRenamed("label", "cluster")
   }
 
   /** X2b — 16-bit SimHash: bit b is set when the ±1 votes from each

@@ -35,6 +35,8 @@ object TemporalJoins {
    */
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, asofCol: String): DataFrame = {
+    requireFreeColumns(left, Seq("__side"))
+    requireFreeColumns(right, Seq("__side"))
     val lCols = left.columns
     val l = left.withColumn("__side", lit(1))
     val r = right.select((keyCols :+ tsCol).map(col): _*).withColumn("__side", lit(0))
@@ -62,24 +64,61 @@ object TemporalJoins {
    * Right columns are returned suffixed `_r` (key columns and ts
    * included) so callers can aggregate matches per left row.
    */
-  /** `joinType` "inner" for match pairs, "left_outer" to keep zero-match
-   * left rows (exploded candidates make at most one spurious null row per
-   * unmatched candidate bucket — `count(right col)` aggregation per left
-   * key absorbs them). */
+  /** `joinType` "inner" for match pairs, "left_outer" for true row-level
+   * left-outer semantics: every zero-match left row appears exactly once
+   * (null-extended), matched rows carry no spurious null companion. The
+   * exploded candidate buckets are collapsed per left row before
+   * returning, which costs one extra shuffle on an opaque per-row
+   * surrogate — cheap relative to the join itself, and the result is safe
+   * for any caller, not just aggregating ones. */
   def rangeJoinBucketed(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, windowMicros: Long, joinType: String = "inner"): DataFrame = {
     require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"rangeJoinBucketed supports inner and left_outer, got $joinType")
+    requireFreeColumns(left, Seq("__bucket_l", "__bucket_r", "__lid"))
+    requireFreeColumns(right, Seq("__bucket_l", "__bucket_r"))
     val bucket = (c: Column) => floor(unix_micros(c) / lit(windowMicros))
-    val l = left
+    // The surrogate is only a grouping key for collapsing the two candidate
+    // buckets of the same left row; its values never reach the output, so
+    // monotonically_increasing_id's partitioning-dependence is harmless.
+    val lRaw =
+      if (joinType == "inner") left
+      else left.withColumn("__lid", monotonically_increasing_id())
+    val l = lRaw
       .withColumn("__bucket_l", explode(array(bucket(col(tsCol)), bucket(col(tsCol)) + 1)))
     val r = right
       .select(right.columns.map(c => col(c).as(s"${c}_r")).toIndexedSeq: _*)
       .withColumn("__bucket_r", bucket(col(s"${tsCol}_r")))
     val keyCond = keyCols.map(k => l(k) === r(s"${k}_r")).reduce(_ && _)
-    l.join(r, keyCond && l("__bucket_l") === r("__bucket_r")
+    val joined = l.join(r, keyCond && l("__bucket_l") === r("__bucket_r")
         && r(s"${tsCol}_r") >= l(tsCol)
         && unix_micros(r(s"${tsCol}_r")) < unix_micros(l(tsCol)) + lit(windowMicros),
         joinType)
       .drop("__bucket_l", "__bucket_r")
+    if (joinType == "inner") joined
+    else {
+      // Collapse the candidate-bucket explosion: a matched right row
+      // always has a non-null ts (the >= residual can only pass on one),
+      // so rows with null ts_r are exactly the null-extended candidates.
+      // Keep all matches; keep ONE null row iff the left row matched
+      // nothing in either bucket.
+      val w = Window.partitionBy("__lid")
+      val wOrd = w.orderBy(col(s"${tsCol}_r").asc_nulls_last)
+      joined
+        .withColumn("__matches", count(col(s"${tsCol}_r")).over(w))
+        .withColumn("__rn", row_number().over(wOrd))
+        .filter(col(s"${tsCol}_r").isNotNull || (col("__matches") === 0 && col("__rn") === 1))
+        .drop("__lid", "__matches", "__rn")
+    }
+  }
+
+  /** Fail fast when an input already carries one of the operator's
+   * internal helper columns: letting unionByName/join proceed would
+   * silently null-fill or mis-bucket instead of erroring clearly. */
+  private def requireFreeColumns(df: DataFrame, names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already contains internal helper column(s) ${clash.mkString(", ")} — rename them before calling")
   }
 }

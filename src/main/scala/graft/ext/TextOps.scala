@@ -76,7 +76,12 @@ object TextOps {
    * Gopher repetition-filter signal that catches boilerplate padding.
    * Shuffle-free per row. */
   def dupWordFrac(toks: Column): Column =
-    round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+    // size(toks) = 0 is unreachable for split()-produced arrays today
+    // (empty text tokenizes to [""]) but a null/empty array from another
+    // producer must yield 0.0, not NaN/null, so the guard pins the edge.
+    when(size(toks) > 0,
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6))
+      .otherwise(lit(0.0))
 
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
     stopwordHits(toks, stopwords).cast("double") / size(toks).cast("double")

@@ -49,6 +49,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(agg === Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("rangeJoinBucketed left_outer is row-level correct: one null row per unmatched left, none per matched") {
+    // l_id=1 matches two right rows (and must carry NO extra null row even
+    // though only one of its two candidate buckets matched); l_id=2
+    // matches nothing and must appear EXACTLY once, null-extended.
+    val left = mkTs(Seq((1L, 100L), (2L, 50000L)), "l_id")
+    val right = mkTs(Seq((20L, 150L), (21L, 900L)), "r_id")
+    val out = TemporalJoins.rangeJoinBucketed(left, right, Seq("user_id"), "ts", 1000L, "left_outer")
+      .select(col("l_id"), col("r_id_r")).as[(Long, Option[Long])].collect().sorted
+    assert(out.toSeq === Seq((1L, Some(20L)), (1L, Some(21L)), (2L, None)))
+  }
+
+  test("temporal joins reject inputs that collide with internal helper columns") {
+    val left = mkTs(Seq((1L, 100L)), "l_id")
+    val clash = left.withColumn("__side", lit(0))
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(clash, left, Seq("user_id"), "ts", "asof_ts")
+    }
+    val clashB = left.withColumn("__bucket_l", lit(0L))
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoinBucketed(clashB, left, Seq("user_id"), "ts", 1000L)
+    }
+  }
+
   test("rangeJoinBucketed plans as an equi hash join, never nested-loop") {
     val ev = graft.io.TableIO.read(spark, Sf, "events")
     val p = TemporalJoins.rangeJoinBucketed(
@@ -93,5 +116,13 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(0)._1 === Seq("a b", "b a") && math.abs(out(0)._2 - 0.333333) < 1e-6)
     assert(out(1)._1 === Seq.empty && out(1)._2 === 0.0)
     assert(out(2)._1 === Seq("x y") && out(2)._2 === 0.0)
+  }
+
+  test("dupWordFrac is 0.0 (not NaN/null) for empty and null token arrays") {
+    val out = spark.sql(
+      "SELECT stack(2, CAST(array() AS ARRAY<STRING>), CAST(NULL AS ARRAY<STRING>)) AS toks")
+      .select(TextOps.dupWordFrac(col("toks")).as("f"))
+      .as[Double].collect()
+    assert(out.toSeq === Seq(0.0, 0.0))
   }
 }
