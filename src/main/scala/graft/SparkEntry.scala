@@ -14,6 +14,7 @@ object SparkEntry {
   def registry: Seq[Q] = {
     val all = CoreQueries.all ++ TransformQueries.all ++ DiffQueries.all ++
       WindowQueries.all ++ TemporalQueries.all ++ TextQueries.all ++
+      CurationQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all
     // a duplicated name would silently shadow its twin in the maps below
     val dups = all.groupBy(_.name).collect { case (n, qs) if qs.sizeIs > 1 => n }

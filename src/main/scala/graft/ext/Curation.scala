@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for training-data pipelines (extension
+ * surface, SURVEY.md §2.11): group-wise top-k selection, deterministic
+ * stratified sampling, priority-ordered cross-source survivor selection,
+ * and fixed-width histograms. The reference has no analog (its surface is
+ * migration-shaped); these are the selection/mixing steps that sit between
+ * dedup (ext/Dedup) and shard packing (TextQueries.shard_packing) in a
+ * real 100 TB curation run.
+ *
+ * Scale posture: every operator is one shuffle (or zero), never a global
+ * sort, never a collect; sampling and survivor choice are deterministic
+ * functions of the data (multiplicative hashes / total-order windows), so
+ * reruns and retries reproduce byte-identical outputs.
+ */
+object Curation {
+
+  /**
+   * Group-wise top-k by an explicit total order — the "best k documents
+   * per domain/language" curation primitive. Two-phase, like
+   * Similarity.rankTopK: a local rank inside each input partition caps
+   * the shuffle at k rows per (group, partition) BEFORE the global
+   * window, so a group with millions of rows never funnels them all
+   * through one reducer. `orderCols` must define a total order within
+   * each group (end it with a unique id) or survivors are
+   * partitioning-dependent.
+   */
+  def topkPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      k: Int, rankCol: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val local = df
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy((groupCols.map(col) :+ col("__part")): _*).orderBy(orderCols: _*)))
+      .filter(col("__lr") <= k)
+      .drop("__part", "__lr")
+    local
+      .withColumn(rankCol, row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)))
+      .filter(col(rankCol) <= k)
+  }
+
+  /**
+   * Deterministic stratified sampling: keep a row iff
+   * `(id * 2654435761) mod 100 < pct(stratum)`. The multiplicative hash
+   * (Knuth's 2654435761) makes the decision a pure function of the row's
+   * id — reproducible across reruns, partitionings, and engines, unlike
+   * `df.sample` / rand() (SURVEY.md §7.5.7). Zero shuffle: the predicate
+   * fuses into the scan.
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: Column,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    (rates.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"rate must be in [0,100], got $p"))
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(strataCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(idCol.cast("long") * lit(2654435761L), lit(100L)) < pct)
+  }
+
+  /**
+   * Priority-ordered survivor per key: keeps exactly the first row of
+   * `orderCols` within each `keyCols` group — the cross-source dedup
+   * step ("same content from a curated source beats the same content
+   * from a crawl"). Generalizes Dedup.exactKeep to a caller-supplied
+   * multi-column order; `orderCols` must end in a unique column for a
+   * total order. One key shuffle.
+   */
+  def keepByPriority(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /**
+   * Fixed-width histogram of a non-negative numeric column: bucket
+   * `floor(v / width)`, per-bucket count and min/max envelope. One
+   * map-side-combined groupBy — the corpus length-distribution audit
+   * (quality filters are tuned against exactly this table).
+   */
+  def histogram(df: DataFrame, valueCol: Column, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    // integer division (div), not double `/` + cast: exact for the full
+    // long domain, and mirrors DuckDB's `//` on BIGINT
+    df.select(valueCol.cast("long").as("__v"))
+      .groupBy(expr(s"__v div $width").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("__v").as("min_v"),
+        max("__v").as("max_v"))
+  }
+}

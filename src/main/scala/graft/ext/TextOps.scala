@@ -86,6 +86,36 @@ object TextOps {
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
     stopwordHits(toks, stopwords).cast("double") / size(toks).cast("double")
 
+  /** Type-token ratio (distinct/total tokens) — the complementary view of
+   * [[dupWordFrac]]; 0.0 for empty/null arrays, same guard. */
+  def typeTokenRatio(toks: Column): Column =
+    when(size(toks) > 0,
+      round(size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6))
+      .otherwise(lit(0.0))
+
+  /**
+   * PII redaction patterns, kept to character classes Java regex and
+   * DuckDB's RE2 interpret identically (no lookarounds, no \b): emails
+   * and NNN-NNNN...-style phone fragments. Real deployments swap in their
+   * compliance patterns; the operator shape (regexp_replace chain +
+   * regexp_extract_all counts, shuffle-free per row) is what scales.
+   */
+  val EmailPattern = "[a-z0-9._]+@[a-z0-9.-]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{4,}"
+
+  /** Redact emails then phones; counts come from [[piiCounts]] so the
+   * audit and the scrub share one pattern definition. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
   /**
    * Rolling polynomial fingerprint over the token stream:
    * fold(0, (acc, h(t)) => (acc*131 + h(t)) mod 1e9+7). Order-sensitive,

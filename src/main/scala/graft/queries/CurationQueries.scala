@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, TextOps}
+import graft.io.TableIO
+
+/**
+ * Corpus-curation queries (ext/Curation + the TextOps PII/diversity
+ * additions): the selection/mixing steps of a training-data pipeline —
+ * group-wise top-k, stratified sampling, cross-source survivor dedup,
+ * length histograms, PII scrubbing, lexical-diversity scoring.
+ */
+object CurationQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Best-k-per-group curation: the 3 longest documents per language,
+    // deterministic tiebreak on doc_id. The engine side is the two-phase
+    // top-k (local rank caps the shuffle at k per input partition before
+    // the per-group window); the oracle states the single-window form the
+    // two-phase plan must equal.
+    Q("quality_topk_per_lang",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Curation.topkPerGroup(docs, Seq("lang"),
+            Seq(col("n_tokens").desc, col("doc_id").asc), k = 3)
+          .select(col("lang"), col("rank").cast("long").as("rank"), col("doc_id"), col("n_tokens"))
+          .orderBy("lang", "rank")
+      },
+      Some("""SELECT lang, rank, doc_id, n_tokens FROM (
+             |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS BIGINT) AS rank
+             |  FROM documents)
+             |WHERE rank <= 3
+             |ORDER BY lang, rank""".stripMargin)),
+
+    // Deterministic stratified sampling — per-language keep rates (60%
+    // en, 40% zh, 20% everything else) decided by a multiplicative hash
+    // of the PK, never rand(): reruns, task retries, and the oracle all
+    // agree row-for-row. The predicate fuses into the scan (zero
+    // shuffle); per-stratum counts audit the realized rates.
+    Q("stratified_sample",
+      (s, dir) => Curation.stratifiedSample(
+          TableIO.read(s, dir, "documents"),
+          "lang", col("doc_id"), Map("en" -> 60, "zh" -> 40), defaultPct = 20)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+             |FROM documents
+             |WHERE (doc_id * 2654435761) % 100 <
+             |  CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 40 ELSE 20 END
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // Cross-source survivor dedup: same 3-token-prefix content key, the
+    // copy from the most-trusted source wins (src0 beats src1 beats the
+    // crawl), doc_id breaks remaining ties. One key shuffle.
+    Q("priority_dedup",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+          .withColumn("prefix_key", TextOps.prefixKey(col("text")))
+          .withColumn("src_priority",
+            when(col("source") === "src0", lit(0L))
+              .when(col("source") === "src1", lit(1L)).otherwise(lit(2L)))
+        Curation.keepByPriority(docs, Seq("prefix_key"),
+            Seq(col("src_priority").asc, col("doc_id").asc))
+          .select("doc_id", "source", "src_priority", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, source, src_priority, lang FROM (
+              |  SELECT doc_id, source, lang,
+              |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 ELSE 2 END AS src_priority,
+              |    row_number() OVER (PARTITION BY ${OracleSql.prefixKey()}
+              |      ORDER BY CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 ELSE 2 END, doc_id) AS rn
+              |  FROM documents)
+              |WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus length distribution as a fixed-width histogram (bucket =
+    // token count div 20) with per-bucket min/max envelopes — the table
+    // quality-filter thresholds are tuned against. One map-side-combined
+    // groupBy.
+    Q("doc_length_hist",
+      (s, dir) => Curation.histogram(
+          TableIO.read(s, dir, "documents")
+            .select(TextOps.tokenCount(col("text")).as("n_tokens")),
+          col("n_tokens"), width = 20L)
+        .orderBy("bucket"),
+      Some("""SELECT len(string_split(text, ' ')) // 20 AS bucket,
+             |  count(*) AS n,
+             |  min(len(string_split(text, ' '))) AS min_v,
+             |  max(len(string_split(text, ' '))) AS max_v
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
+    // PII scrub: the fixtures are PII-free word soup, so each document
+    // gets a deterministic synthetic contact line appended (same
+    // expression in both engines), then the redaction chain + audit
+    // counts run over it — regexp_replace / regexp_extract_all per row,
+    // shuffle-free, patterns restricted to the Java-regex ∩ RE2 dialect.
+    Q("text_pii_scrub",
+      (s, dir) => {
+        val synth = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          (lit(1000L) + pmod(col("doc_id"), lit(9000L))).cast("string"))
+        TableIO.read(s, dir, "documents")
+          .withColumn("__synth", synth)
+          .select(
+            col("doc_id"),
+            TextOps.emailCount(col("__synth")).cast("long").as("n_emails"),
+            TextOps.phoneCount(col("__synth")).cast("long").as("n_phones"),
+            substring(TextOps.scrubPii(col("__synth")), -30, 30).as("tail30"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH synth AS (
+              |  SELECT doc_id,
+              |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+              |         || '@example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS s
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(s, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(s, '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+              |  right(regexp_replace(regexp_replace(s, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+              |        '${TextOps.PhonePattern}', '<PHONE>', 'g'), 30) AS tail30
+              |FROM synth
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Lexical diversity: type-token ratio (per-row HOF, shuffle-free) +
+    // Gini-Simpson index over the token distribution — rational
+    // arithmetic only (counts and one division), no transcendentals, so
+    // both engines agree bit-for-bit (same discipline as text_tfidf).
+    Q("text_diversity",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+          .withColumn("__toks", TextOps.tokens(col("text")))
+        val perDoc = docs.select(
+          col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
+          TextOps.typeTokenRatio(col("__toks")).as("ttr"))
+        // explode_outer + null filter: see Dedup.ngramJaccardPairs on the
+        // InferFiltersFromGenerate re-inlining pathology
+        val simpson = docs
+          .select(col("doc_id"), explode_outer(col("__toks")).as("token"))
+          .filter(col("token").isNotNull)
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("c")).as("sum_sq"), sum("c").as("n"))
+          .withColumn("simpson",
+            round(lit(1.0) - col("sum_sq").cast("double") / (col("n") * col("n")).cast("double"), 6))
+        perDoc.join(simpson.select("doc_id", "simpson"), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("ttr"),
+            coalesce(col("simpson"), lit(0.0)).as("simpson"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+             |cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+             |s AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS sum_sq,
+             |             CAST(sum(c) AS BIGINT) AS n
+             |      FROM cnt GROUP BY 1)
+             |SELECT t.doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+             |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr,
+             |  coalesce(round(1.0 - CAST(s.sum_sq AS DOUBLE) / (s.n * s.n), 6), 0.0) AS simpson
+             |FROM t LEFT JOIN s USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan pins for the curation operators: two-phase top-k
+ * equivalence, deterministic sampling, priority survivors, histogram
+ * arithmetic, PII scrub. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topkPerGroup equals the single-window formulation") {
+    val df = graft.io.TableIO.read(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
+    val twoPhase = Curation.topkPerGroup(df, Seq("lang"),
+        Seq(col("len").desc, col("doc_id").asc), k = 5)
+      .select("lang", "rank", "doc_id", "len")
+    val oneWindow = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("len").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "doc_id", "len")
+    assert(twoPhase.exceptAll(oneWindow).isEmpty && oneWindow.exceptAll(twoPhase).isEmpty)
+  }
+
+  test("topkPerGroup returns at most k rows per group, ranks 1..k") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")).toDF("id", "g")
+    val out = Curation.topkPerGroup(df, Seq("g"), Seq(col("id").asc), k = 2)
+      .select($"g", $"rank", $"id").as[(String, Int, Long)].collect().sorted
+    assert(out.toSeq === Seq(("a", 1, 1L), ("a", 2, 2L), ("b", 1, 4L)))
+  }
+
+  test("stratifiedSample is a pure function of the id (rerun- and partitioning-stable)") {
+    val df = graft.io.TableIO.read(spark, Sf, "documents")
+    val a = Curation.stratifiedSample(df, "lang", col("doc_id"), Map("en" -> 60), 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Curation.stratifiedSample(df.repartition(7), "lang", col("doc_id"), Map("en" -> 60), 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b && a.nonEmpty && a.size < 500)
+  }
+
+  test("stratifiedSample honors 0 and 100 percent strata") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "g")
+    val none = Curation.stratifiedSample(df, "g", col("id"), Map("x" -> 0), 0)
+    assert(none.count() === 0)
+    val all = Curation.stratifiedSample(df, "g", col("id"), Map("x" -> 100), 100)
+    assert(all.count() === 3)
+  }
+
+  test("keepByPriority keeps the highest-priority row per key") {
+    val df = Seq(
+      ("k1", "crawl", 10L), ("k1", "curated", 20L),
+      ("k2", "crawl", 30L)).toDF("key", "src", "id")
+    val prio = when(col("src") === "curated", lit(0)).otherwise(lit(1))
+    val out = Curation.keepByPriority(df, Seq("key"), Seq(prio.asc, col("id").asc))
+      .select($"key", $"id").as[(String, Long)].collect().sorted
+    assert(out.toSeq === Seq(("k1", 20L), ("k2", 30L)))
+  }
+
+  test("histogram buckets by integer division with min/max envelopes") {
+    val df = Seq(0L, 5L, 19L, 20L, 39L, 40L).toDF("v")
+    val out = Curation.histogram(df, col("v"), 20L)
+      .select($"bucket", $"n", $"min_v", $"max_v").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 3L, 0L, 19L), (1L, 2L, 20L, 39L), (2L, 1L, 40L, 40L)))
+  }
+
+  test("scrubPii redacts emails and phones; counts audit the patterns") {
+    val out = Seq("mail me at jo.e1@ex-a.org or 555-12345 x", "clean text")
+      .toDF("t")
+      .select(
+        TextOps.scrubPii(col("t")).as("s"),
+        TextOps.emailCount(col("t")).as("e"),
+        TextOps.phoneCount(col("t")).as("p"))
+      .as[(String, Int, Int)].collect()
+    assert(out(0) === (("mail me at <EMAIL> or <PHONE> x", 1, 1)))
+    assert(out(1) === (("clean text", 0, 0)))
+  }
+
+  test("topkPerGroup local pre-prune bounds rows entering the global window") {
+    // With 1 input partition and k=2, at most 2 rows per group may cross
+    // the shuffle: the filter on the local rank sits BELOW the global
+    // window in the plan.
+    val df = Seq.tabulate(100)(i => (i.toLong, "g")).toDF("id", "g").coalesce(1)
+    val plan = Curation.topkPerGroup(df, Seq("g"), Seq(col("id").asc), k = 2)
+      .queryExecution.executedPlan.toString
+    // two Window operators (local + global) with a Filter between them
+    assert("Window".r.findAllIn(plan).size >= 2, s"expected two windows:\n$plan")
+  }
+}
