@@ -219,6 +219,32 @@ object Dedup {
   }
 
   /**
+   * X2 — INCREMENTAL near-dup: candidate pairs between a new batch and
+   * the existing corpus only — the shape of a continuously-updated
+   * training set, where re-deduplicating the full corpus per ingest is
+   * the scale-killer. The corpus is NEVER self-joined: both sides carry
+   * banded signatures ([[withBandKeys]]), the corpus side is bucket-capped
+   * (the robustness bound belongs on the big side), and the join emits
+   * only (batch × corpus) collisions within a band bucket. Cost is
+   * O(|batch| + |matching buckets|), independent of corpus² — at 100 TB
+   * the corpus band index is a materialized table and each ingest joins
+   * against it.
+   */
+  def minhashPairsIncremental(corpusBanded: DataFrame, batchBanded: DataFrame,
+      idCol: String, bucketCap: Int = 50): DataFrame = {
+    val bandCols = (0 until LshBands).map(j => s"band$j")
+    def melt(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), posexplode(array(bandCols.map(col): _*)).as(Seq("band", "bkey")))
+    val corpus = melt(corpusBanded, "id_corpus")
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bsize") <= bucketCap)
+      .drop("bsize")
+    melt(batchBanded, "id_new").join(corpus, Seq("band", "bkey"))
+      .groupBy("id_new", "id_corpus")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /**
    * X2 — dedup clusters: connected components over the candidate-pair
    * graph, by iterative min-label propagation. Each iteration is one
    * distributed join + map-side-combined min aggregation; the loop runs

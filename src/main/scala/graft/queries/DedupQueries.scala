@@ -105,6 +105,34 @@ object DedupQueries {
               |GROUP BY 1, 2
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // X2 — INCREMENTAL near-dup: a 10% ingest batch (deterministic hash
+    // split) against the 90% existing corpus — candidates are
+    // batch × corpus band collisions only, the corpus is never
+    // self-joined (the continuously-updated-training-set shape; at scale
+    // the corpus band index is a materialized table each ingest joins).
+    Q("dedup_incremental",
+      (s, dir) => {
+        val banded = Dedup.withBandKeys(TableIO.read(s, dir, "documents"), "text")
+        val batch = banded.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        val corpus = banded.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+        Dedup.minhashPairsIncremental(corpus, batch, "doc_id", bucketCap = 50)
+          .orderBy("id_new", "id_corpus")
+      },
+      Some(s"""WITH b AS (
+              |  ${(0 until Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM documents")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |corpus AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b WHERE doc_id % 10 != 0),
+              |capped AS (SELECT * FROM corpus WHERE bsize <= 50),
+              |batch AS (SELECT * FROM b WHERE doc_id % 10 = 0)
+              |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus, count(*) AS n_bands
+              |FROM batch n JOIN capped c ON n.band = c.band AND n.bkey = c.bkey
+              |GROUP BY 1, 2
+              |ORDER BY id_new, id_corpus""".stripMargin)),
+
     // X2 — dedup CLUSTERS: connected components over the banded-LSH
     // candidate graph (iterative min-label propagation; oracle = the
     // recursive-CTE transitive closure). cluster = min reachable doc id,

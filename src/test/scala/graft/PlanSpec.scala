@@ -108,6 +108,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lambdafunction"), s"interpreted HOF leaked into the plan:\n${p.take(2000)}")
   }
 
+  test("stratified sampling fuses into the scan: one shuffle total (the groupBy)") {
+    val p = plan(SparkEntry.queries("stratified_sample")(spark, Sf))
+    assert("FileScan".r.findAllIn(p).size == 1, s"extra scans:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"sampling must not shuffle before the aggregation:\n${p.take(2000)}")
+  }
+
+  test("PII scrub is a pure per-row projection (no hash shuffle at all)") {
+    val p = plan(SparkEntry.queries("text_pii_scrub")(spark, Sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"scrub should be shuffle-free:\n${p.take(2000)}")
+  }
+
+  test("doc length histogram aggregates with map-side combine") {
+    val p = plan(SparkEntry.queries("doc_length_hist")(spark, Sf))
+    assert(p.contains("partial_count"), s"no partial aggregation:\n${p.take(2000)}")
+  }
+
+  test("incremental dedup joins batch against corpus buckets, never corpus against itself") {
+    val p = plan(SparkEntry.queries("dedup_incremental")(spark, Sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), s"bad join:\n${p.take(2000)}")
+    // signatures stay staged (same pushdown discipline as the other LSH paths)
+    assert(!p.contains("isnotnull(coalesce(minhash_component"),
+      s"signature re-inlined into a Filter:\n${p.take(2000)}")
+  }
+
   test("star join broadcasts every dimension (single shuffle for the groupBy)") {
     val df = SparkEntry.queries("star_join_revenue")(spark, Sf)
     val p = plan(df)
