@@ -131,6 +131,36 @@ object CurationQueries {
               |FROM synth
               |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-scaled source mixing weights (alpha = 0.5): each
+    // source's sampling weight ∝ sqrt(its doc count), the standard
+    // flatten-the-head reweighting for multi-source training corpora.
+    // sqrt is IEEE-correctly-rounded in both engines; the normalizer sum
+    // goes through DECIMAL accumulation (order-independent), and the
+    // 1-row totals frame is broadcast, never a shuffle of the counts.
+    Q("source_mix_weights",
+      (s, dir) => {
+        val counts = TableIO.read(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        val totals = counts.agg(
+          sum("n").as("n_total"),
+          sum(sqrt(col("n").cast("double")).cast("decimal(28,12)")).as("z"))
+        counts.crossJoin(broadcast(totals))
+          .select(
+            col("source"), col("n"),
+            round(col("n").cast("double") / col("n_total").cast("double"), 6).as("share"),
+            round(sqrt(col("n").cast("double")) / col("z").cast("double"), 6).as("mix_weight"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             |             sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS z
+             |      FROM c)
+             |SELECT source, n,
+             |  round(CAST(n AS DOUBLE) / n_total, 6) AS share,
+             |  round(sqrt(CAST(n AS DOUBLE)) / CAST(z AS DOUBLE), 6) AS mix_weight
+             |FROM c CROSS JOIN t
+             |ORDER BY source""".stripMargin)),
+
     // Lexical diversity: type-token ratio (per-row HOF, shuffle-free) +
     // Gini-Simpson index over the token distribution — rational
     // arithmetic only (counts and one division), no transcendentals, so
