@@ -86,6 +86,21 @@ object TableIO {
       .saveAsTable(table)
 
   /**
+   * Hive-layout partitioned write — the 100 TB partition-pruning path:
+   * a facet column (ingest date, language, tenant) becomes the directory
+   * key, so a query filtering on it never opens non-matching files at
+   * all (`PartitionFilters` on the scan; pruned partitions cost zero
+   * I/O). This is the first-order scan-cost lever, ahead of row-group
+   * min/max skipping and row-level pushdown — PartitionPruneSpec proves
+   * the plan prunes to exactly the matching directories.
+   */
+  def writePartitioned(df: DataFrame, dir: String, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$dir/$table.parquet")
+
+  /**
    * Deterministic stand-in for the Cassandra Murmur3 ring token of a
    * partition key (`token(pk)` in the reference's range-scan CQL).
    *

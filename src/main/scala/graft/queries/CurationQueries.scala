@@ -131,6 +131,62 @@ object CurationQueries {
               |FROM synth
               |ORDER BY doc_id""".stripMargin)),
 
+    // Adaptive per-facet quality gate: each language's p25 token count
+    // becomes its own admission threshold (fixed global thresholds
+    // over-prune low-resource languages). The threshold table is 5 rows —
+    // broadcast — so the gate costs one aggregate plus a map-side join;
+    // Spark percentile() and DuckDB quantile_cont share the (n-1)*p
+    // interpolation (parity proven by corpus_percentiles).
+    Q("quality_gate_percentile",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val thresholds = docs.groupBy("lang")
+          .agg(expr("percentile(n_tokens, 0.25)").as("p25"))
+        docs.join(broadcast(thresholds), Seq("lang"))
+          .filter(col("n_tokens").cast("double") >= col("p25"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            min("n_tokens").as("min_kept"),
+            sum("doc_id").as("kept_id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+             |t AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS p25 FROM d GROUP BY lang)
+             |SELECT d.lang, count(*) AS n_kept,
+             |  min(n_tokens) AS min_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+             |FROM d JOIN t ON d.lang = t.lang
+             |WHERE CAST(n_tokens AS DOUBLE) >= t.p25
+             |GROUP BY d.lang
+             |ORDER BY d.lang""".stripMargin)),
+
+    // Exact-N uniform sampling per stratum: hash-ordered rank ≤ N — the
+    // deterministic reservoir ("give me exactly 100 random-looking docs
+    // per language"), reusing the two-phase top-k so no stratum funnels
+    // through one reducer. Hash order, doc_id tiebreak: total order,
+    // rerun-stable.
+    Q("sample_n_per_group",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+          .withColumn("__h", pmod(col("doc_id") * lit(2654435761L), lit(1048573L)))
+        Curation.topkPerGroup(docs, Seq("lang"),
+            Seq(col("__h").asc, col("doc_id").asc), k = 10)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY (doc_id * 2654435761) % 1048573, doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
     // Temperature-scaled source mixing weights (alpha = 0.5): each
     // source's sampling weight ∝ sqrt(its doc count), the standard
     // flatten-the-head reweighting for multi-source training corpora.
