@@ -407,6 +407,95 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /**
+   * X2e — candidate VERIFICATION: banded-LSH candidates re-checked with
+   * the exact distinct-shingle Jaccard, keeping only pairs at or above
+   * `minJaccard` — the standard two-stage near-dup shape (sketch recall,
+   * exact precision). The exact set intersection runs ONLY over candidate
+   * pairs, so its cost is O(|candidates| · doc_len), linear in the corpus
+   * when the LSH stage is bucket-capped — never all-pairs. The shingle
+   * sets ride a plain id equi-join onto the (small) candidate list; AQE
+   * broadcasts the pair side at runtime.
+   *
+   * Candidates are never empty-shingle documents (the per-document
+   * sentinel in [[withBandKeys]] cannot collide), so the Jaccard
+   * denominator is always positive.
+   */
+  def verifiedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, bucketCap: Int = 50): DataFrame = {
+    val cand = minhashPairsBanded(withBandKeys(df, textCol, idCol), idCol, bucketCap)
+    val sets = withShingleHashes(df, textCol)
+      .select(col(idCol), array_distinct(col(ShinglesCol)).as("__sh_set"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("__sh_set").as("__set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__sh_set").as("__set_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("__set_a"), col("__set_b"))).cast("long"))
+      .withColumn("n_a", size(col("__set_a")).cast("long"))
+      .withColumn("n_b", size(col("__set_b")).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_bands"), col("n_common"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** Internal staging column for per-row fixed-stride chunk hashes. */
+  val ChunksCol = "__chunks"
+
+  /**
+   * Stage fixed-stride token-chunk hashes: the token stream is cut into
+   * consecutive `chunkSize`-token blocks (stride = chunkSize, no overlap)
+   * and each block is folded to a rolling hash
+   * `(acc·131 + tokenHash) mod P` — the segment unit of
+   * paragraph/span-level exact dedup (Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better": exact substring matching; here at
+   * block granularity so the unit is portable to the oracle). The
+   * `< chunkSize` guard matters for the same reason as in
+   * [[withShingleHashes]]: Spark's `sequence(1, 0)` is a DESCENDING
+   * [1, 0], not empty.
+   */
+  def withChunkHashes(df: DataFrame, textCol: String, chunkSize: Int = 8): DataFrame =
+    df.withColumn("__thashes",
+        expr(s"transform(split($textCol, ' '), t -> CAST(${TextOps.tokenHashSql("t")} AS BIGINT))"))
+      .withColumn(ChunksCol,
+        expr(s"""CASE WHEN size(__thashes) < $chunkSize THEN CAST(array() AS ARRAY<BIGINT>)
+                |ELSE transform(sequence(1, size(__thashes) div $chunkSize),
+                |  c -> aggregate(slice(__thashes, (c - 1) * $chunkSize + 1, $chunkSize),
+                |         CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % $P)) END""".stripMargin))
+      .drop("__thashes")
+
+  /**
+   * X2f — span-level boilerplate accounting: per document, how many of
+   * its chunks are "boilerplate" (global document frequency of the chunk
+   * hash exceeds `maxChunkDf`) and the fraction that survives span-level
+   * dedup. One shuffle on the chunk hash for the df count (window reuses
+   * that partitioning), one on the doc id for the rollup — both
+   * map-side-combined; no joins over text. Documents shorter than one
+   * chunk report n_chunks = 0 and keep_frac 1.0 (nothing to dedup).
+   */
+  def chunkBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 8, maxChunkDf: Long = 1L): DataFrame = {
+    // explode_outer + null filter: same InferFiltersFromGenerate pushdown
+    // discipline as ngramJaccardPairs below
+    val chunks = withChunkHashes(df, textCol, chunkSize)
+      .select(col(idCol), explode_outer(col(ChunksCol)).as("chunk"))
+      .filter(col("chunk").isNotNull)
+    val perDoc = chunks
+      .withColumn("__cdf", count(lit(1)).over(Window.partitionBy("chunk")))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__cdf") > maxChunkDf, 1L).otherwise(0L)).as("n_boiler"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("keep_frac6",
+        when(col("n_chunks") > 0,
+          round((col("n_chunks") - col("n_boiler")).cast("double") / col("n_chunks").cast("double"), 6))
+          .otherwise(lit(1.0)))
+  }
+
   /** X2c — n-gram Jaccard pairs: explode distinct shingles, self-join on
    * the shingle (shuffle on shingle hash — the inverted-index pattern),
    * count co-occurrences, then Jaccard = |∩| / (|A| + |B| − |∩|).

@@ -130,6 +130,28 @@ object TextOps {
          |  CAST(0 AS BIGINT),
          |  (acc, x) -> (acc * 131 + x) % $FingerprintMod)""".stripMargin)
 
+  /**
+   * Model-based quality scoring plumbing: a hashed bag-of-words LINEAR
+   * scorer — the shape of the fastText-style quality classifiers in
+   * public pipelines (CCNet, GPT-3's quality filter), with the trained
+   * weights replaced by a deterministic integer weight table so the score
+   * is exactly reproducible in the oracle. Per token: bucket =
+   * tokenHash mod [[QualityBuckets]]; weight(b) =
+   * (b·2654435761) mod 1999 − 999 ∈ [−999, 999] (thousandths). The score
+   * accumulates in int64 — order-independent and exact, where a float
+   * fold would vary by partitioning. Swapping real trained weights for
+   * the synthetic table is a literal-array change; the Spark-side cost
+   * (shuffle-free per-row codegen scan) is identical.
+   */
+  val QualityBuckets = 64
+
+  def hashedLinearScore(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  transform(split($textCol, ' '),
+         |    t -> ((CAST(${tokenHashSql("t")} AS BIGINT) % $QualityBuckets) * 2654435761) % 1999 - 999),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+
   /** Language-ID by marker-token hit counts — the classic n-gram/stopword
    * profile heuristic reduced to two deterministic profiles. */
   val EnglishMarkers = Seq("the", "a", "of", "and", "to", "in")

@@ -339,6 +339,65 @@ object DedupQueries {
               |       count(DISTINCT id_a) AS n_left_docs
               |FROM common""".stripMargin)),
 
+    // X2e — two-stage near-dup: banded-LSH candidates re-verified with
+    // the exact distinct-shingle Jaccard (sketch recall, exact
+    // precision); the exact intersection touches only candidate pairs.
+    Q("neardup_verified",
+      (s, dir) => Dedup.verifiedNearDupPairs(
+          TableIO.read(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.5, bucketCap = 50)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH b AS (
+              |  ${(0 until Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM documents")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |sized AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b),
+              |capped AS (SELECT * FROM sized WHERE bsize <= 50),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+              |  FROM capped a JOIN capped b
+              |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents),
+              |v AS (
+              |  SELECT id_a, id_b, n_bands,
+              |         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+              |         CAST(len(sa.sh) AS BIGINT) AS n_a, CAST(len(sb.sh) AS BIGINT) AS n_b
+              |  FROM p JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+              |SELECT id_a, id_b, n_bands, n_common, n_a, n_b,
+              |       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+              |FROM v
+              |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // X2f — span-level boilerplate accounting: 8-token chunk hashes, a
+    // global df per chunk, per-doc boilerplate fraction (the block-level
+    // form of exact-substring dedup, Lee et al. 2021).
+    Q("chunk_boilerplate",
+      (s, dir) => Dedup.chunkBoilerplate(
+          TableIO.read(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 8, maxChunkDf = 1L)
+        .orderBy("doc_id"),
+      Some(s"""WITH ch AS (
+              |  SELECT doc_id, unnest(${OracleSql.chunks(8)}) AS chunk FROM documents),
+              |sized AS (
+              |  SELECT doc_id, chunk, count(*) OVER (PARTITION BY chunk) AS cdf FROM ch),
+              |agg AS (
+              |  SELECT doc_id, count(*) AS n_chunks,
+              |         CAST(sum(CASE WHEN cdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+              |  FROM sized GROUP BY 1)
+              |SELECT d.doc_id,
+              |  coalesce(agg.n_chunks, 0) AS n_chunks,
+              |  coalesce(agg.n_boiler, 0) AS n_boiler,
+              |  CASE WHEN coalesce(agg.n_chunks, 0) > 0
+              |       THEN round(CAST(agg.n_chunks - agg.n_boiler AS DOUBLE) / agg.n_chunks, 6)
+              |       ELSE 1.0 END AS keep_frac6
+              |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // X6 — exact distinct stats (the oracle-checkable face of
     // approx_count_distinct; the HLL variant is registered rows-only).
     Q("distinct_stats",

@@ -26,4 +26,15 @@ object OracleSql {
        |  i -> CAST((${tokenHash("string_split(text,' ')[i]")} * 10007
        |           + ${tokenHash("string_split(text,' ')[i+1]")} * 131
        |           + ${tokenHash("string_split(text,' ')[i+2]")}) % ${Dedup.P} AS BIGINT))""".stripMargin
+
+  /** Mirror of Dedup.withChunkHashes: fixed-stride token-chunk rolling
+   * hashes (empty for documents shorter than one chunk, matching the
+   * Spark-side `< chunkSize` guard). */
+  def chunks(chunkSize: Int = 8): String =
+    s"""CASE WHEN len(string_split(text,' ')) < $chunkSize THEN []
+       |ELSE list_transform(range(0, len(string_split(text,' ')) // $chunkSize),
+       |  c -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(range(1, ${chunkSize + 1}),
+       |           k -> CAST(${tokenHash(s"string_split(text,' ')[c*$chunkSize+k]")} AS BIGINT))),
+       |       (acc, x) -> (acc * 131 + x) % ${Dedup.P})) END""".stripMargin
 }

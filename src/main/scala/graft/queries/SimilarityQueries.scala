@@ -164,6 +164,39 @@ object SimilarityQueries {
               |  AND ${cosSql("a.embedding", "b.embedding")} > 0.40
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // X2d+ — SemDeDup (arXiv:2303.09540): centroid-cluster the embeddings
+    // (first 8 vectors as centroids, matching kmeans_assign), compare only
+    // within clusters, drop any vector with a lower-id cluster-mate above
+    // cosine 0.40. Output = the surviving rows; K centroids are the
+    // pair-cost lever at scale.
+    Q("semantic_dedup",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.semanticDedup(emb, emb.filter(col("vec_id") < 8), threshold = 0.40)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+              |p AS (
+              |  SELECT e.vec_id, c.c_id,
+              |         round(${dotSql("e.embedding", "e.embedding")}
+              |               - 2.0 * ${dotSql("e.embedding", "c.c_emb")}
+              |               + ${dotSql("c.c_emb", "c.c_emb")}, 6) AS dist6
+              |  FROM embeddings e, c),
+              |asg AS (
+              |  SELECT vec_id, c_id AS centroid_id, dist6
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist6, c_id) AS rn FROM p)
+              |  WHERE rn = 1),
+              |drops AS (
+              |  SELECT DISTINCT b.vec_id AS drop_id
+              |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+              |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+              |  WHERE ${cosSql("ea.embedding", "eb.embedding")} > 0.40)
+              |SELECT asg.vec_id, asg.centroid_id, asg.dist6
+              |FROM asg LEFT JOIN drops ON asg.vec_id = drops.drop_id
+              |WHERE drops.drop_id IS NULL
+              |ORDER BY vec_id""".stripMargin)),
+
     // Int8 scalar quantization with reconstruction-error accounting: the
     // 4x-compression step of a production vector store. Scalar outputs
     // only (sum of codes, max abs reconstruction error) so the compared

@@ -90,6 +90,27 @@ object TextQueries {
               |FROM documents
               |ORDER BY doc_id""".stripMargin)),
 
+    // Model-based quality filtering plumbing: hashed bag-of-words linear
+    // scorer (fastText-classifier shape, deterministic weight table —
+    // TextOps.hashedLinearScore). Integer accumulation, shuffle-free scan.
+    Q("quality_model_score",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.hashedLinearScore("text").as("score_millis"))
+        .withColumn("pred_keep", when(col("score_millis") > 0, 1).otherwise(0))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  len(string_split(text, ' ')) AS n_tokens,
+              |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+              |    t -> ((CAST(${hSql("t")} AS BIGINT) % ${TextOps.QualityBuckets}) * 2654435761) % 1999 - 999)), 0) AS BIGINT) AS score_millis,
+              |  CASE WHEN coalesce(list_sum(list_transform(string_split(text, ' '),
+              |    t -> ((CAST(${hSql("t")} AS BIGINT) % ${TextOps.QualityBuckets}) * 2654435761) % 1999 - 999)), 0) > 0
+              |       THEN 1 ELSE 0 END AS pred_keep
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
     // Language-ID heuristic: marker-profile hit counts + argmax.
     Q("text_langid",
       (s, dir) => {

@@ -192,6 +192,39 @@ class DedupSpec extends SparkSpec {
     val rows = out.select("jaccard").as[Double].collect()
     assert(rows.forall(j => j > 0.0 && j <= 1.0))
   }
+
+  test("verifiedNearDupPairs is the jaccard-filtered subset of the banded candidates") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val cand = Dedup.minhashPairsBanded(Dedup.withBandKeys(docs, "text"), "doc_id", 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text", minJaccard = 0.0)
+    val vSet = verified.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(vSet == cand, "at minJaccard 0 every candidate must survive verification")
+    val rows = verified.select("n_common", "n_a", "n_b", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.forall { case (nc, na, nb, j) =>
+      nc <= math.min(na, nb) && j > 0.0 == nc > 0 && j <= 1.0 })
+    val strict = Dedup.verifiedNearDupPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict.subsetOf(cand) && strict.size < cand.size)
+  }
+
+  test("chunkBoilerplate flags repeated chunks and guards short docs") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (1L, s"$eight z1 z2 z3 z4 z5 z6 z7 z8"), // chunk0 shared with doc 2
+      (2L, s"$eight y1 y2 y3 y4 y5 y6 y7 y8"),
+      (3L, "too short"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")) // 9 tokens -> exactly 1 chunk, trailing tail ignored
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkBoilerplate(df, "doc_id", "text", chunkSize = 8, maxChunkDf = 1L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out(0) == ((1L, 2L, 1L, 0.5)), s"got ${out(0)}")
+    assert(out(1) == ((2L, 2L, 1L, 0.5)))
+    assert(out(2) == ((3L, 0L, 0L, 1.0)), "sub-chunk docs keep everything")
+    assert(out(3) == ((4L, 1L, 0L, 1.0)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -306,6 +339,25 @@ class SimilaritySpec extends SparkSpec {
       .filter($"rank" <= 3)
       .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
     assert(twoPhase == single)
+  }
+
+  test("semanticDedup keeps every cluster minimum and is idempotent") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val centroids = emb.filter($"vec_id" < 8)
+    val survivors = Similarity.semanticDedup(emb, centroids, threshold = 0.40)
+    val sIds = survivors.select("vec_id").as[Long].collect().toSet
+    assert(sIds.size <= emb.count())
+    // every cluster's minimum id can never be dropped (no lower cluster-mate)
+    val minPerCluster = Similarity.assignToCentroids(emb, centroids)
+      .groupBy("centroid_id").agg(min("vec_id").as("m"))
+      .select("m").as[Long].collect()
+    assert(minPerCluster.forall(sIds.contains))
+    // survivors contain no intra-cluster pair above the threshold, so a
+    // second pass drops nothing
+    val embSurv = emb.join(survivors.select("vec_id"), "vec_id")
+    val again = Similarity.semanticDedup(embSurv, centroids, threshold = 0.40)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == sIds)
   }
 }
 
