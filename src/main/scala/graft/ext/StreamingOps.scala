@@ -59,6 +59,28 @@ object StreamingOps {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /**
+   * Stream-stream INTERVAL join (the impression→click attribution shape):
+   * right events match left events with the same key when the right
+   * timestamp falls in [left ts, left ts + horizon]. Both sides carry
+   * watermarks and the join condition bounds both timestamps, so Spark
+   * derives a state-eviction watermark for EACH side — without the time
+   * bound, stream-stream join state grows forever. Applied to batch
+   * frames, the identical lineage is a bucketless range join.
+   *
+   * The two inputs are aliased `l`/`r`, so they may share column names;
+   * the caller projects from the returned `l.*`/`r.*` namespace.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, horizon: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key
+         |AND r.$rightTs >= l.$leftTs
+         |AND r.$rightTs <= l.$leftTs + interval $horizon""".stripMargin))
+  }
+
   /** Input/output rows for the custom-state sessionizer. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double, last_ts: java.sql.Timestamp)

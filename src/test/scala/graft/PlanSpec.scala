@@ -142,6 +142,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
   }
 
+  test("verified near-dup keeps equi-joins only and staged signatures") {
+    val p = plan(SparkEntry.queries("neardup_verified")(spark, Sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), s"bad join:\n${p.take(2000)}")
+    assert(!p.contains("isnotnull(coalesce(minhash_component"),
+      s"signature re-inlined into a Filter:\n${p.take(2000)}")
+  }
+
+  test("chunk boilerplate is one scan; chunk-df window and doc rollup each shuffle once") {
+    val p = plan(SparkEntry.queries("chunk_boilerplate")(spark, Sf))
+    // one scan for the chunk pipeline + one for the id spine it left-joins
+    assert("FileScan".r.findAllIn(p).size <= 2, s"extra scans:\n${p.take(2000)}")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), s"bad join:\n${p.take(2000)}")
+  }
+
+  test("semantic dedup broadcasts centroids; cluster pairs are an equi-join") {
+    val p = plan(SparkEntry.queries("semantic_dedup")(spark, Sf))
+    // assignToCentroids crossJoins a broadcast 8-row centroid frame — the
+    // only nested-loop allowed; the intra-cluster pair stage must be a
+    // hash/sort-merge equi-join on centroid_id, never a cartesian.
+    assert(!p.contains("CartesianProduct"), s"cartesian pair stage:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n${p.take(2000)}")
+    assert(p.contains("float_vector_dot"), s"dot kernel missing:\n${p.take(2000)}")
+  }
+
+  test("quality model score is a shuffle-free per-row scan") {
+    val p = plan(SparkEntry.queries("quality_model_score")(spark, Sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"scorer should be shuffle-free:\n${p.take(2000)}")
+  }
+
   test("similarity top-k keeps the codegen'd dot kernel in the plan") {
     val emb = TableIO.read(spark, Sf, "embeddings")
     val p = plan(graft.ext.Similarity.topK(emb.filter(emb("vec_id") < 5), emb, 3))

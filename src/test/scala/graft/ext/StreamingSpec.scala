@@ -94,6 +94,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
   }
 
+  test("stream-stream interval join matches within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    imps.addData(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"))))
+    clicks.addData(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00")), // in horizon
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00")), // past horizon
+      (2L, Timestamp.valueOf("2023-12-31 23:00:00")), // before impression
+      (3L, Timestamp.valueOf("2024-01-01 00:01:00")))) // no impression
+    val joined = StreamingOps.intervalJoin(
+      imps.toDF().toDF("user_id", "imp_ts"), clicks.toDF().toDF("user_id", "click_ts"),
+      "user_id", "imp_ts", "click_ts", horizon = "1 hour", watermark = "2 hours")
+      .select(col("l.user_id"), col("click_ts"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("ssj_out").as[(Long, Timestamp)].collect().toSeq
+    assert(got == Seq((1L, Timestamp.valueOf("2024-01-01 00:05:00"))), s"got $got")
+
+    // batch duality: the identical lineage over batch frames agrees
+    val bImps = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("user_id", "imp_ts")
+    val bClicks = Seq((1L, Timestamp.valueOf("2024-01-01 00:05:00")),
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00")),
+      (2L, Timestamp.valueOf("2023-12-31 23:00:00")),
+      (3L, Timestamp.valueOf("2024-01-01 00:01:00"))).toDF("user_id", "click_ts")
+    val batch = StreamingOps.intervalJoin(bImps, bClicks,
+      "user_id", "imp_ts", "click_ts", horizon = "1 hour", watermark = "2 hours")
+      .select(col("l.user_id"), col("click_ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    assert(batch == got)
+  }
+
   test("sessionized assigns gap-separated events to distinct sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
