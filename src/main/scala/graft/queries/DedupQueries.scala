@@ -398,6 +398,24 @@ object DedupQueries {
               |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // X2c+ — stop-shingle discovery: the exact top-20 shingles by document
+    // frequency. This is the scan that CALIBRATES ngramJaccardPairs'
+    // df-ceiling (maxShingleDf) on a real corpus: one map-side-combined
+    // groupBy, then TakeOrdered over the tiny aggregate — never a full
+    // sort. Ties break on the shingle hash for determinism.
+    Q("hot_shingles",
+      (s, dir) => Dedup.withShingleHashes(TableIO.read(s, dir, "documents"), "text")
+        .select(explode_outer(array_distinct(col(Dedup.ShinglesCol))).as("shingle"))
+        .filter(col("shingle").isNotNull)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20),
+      Some(s"""SELECT shingle, count(*) AS df
+              |FROM (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle FROM documents)
+              |GROUP BY 1
+              |ORDER BY df DESC, shingle
+              |LIMIT 20""".stripMargin)),
+
     // X6 — exact distinct stats (the oracle-checkable face of
     // approx_count_distinct; the HLL variant is registered rows-only).
     Q("distinct_stats",

@@ -21,6 +21,15 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** DuckDB mirror of a per-subspace dot over Similarity.PqSubDim dims;
+   * `sub` is captured from the enclosing row (DuckDB correlates outer
+   * columns into list lambdas), matching Spark's slice(arr, sub*8+1, 8). */
+  private def subDotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${Similarity.PqSubDim + 1}),
+       |    i -> CAST($a[sub*${Similarity.PqSubDim}+i] AS DOUBLE) * CAST($b[sub*${Similarity.PqSubDim}+i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
   /** DuckDB mirrors of the LSH plane machinery (identical plane literals
    * generated from Similarity.planeComponent). */
   private def planeListSql(j: Int): String =
@@ -359,6 +368,70 @@ object SimilarityQueries {
               |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist6, c_id) AS rn FROM p)
               |WHERE rn = 1
               |ORDER BY vec_id""".stripMargin)),
+
+    // X3+ — product-quantization encoding (Jégou et al. 2011): 8 subspaces
+    // × 8 dims, 16 sub-centroids (the first 16 vectors); per (vector,
+    // subspace) the nearest sub-centroid id + quantization error. The
+    // compression lever of a 100 TB vector store (8 codes vs 256 bytes).
+    Q("pq_codes",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.pqCodes(emb, emb.filter(col("vec_id") < 16))
+          .orderBy("vec_id", "sub")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+              |sp AS (SELECT CAST(range AS BIGINT) AS sub FROM range(0, ${Similarity.PqSubspaces})),
+              |d AS (
+              |  SELECT e.vec_id, sp.sub, c.c_id,
+              |         round(${subDotSql("e.embedding", "e.embedding")}
+              |               - 2.0 * ${subDotSql("e.embedding", "c.cemb")}
+              |               + ${subDotSql("c.cemb", "c.cemb")}, 6) AS dist6
+              |  FROM embeddings e, sp, cent c)
+              |SELECT vec_id, sub, c_id AS code, dist6
+              |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist6, c_id) AS rn FROM d)
+              |WHERE rn = 1
+              |ORDER BY vec_id, sub""".stripMargin)),
+
+    // X3+ — PQ asymmetric-distance (ADC) top-k: the query's per-subspace
+    // distance lookup table (broadcast) is summed over each candidate's
+    // stored codes — no full-dim dot per pair. Fixed-point (µ-units)
+    // entries make the 8-term sum exact; ties rank on neighbor id.
+    Q("pq_adc_topk",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.pqAdcTopK(emb.filter(col("vec_id") < 5), emb, emb.filter(col("vec_id") < 16), k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+              |sp AS (SELECT CAST(range AS BIGINT) AS sub FROM range(0, ${Similarity.PqSubspaces})),
+              |d AS (
+              |  SELECT e.vec_id, sp.sub, c.c_id,
+              |         round(${subDotSql("e.embedding", "e.embedding")}
+              |               - 2.0 * ${subDotSql("e.embedding", "c.cemb")}
+              |               + ${subDotSql("c.cemb", "c.cemb")}, 6) AS dist6
+              |  FROM embeddings e, sp, cent c),
+              |codes AS (
+              |  SELECT vec_id, sub, c_id AS code
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist6, c_id) AS rn FROM d)
+              |  WHERE rn = 1),
+              |q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+              |lut AS (
+              |  SELECT q.query_id, sp.sub, c.c_id AS code,
+              |         CAST(floor((${subDotSql("q.qemb", "q.qemb")}
+              |               - 2.0 * ${subDotSql("q.qemb", "c.cemb")}
+              |               + ${subDotSql("c.cemb", "c.cemb")}) * 1000000.0) AS BIGINT) AS pdist_us
+              |  FROM q, sp, cent c),
+              |pairs AS (
+              |  SELECT l.query_id, cd.vec_id, CAST(sum(l.pdist_us) AS BIGINT) AS adc_us
+              |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+              |  WHERE cd.vec_id != l.query_id
+              |  GROUP BY 1, 2)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_us, vec_id) AS INTEGER) AS rank,
+              |       vec_id AS neighbor_id, adc_us
+              |FROM pairs
+              |QUALIFY rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)),
 
     // X3+ — per-dimension feature statistics (the normalization-fit pass
     // of an embedding pipeline): posexplode to (dim, value), one groupBy.

@@ -173,6 +173,19 @@ class PlanSpec extends SparkSpec {
       s"scorer should be shuffle-free:\n${p.take(2000)}")
   }
 
+  test("PQ ADC scan broadcasts the lookup table and keeps the dot kernel staged") {
+    val p = plan(SparkEntry.queries("pq_adc_topk")(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), s"LUT not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ADC scan:\n${p.take(2000)}")
+    assert(p.contains("float_vector_dot"), s"dot kernel missing:\n${p.take(2000)}")
+  }
+
+  test("hot-shingle discovery aggregates partially and takes ordered top-N (no full sort)") {
+    val p = plan(SparkEntry.queries("hot_shingles")(spark, Sf))
+    assert(p.contains("partial_count"), s"no map-side combine:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-N:\n${p.take(2000)}")
+  }
+
   test("similarity top-k keeps the codegen'd dot kernel in the plan") {
     val emb = TableIO.read(spark, Sf, "embeddings")
     val p = plan(graft.ext.Similarity.topK(emb.filter(emb("vec_id") < 5), emb, 3))

@@ -341,6 +341,28 @@ class SimilaritySpec extends SparkSpec {
     assert(twoPhase == single)
   }
 
+  test("pqCodes assigns centroids to themselves; ADC top-k is ranked and self-free") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val centroids = emb.filter($"vec_id" < 16)
+    val codes = Similarity.pqCodes(emb, centroids)
+    // 8 codes per vector, each in the centroid id range
+    assert(codes.count() == emb.count() * Similarity.PqSubspaces)
+    assert(codes.filter($"code" < 0 || $"code" >= 16).count() == 0)
+    // a centroid's nearest sub-centroid is itself (distance 0, min id tie)
+    val self = codes.filter($"vec_id" < 16)
+      .filter($"dist6" > 1e-6 || $"code" =!= $"vec_id").count()
+    assert(self == 0, "centroid not self-coded")
+    val topk = Similarity.pqAdcTopK(emb.filter($"vec_id" < 5), emb, centroids, k = 3)
+    val rows = topk.select("query_id", "rank", "neighbor_id", "adc_us")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(rows.length == 15)
+    assert(rows.forall { case (q, _, n, _) => q != n })
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    // ranks follow ascending ADC distance
+    assert(byQ.values.forall(g => g.sortBy(_._2).map(_._4).toSeq == g.map(_._4).sorted.toSeq))
+  }
+
   test("semanticDedup keeps every cluster minimum and is idempotent") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val centroids = emb.filter($"vec_id" < 8)
