@@ -78,6 +78,51 @@ object Curation {
       .drop("__rn")
 
   /**
+   * DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023, public
+   * arXiv:2302.03169, "Data Selection for Language Models via Importance
+   * Resampling"): score each document by how much its hashed-token
+   * distribution looks like a TARGET slice relative to the RAW corpus.
+   * Token → bucket = tokenHash mod `buckets`; bucket importance ratio =
+   * (target bucket share) / (raw bucket share), kept in exact integer
+   * fixed point: `floor(1e6 · n_target[b] · T_raw / (n_raw[b] · T_target))`
+   * so both engines (and every partitioning) agree bit-for-bit — the
+   * published method's log-likelihood ratio is replaced by the rational
+   * ratio purely for cross-engine exactness; the ranking it induces is
+   * the same monotone family. A document's score sums its tokens' bucket
+   * ratios; `score_us > n_tokens·1e6` means "more target-like than
+   * average".
+   *
+   * Shape at scale: two map-side-combined aggregations build the
+   * `buckets`-row weight table (broadcast), then one (doc, bucket) explode
+   * joins it and rolls up per doc — no shuffle ever carries text, and the
+   * weight table is O(buckets), independent of corpus size. Integer
+   * products stay in int64 for corpora up to ~10^12 tokens; production
+   * beyond that switches the two products to DECIMAL(38,0) in place.
+   */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 64): DataFrame = {
+    val tok = df
+      .select(col(idCol), isTarget.as("__is_t"),
+        explode_outer(split(col(textCol), " ")).as("__t"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__b", pmod(TextOps.tokenHash(col("__t")).cast("long"), lit(buckets.toLong)))
+    val counts = tok.groupBy("__b").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("n_target"))
+    val totals = counts.agg(
+      sum("n_raw").as("t_raw"), sum("n_target").as("t_target"))
+    // integer `div`, never `/`: long / long is a double in Spark, and the
+    // claim above is exactness — floor(a/b) on doubles drifts past 2^53
+    val weights = counts.crossJoin(broadcast(totals))
+      .withColumn("w_us", expr("(1000000 * n_target * t_raw) div (n_raw * t_target)"))
+      .select(col("__b"), col("w_us"))
+    tok.join(broadcast(weights), "__b")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("w_us").as("score_us"))
+      .withColumn("target_like", (col("score_us") > col("n_tokens") * lit(1000000L)).cast("int"))
+  }
+
+  /**
    * Fixed-width histogram of a non-negative numeric column: bucket
    * `floor(v / width)`, per-bucket count and min/max envelope. One
    * map-side-combined groupBy — the corpus length-distribution audit

@@ -255,6 +255,38 @@ object CurationQueries {
              |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr,
              |  coalesce(round(1.0 - CAST(s.sum_sq AS DOUBLE) / (s.n * s.n), 6), 0.0) AS simpson
              |FROM t LEFT JOIN s USING (doc_id)
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // DSIR-style importance weighting (arXiv:2302.03169): hashed-token
+    // bucket ratios target-vs-raw in exact integer fixed point; the
+    // src0 slice is the target distribution, every doc scores the sum of
+    // its tokens' bucket ratios. target_like = more target-ish than the
+    // corpus average.
+    Q("importance_weights",
+      (s, dir) => Curation.importanceWeights(
+          TableIO.read(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("source") === "src0", buckets = 64)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, source = 'src0' AS is_t,
+              |         ${OracleSql.tokenHash("t")} % 64 AS b
+              |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t FROM documents)),
+              |counts AS (
+              |  SELECT b, count(*) AS n_raw,
+              |         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+              |  FROM tok GROUP BY 1),
+              |tot AS (
+              |  SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+              |         CAST(sum(n_target) AS BIGINT) AS t_target
+              |  FROM counts),
+              |w AS (
+              |  SELECT b, (1000000 * n_target * t_raw) // (n_raw * t_target) AS w_us
+              |  FROM counts, tot)
+              |SELECT tok.doc_id, count(*) AS n_tokens,
+              |       CAST(sum(w.w_us) AS BIGINT) AS score_us,
+              |       CAST(CASE WHEN sum(w.w_us) > count(*) * 1000000 THEN 1 ELSE 0 END AS INTEGER) AS target_like
+              |FROM tok JOIN w ON tok.b = w.b
+              |GROUP BY 1
+              |ORDER BY 1""".stripMargin))
   )
 }

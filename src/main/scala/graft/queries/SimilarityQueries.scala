@@ -21,6 +21,35 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** Shared CTE chain mirroring Similarity.kmeansUpdate: µ-quantized
+   * vector/centroid dims, integer E-step, integer-mean M-step (`//`
+   * truncates toward zero, matching Spark's `div`). */
+  private val kmeansLloydCtes =
+    """WITH cent AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+      |dims AS (SELECT CAST(range AS BIGINT) + 1 AS i FROM range(0, 64)),
+      |vq AS (
+      |  SELECT vec_id, i,
+      |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      |  FROM embeddings, dims),
+      |cq AS (
+      |  SELECT c_id, i,
+      |         CAST(floor(CAST(cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS cq
+      |  FROM cent, dims),
+      |d1 AS (
+      |  SELECT v.vec_id, c.c_id,
+      |         CAST(sum((v.vq - c.cq) * (v.vq - c.cq)) AS BIGINT) AS dist_q
+      |  FROM vq v JOIN cq c ON v.i = c.i
+      |  GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, c_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, c_id) AS rn FROM d1)
+      |  WHERE rn = 1),
+      |m AS (
+      |  SELECT a1.c_id AS centroid_id, v.i, count(*) AS n, CAST(sum(v.vq) AS BIGINT) AS s
+      |  FROM vq v JOIN a1 ON v.vec_id = a1.vec_id
+      |  GROUP BY 1, 2),
+      |newc AS (SELECT centroid_id, i, s // n AS c_us, n FROM m)""".stripMargin
+
   /** DuckDB mirror of a per-subspace dot over Similarity.PqSubDim dims;
    * `sub` is captured from the enclosing row (DuckDB correlates outer
    * columns into list lambdas), matching Spark's slice(arr, sub*8+1, 8). */
@@ -366,6 +395,41 @@ object SimilarityQueries {
               |  FROM embeddings e, c)
               |SELECT vec_id, c_id AS centroid_id, dist6
               |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist6, c_id) AS rn FROM p)
+              |WHERE rn = 1
+              |ORDER BY vec_id""".stripMargin)),
+
+    // X3+ — integer-exact k-means M-step: E-assign against the 8 seed
+    // centroids in µ-quantized integer space, then per-dimension exact
+    // integer-mean centroids (sum div n; both engines truncate toward
+    // zero). Bit-identical across partitionings — float means are not.
+    Q("kmeans_update",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.kmeansUpdate(emb, emb.filter(col("vec_id") < 8))
+          .orderBy("centroid_id", "dim")
+      },
+      Some(s"""$kmeansLloydCtes
+              |SELECT centroid_id, i - 1 AS dim, c_us, n FROM newc
+              |ORDER BY centroid_id, dim""".stripMargin)),
+
+    // X3+ — the full Lloyd round: reassignment against the updated
+    // integer centroids (dims join broadcast, map-side-combined distance
+    // sum, min-struct argmin).
+    Q("kmeans_next_assign",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        val updated = Similarity.kmeansUpdate(emb, emb.filter(col("vec_id") < 8))
+        Similarity.kmeansReassign(emb, updated)
+          .orderBy("vec_id")
+      },
+      Some(s"""$kmeansLloydCtes,
+              |d2 AS (
+              |  SELECT v.vec_id, nc.centroid_id,
+              |         CAST(sum((v.vq - nc.c_us) * (v.vq - nc.c_us)) AS BIGINT) AS dist_q
+              |  FROM vq v JOIN newc nc ON v.i = nc.i
+              |  GROUP BY 1, 2)
+              |SELECT vec_id, centroid_id, dist_q
+              |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, centroid_id) AS rn FROM d2)
               |WHERE rn = 1
               |ORDER BY vec_id""".stripMargin)),
 

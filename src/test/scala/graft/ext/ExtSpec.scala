@@ -363,6 +363,27 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.values.forall(g => g.sortBy(_._2).map(_._4).toSeq == g.map(_._4).sorted.toSeq))
   }
 
+  test("integer Lloyd step is partitioning-invariant and conserves counts") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val centroids = emb.filter($"vec_id" < 8)
+    val up = Similarity.kmeansUpdate(emb, centroids)
+    val rows = up.select("centroid_id", "dim", "c_us", "n")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows.map(_._2).distinct.sorted == (0L until 64L))
+    // every dimension of a centroid carries the same member count, and
+    // the counts sum to the corpus size
+    val perCentroid = rows.groupBy(_._1).view.mapValues(_.map(_._4).distinct).toMap
+    assert(perCentroid.values.forall(_.size == 1))
+    assert(perCentroid.values.map(_.head).sum == emb.count())
+    // byte-identical across partitionings (the point of integer space)
+    val again = Similarity.kmeansUpdate(emb.repartition(13), centroids)
+      .select("centroid_id", "dim", "c_us", "n")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows == again)
+    val re = Similarity.kmeansReassign(emb, up)
+    assert(re.count() == emb.count())
+  }
+
   test("semanticDedup keeps every cluster minimum and is idempotent") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val centroids = emb.filter($"vec_id" < 8)
