@@ -170,6 +170,44 @@ object DedupQueries {
               |GROUP BY src
               |ORDER BY id""".stripMargin)),
 
+    // X2 — the same clusters via alternating LARGE-STAR/SMALL-STAR
+    // (Kiveris et al. 2014): O(log n) rounds regardless of graph
+    // diameter — the production-scale alternative when candidate graphs
+    // chain deep. Oracle identical to dedup_clusters, so both CC
+    // algorithms are pinned to the same transitive closure.
+    Q("dedup_clusters_star",
+      (s, dir) => Dedup.connectedComponentsStar(
+          Dedup.minhashPairsBanded(
+            Dedup.withBandKeys(TableIO.read(s, dir, "documents"), "text"), "doc_id", bucketCap = 50),
+          "id_a", "id_b")
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE b AS (
+              |  ${(0 until Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM documents")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |sized AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b),
+              |capped AS (SELECT * FROM sized WHERE bsize <= 50),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM capped a JOIN capped b
+              |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM p
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM p),
+              |reach AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+              |SELECT src AS id, least(src, min(dst)) AS cluster
+              |FROM reach
+              |GROUP BY src
+              |ORDER BY id""".stripMargin)),
+
     // X2 — near-dup REMOVAL end-to-end: the corpus minus everything but
     // each cluster's representative (min doc id); singletons pass
     // untouched. This is the query a training pipeline actually ships.

@@ -185,6 +185,34 @@ class DedupSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("large-star/small-star CC equals min-label propagation on random graphs") {
+    // deterministic pseudo-random edge lists across shapes: sparse, a long
+    // chain (the propagation worst case the star variant exists for), and
+    // a dense clique mixture
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (0L until 60L).map(i => (i, i + 1L)),                      // one 61-node chain
+      Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)).filter(p => p._1 != p._2),
+      (for (i <- 0L until 10L; j <- i + 1 to 10L) yield (i, j)) ++ Seq((100L, 101L)))
+    cases.zipWithIndex.foreach { case (es, ci) =>
+      val pairs = es.toDF("id_a", "id_b")
+      // propagation needs O(diameter) rounds on the chain; the star
+      // variant stays at its default O(log n) budget — that asymmetry is
+      // exactly what this operator exists for
+      val prop = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIterations = 80)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"case $ci: star=$star prop=$prop")
+    }
+    // fixture graph: identical clusters to the oracle-verified path
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val cand = Dedup.minhashPairsBanded(Dedup.withBandKeys(docs, "text"), "doc_id", 50)
+    val prop = Dedup.connectedComponents(cand, "id_a", "id_b").as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(cand, "id_a", "id_b").as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
   test("ngram jaccard is within (0,1] and symmetric-bounded") {
     val out = Dedup.ngramJaccardPairs(
       spark.read.parquet(s"$Sf/documents.parquet").filter($"doc_id" < 100),
