@@ -411,6 +411,45 @@ object DedupQueries {
               |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // X2e+ — asymmetric CONTAINMENT over the same verified candidates:
+    // |A∩B|/|A| vs |A∩B|/|B| catches near-SUPERSETS (a doc quoting most
+    // of another) that symmetric Jaccard under-scores — the
+    // quote-inclusion scan of exact-substring dedup pipelines.
+    Q("neardup_containment",
+      (s, dir) => Dedup.verifiedNearDupPairs(
+          TableIO.read(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.0, bucketCap = 50)
+        .withColumn("containment_a", round(col("n_common").cast("double") / col("n_a").cast("double"), 6))
+        .withColumn("containment_b", round(col("n_common").cast("double") / col("n_b").cast("double"), 6))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.8)
+        .select("id_a", "id_b", "n_common", "containment_a", "containment_b")
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH b AS (
+              |  ${(0 until Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM documents")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |sized AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b),
+              |capped AS (SELECT * FROM sized WHERE bsize <= 50),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM capped a JOIN capped b
+              |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents),
+              |v AS (
+              |  SELECT id_a, id_b,
+              |         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+              |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh), 6) AS containment_a,
+              |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh), 6) AS containment_b
+              |  FROM p JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+              |SELECT id_a, id_b, n_common, containment_a, containment_b
+              |FROM v
+              |WHERE greatest(containment_a, containment_b) >= 0.8
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // X2f — span-level boilerplate accounting: 8-token chunk hashes, a
     // global df per chunk, per-doc boilerplate fraction (the block-level
     // form of exact-substring dedup, Lee et al. 2021).

@@ -111,6 +111,38 @@ object TextQueries {
               |FROM documents
               |ORDER BY doc_id""".stripMargin)),
 
+    // Tokenizer-fit plumbing: build the top-K token vocabulary (the
+    // frequency cut every BPE/WordPiece fit starts from), then score each
+    // document's out-of-vocabulary fraction against it. The vocab is a
+    // map-side-combined groupBy + TakeOrdered (tiny), broadcast back over
+    // the token stream — the corpus is scanned, never re-shuffled by text.
+    Q("vocab_oov",
+      (s, dir) => {
+        val tok = TableIO.read(s, dir, "documents")
+          .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("t"))
+          .filter(col("t").isNotNull)
+        val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("t")).limit(20)
+          .select(col("t"), lit(1).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("t"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), count(col("in_vocab")).as("n_known"))
+          .withColumn("oov_frac6",
+            round((col("n_tokens") - col("n_known")).cast("double") / col("n_tokens").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |v AS (
+             |  SELECT t FROM (
+             |    SELECT t, count(*) AS cnt FROM tok GROUP BY 1
+             |    ORDER BY cnt DESC, t LIMIT 20))
+             |SELECT doc_id, count(*) AS n_tokens, count(v.t) AS n_known,
+             |  round(CAST(count(*) - count(v.t) AS DOUBLE) / count(*), 6) AS oov_frac6
+             |FROM tok LEFT JOIN v ON tok.t = v.t
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
     // Language-ID heuristic: marker-profile hit counts + argmax.
     Q("text_langid",
       (s, dir) => {
