@@ -78,6 +78,27 @@ class CurationSpec extends SparkSpec {
     assert(out(1) === (("clean text", 0, 0)))
   }
 
+  test("importanceWeights scores target-identical corpora at exactly 1.0 per token") {
+    // when the target IS the whole corpus, every bucket ratio is exactly
+    // 1e6 (the integer arithmetic cancels), so score = n_tokens * 1e6 and
+    // nothing is "more target-like than average"
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, "a a f g h")).toDF("doc_id", "text")
+    val all = Curation.importanceWeights(df, "doc_id", "text", isTarget = lit(true))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "score_us", "target_like")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(all == Seq((1L, 3L, 3000000L, 0), (2L, 2L, 2000000L, 0), (3L, 5L, 5000000L, 0)))
+    // a real target slice must move scores off the uniform point and be
+    // partitioning-invariant
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val w1 = Curation.importanceWeights(docs, "doc_id", "text", col("source") === "src0")
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect().toSeq
+    val w2 = Curation.importanceWeights(docs.repartition(11), "doc_id", "text", col("source") === "src0")
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(w1 == w2)
+    assert(w1.exists(_._4 == 1) && w1.exists(_._4 == 0))
+  }
+
   test("topkPerGroup local pre-prune bounds rows entering the global window") {
     // With 1 input partition and k=2, at most 2 rows per group may cross
     // the shuffle: the filter on the local rank sits BELOW the global
