@@ -18,6 +18,8 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); read as long, normalized to
       // µs TimestampType in TableIO.read.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // canonical registration of the custom TopKPerKey operator stack
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,161 @@
+package org.apache.spark.sql.graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeSet, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/**
+ * Whole-operator Catalyst extension (SURVEY.md §2 preference tier (c):
+ * custom `LogicalPlan` + `Rule[LogicalPlan]` + `SparkStrategy` +
+ * `SparkPlan`, registered via `SparkSessionExtensions`): GROUP-WISE
+ * TOP-K as a native operator.
+ *
+ * Why an operator and not the window composition (Curation.topkPerGroup):
+ * the window form SORTS every (group, partition) slice and materializes
+ * window frames; this operator keeps a bounded k-row heap per group and
+ * streams — per-partition memory O(groups·k), per-row cost O(log k), no
+ * sort buffers. The plan is the canonical partial/final pair: a PARTIAL
+ * exec bounds every input partition to ≤ k rows per group BEFORE the
+ * exchange (the map-side-combine shape), then a FINAL exec re-selects
+ * after clustering on the keys — at 100 TB the shuffle carries k rows
+ * per (group, input-partition), never the group's full population.
+ *
+ * `order` must extend to a total order (end it with a unique column) or
+ * survivor selection between order-ties is input-order dependent — the
+ * same contract as Curation.topkPerGroup and Dedup.exactKeep.
+ */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/**
+ * Optimizer rule: a Filter whose predicate only references the GROUPING
+ * keys commutes with per-group top-k (it keeps or drops whole groups),
+ * so push it below the operator where it can continue toward the scan.
+ * Spark's own PushPredicateThroughNonJoin does not know this node — the
+ * rule is what makes `topk.filter(key = …)` prune at the source.
+ */
+object PushFilterThroughTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: TopKPerKey)
+        if cond.references.subsetOf(AttributeSet(t.keys.flatMap(_.references))) &&
+          cond.deterministic =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
+/** Plans the logical node as the partial/final exec pair; EnsureRequirements
+ * inserts the key-clustered exchange between them. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/**
+ * Bounded-heap group-wise top-k. A max-heap of size ≤ k per group key
+ * (head = worst row in the requested order); a new row replaces the head
+ * only if it sorts strictly before it. Output within each group is
+ * emitted in the requested order (ascending dequeue) so downstream
+ * consumers see deterministic intra-group order.
+ */
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    partial: Boolean, child: SparkPlan) extends SparkPlan with UnaryExecNode {
+
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = child.output
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+  override def nodeName: String = if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // LinkedHashMap: emission order follows first-seen key order — a
+      // deterministic function of the (clustered) input, not hash order
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        val heap = heaps.getOrElse(key, {
+          val h = mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), h)
+          h
+        })
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Canonical registration path: `spark.sql.extensions=…GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughTopK)
+  }
+}
+
+object GroupTopK {
+
+  /** Idempotent in-session registration (for sessions built without the
+   * `spark.sql.extensions` config — e.g. a host harness's own session).
+   * ExperimentalMethods is additive per-session state, not a global. */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughTopK
+    }
+  }
+
+  /** Group-wise top-k through the native operator. `orderCols` may carry
+   * `.asc`/`.desc`; bare columns default ascending. End the order with a
+   * unique tiebreak for deterministic survivors. */
+  def topkPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    ensureRegistered(spark)
+    // session converter, NOT ExpressionUtils.expression: the latter wraps
+    // the column's internal node lazily (non-serializable past the
+    // analyzer); the converter produces the real catalyst expression,
+    // unwrapping `.desc`/`.asc` to a catalyst SortOrder
+    val keys: Seq[Expression] = keyCols.map(c => spark.expression(df(c)))
+    val order: Seq[SortOrder] = orderCols.map(c => spark.expression(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    Dataset.ofRows(spark, TopKPerKey(keys, order, k, df.queryExecution.analyzed))
+  }
+}

@@ -257,6 +257,29 @@ object CurationQueries {
              |FROM t LEFT JOIN s USING (doc_id)
              |ORDER BY t.doc_id""".stripMargin)),
 
+    // The NATIVE group-wise top-k operator (custom LogicalPlan + Strategy
+    // + two-phase SparkPlan + pushdown Rule, via SparkSessionExtensions):
+    // same semantics as quality_topk_per_lang's window form, but bounded
+    // heaps instead of per-group sorts, with the partial exec capping the
+    // shuffle at k rows per (group, input partition). Same oracle shape.
+    Q("grouptopk_native",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        org.apache.spark.sql.graft.plans.GroupTopK.topkPerKey(
+            docs, Seq("lang"), Seq(col("n_tokens").desc, col("doc_id").asc), k = 3)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_tokens
+             |FROM (
+             |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 3
+             |ORDER BY doc_id""".stripMargin)),
+
     // DSIR-style importance weighting (arXiv:2302.03169): hashed-token
     // bucket ratios target-vs-raw in exact integer fixed point; the
     // src0 slice is the target distribution, every doc scores the sum of

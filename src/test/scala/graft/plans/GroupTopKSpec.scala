@@ -1,0 +1,77 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.plans.GroupTopK
+
+class GroupTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$Sf/documents.parquet")
+    .select($"doc_id", $"lang", $"source", length($"text").cast("long").as("n_chars"))
+
+  test("native top-k equals the window formulation") {
+    val native = GroupTopK.topkPerKey(docs, Seq("lang"),
+        Seq($"n_chars".desc, $"doc_id".asc), k = 5)
+      .select("lang", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().toSet
+    val window = docs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy($"n_chars".desc, $"doc_id".asc)))
+      .filter($"rn" <= 5)
+      .select("lang", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().toSet
+    assert(native == window)
+    // partitioning-invariant (total order via the doc_id tiebreak)
+    val again = GroupTopK.topkPerKey(docs.repartition(17), Seq("lang"),
+        Seq($"n_chars".desc, $"doc_id".asc), k = 5)
+      .select("lang", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == native)
+  }
+
+  test("plans as a partial/final pair with one exchange between them") {
+    val df = GroupTopK.topkPerKey(docs, Seq("lang"), Seq($"n_chars".desc, $"doc_id".asc), 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      s"missing partial/final pair:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange:\n$p")
+    // the partial node must sit BELOW the exchange (map side)
+    val iPartial = p.indexOf("TopKPerKeyPartial")
+    val iExchange = p.indexOf("Exchange hashpartitioning")
+    val iFinal = p.indexOf("TopKPerKeyFinal")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"partial not below the exchange:\n$p")
+  }
+
+  test("key-only filters push below the operator to the scan") {
+    val topk = GroupTopK.topkPerKey(docs, Seq("lang"), Seq($"n_chars".desc, $"doc_id".asc), 3)
+    val filtered = topk.filter($"lang" === "en")
+    val p = filtered.queryExecution.executedPlan.toString
+    // the rule moved the predicate below TopKPerKey, so it reaches the
+    // parquet scan as a pushed filter
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(lang,en)"),
+      s"key filter did not reach the scan:\n$p")
+    // a filter on a NON-key column must NOT move below (it would change
+    // which rows compete within a group)
+    val nonKey = topk.filter($"source" === "src0")
+    val rows = nonKey.select("doc_id").as[Long].collect().toSet
+    val expected = GroupTopK.topkPerKey(docs, Seq("lang"), Seq($"n_chars".desc, $"doc_id".asc), 3)
+      .collect().filter(_.getAs[String]("source") == "src0").map(_.getAs[Long]("doc_id")).toSet
+    assert(rows == expected)
+    val pn = nonKey.queryExecution.optimizedPlan.toString
+    assert(!pn.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src0)]") ||
+      pn.indexOf("src0") < pn.indexOf("TopKPerKey"),
+      s"non-key filter was pushed below top-k:\n$pn")
+  }
+
+  test("ties beyond the order are bounded by k and heap never exceeds k per group") {
+    // 1000 identical-order rows in one group: exactly k survive
+    val df = Seq.tabulate(1000)(i => ("g", 7L, i.toLong)).toDF("g", "v", "id")
+    val out = GroupTopK.topkPerKey(df, Seq("g"), Seq($"v".desc, $"id".asc), k = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 1L, 2L, 3L))
+  }
+}
