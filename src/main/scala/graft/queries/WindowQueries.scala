@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.ext.StreamingOps
 import graft.io.TableIO
 
@@ -21,6 +23,64 @@ object WindowQueries {
               |FROM events
               |GROUP BY 1, 2
               |ORDER BY 1, 2""".stripMargin)),
+
+    // Conversion FUNNEL: users whose first 'view' is followed by a
+    // 'purchase' within the attribution horizon. Two filtered min-aggs
+    // (map-side combined) + one user-keyed join; per-user max(hit)
+    // collapses multiple purchases before the scalar rollup — the
+    // standard product-analytics scan, scale-stable output.
+    Q("event_funnel",
+      (s, dir) => {
+        val e = TableIO.read(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+        val firstView = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        firstView.join(purchases, Seq("user_id"), "left_outer")
+          .withColumn("hit",
+            when(col("p_ts") >= col("v_ts") &&
+              col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"), 1).otherwise(0))
+          .groupBy("user_id").agg(max("hit").as("converted"))
+          .agg(
+            count(lit(1)).as("n_viewers"),
+            sum("converted").cast("long").as("n_converted"))
+      },
+      Some("""WITH fv AS (
+             |  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+             |hits AS (
+             |  SELECT fv.user_id,
+             |         max(CASE WHEN p.ts >= fv.v_ts AND p.ts <= fv.v_ts + INTERVAL 1 HOUR
+             |                  THEN 1 ELSE 0 END) AS converted
+             |  FROM fv LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+             |    ON fv.user_id = p.user_id
+             |  GROUP BY 1)
+             |SELECT count(*) AS n_viewers, CAST(sum(converted) AS BIGINT) AS n_converted
+             |FROM hits""".stripMargin)),
+
+    // COHORT retention: users grouped by first-activity hour; per
+    // (cohort, hour-offset) distinct active users. Two aggregations over
+    // the user-hour grid — the classic retention triangle, still
+    // map-side-combined and shuffle-bounded by distinct (user, hour).
+    Q("cohort_retention",
+      (s, dir) => {
+        val e = TableIO.read(s, dir, "events")
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        val cohort = e.groupBy("user_id").agg(min("h").as("c_h"))
+        e.join(cohort, "user_id")
+          .withColumn("offset_h",
+            ((unix_micros(col("h")) - unix_micros(col("c_h"))) / lit(3600000000L)).cast("long"))
+          .groupBy(unix_micros(col("c_h")).as("cohort_us"), col("offset_h"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_us", "offset_h")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, min(date_trunc('hour', ts)) AS c_h FROM events GROUP BY 1)
+             |SELECT epoch_us(c.c_h) AS cohort_us,
+             |       CAST(epoch_us(date_trunc('hour', e.ts)) - epoch_us(c.c_h) AS BIGINT) // 3600000000 AS offset_h,
+             |       count(DISTINCT e.user_id) AS n_users
+             |FROM events e JOIN c ON e.user_id = c.user_id
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
 
     Q("sliding_window",
       (s, dir) => StreamingOps.sliding(TableIO.read(s, dir, "events"), "ts", "1 hour", "30 minutes", "event_type")
