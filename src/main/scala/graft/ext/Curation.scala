@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
+  /** Fail fast on internal-helper/output column collisions — silently
+   * overwriting (withColumn) or deleting (drop) a caller's column is data
+   * loss; same contract as TemporalJoins.requireFreeColumns. */
+  private def requireFreeColumns(df: DataFrame, names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already contains column(s) ${clash.mkString(", ")} — rename them before calling")
+  }
+
   /**
    * Group-wise top-k by an explicit total order — the "best k documents
    * per domain/language" curation primitive. Two-phase, like
@@ -33,6 +42,7 @@ object Curation {
   def topkPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
       k: Int, rankCol: String = "rank"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    requireFreeColumns(df, Seq("__part", "__lr", rankCol))
     val local = df
       .withColumn("__part", spark_partition_id())
       .withColumn("__lr", row_number().over(
@@ -47,11 +57,14 @@ object Curation {
 
   /**
    * Deterministic stratified sampling: keep a row iff
-   * `(id * 2654435761) mod 100 < pct(stratum)`. The multiplicative hash
-   * (Knuth's 2654435761) makes the decision a pure function of the row's
-   * id — reproducible across reruns, partitionings, and engines, unlike
-   * `df.sample` / rand() (SURVEY.md §7.5.7). Zero shuffle: the predicate
-   * fuses into the scan.
+   * `((id mod 2³¹) * 2654435761) mod 100 < pct(stratum)`. The
+   * multiplicative hash (Knuth's 2654435761) makes the decision a pure
+   * function of the row's id — reproducible across reruns, partitionings,
+   * and engines, unlike `df.sample` / rand() (SURVEY.md §7.5.7). The 31-bit
+   * pre-mask keeps the product inside int64 for EVERY long id (a raw
+   * `id * 2654435761` overflows past id ≈ 3.47e9 — silent wraparound in
+   * Spark, a BIGINT overflow error in the DuckDB mirror). Zero shuffle:
+   * the predicate fuses into the scan.
    */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: Column,
       rates: Map[String, Int], defaultPct: Int): DataFrame = {
@@ -60,7 +73,8 @@ object Curation {
     val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
       when(col(strataCol) === k, lit(p)).otherwise(acc)
     }
-    df.filter(pmod(idCol.cast("long") * lit(2654435761L), lit(100L)) < pct)
+    df.filter(
+      pmod(pmod(idCol.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(100L)) < pct)
   }
 
   /**
@@ -71,11 +85,13 @@ object Curation {
    * multi-column order; `orderCols` must end in a unique column for a
    * total order. One key shuffle.
    */
-  def keepByPriority(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame =
+  def keepByPriority(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    requireFreeColumns(df, Seq("__rn"))
     df.withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
 
   /**
    * DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023, public
@@ -95,9 +111,14 @@ object Curation {
    * Shape at scale: two map-side-combined aggregations build the
    * `buckets`-row weight table (broadcast), then one (doc, bucket) explode
    * joins it and rolls up per doc — no shuffle ever carries text, and the
-   * weight table is O(buckets), independent of corpus size. Integer
-   * products stay in int64 for corpora up to ~10^12 tokens; production
-   * beyond that switches the two products to DECIMAL(38,0) in place.
+   * weight table is O(buckets), independent of corpus size. The two int64
+   * products bound the corpus at roughly 10^10 tokens (the constraint is
+   * `1e6·n_target[b]·T_raw ≤ 2^63` and `n_raw[b]·T_target ≤ 2^63`);
+   * each weight row CHECKS those bounds and raises rather than silently
+   * wrapping — production beyond the bound switches the two products to
+   * DECIMAL(38,0) in place. An empty target slice has no defined
+   * distribution and likewise raises instead of returning all-null
+   * scores.
    */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 64): DataFrame = {
@@ -112,9 +133,21 @@ object Curation {
     val totals = counts.agg(
       sum("n_raw").as("t_raw"), sum("n_target").as("t_target"))
     // integer `div`, never `/`: long / long is a double in Spark, and the
-    // claim above is exactness — floor(a/b) on doubles drifts past 2^53
+    // claim above is exactness — floor(a/b) on doubles drifts past 2^53.
+    // Guards run per weight row (64 rows): numerator fits iff
+    // t_raw <= (Long.Max div 1e6) div n_target; denominator iff
+    // t_target <= Long.Max div n_raw; empty target iff t_target = 0.
+    val maxL = Long.MaxValue
     val weights = counts.crossJoin(broadcast(totals))
-      .withColumn("w_us", expr("(1000000 * n_target * t_raw) div (n_raw * t_target)"))
+      .withColumn("w_us",
+        when(col("t_target") === 0L,
+          expr(s"raise_error('importanceWeights: target slice is empty — no target distribution to weight against')"))
+        .when(col("n_target") > 0L &&
+            col("t_raw") > expr(s"($maxL div 1000000) div n_target"),
+          expr(s"raise_error('importanceWeights: 1e6 * n_target * t_raw exceeds int64 — switch the products to DECIMAL(38,0)')"))
+        .when(col("t_target") > expr(s"$maxL div n_raw"),
+          expr(s"raise_error('importanceWeights: n_raw * t_target exceeds int64 — switch the products to DECIMAL(38,0)')"))
+        .otherwise(expr("(1000000 * n_target * t_raw) div (n_raw * t_target)")))
       .select(col("__b"), col("w_us"))
     tok.join(broadcast(weights), "__b")
       .groupBy(idCol)

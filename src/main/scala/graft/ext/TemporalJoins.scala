@@ -78,6 +78,13 @@ object TemporalJoins {
       s"rangeJoinBucketed supports inner and left_outer, got $joinType")
     requireFreeColumns(left, Seq("__bucket_l", "__bucket_r", "__lid"))
     requireFreeColumns(right, Seq("__bucket_l", "__bucket_r"))
+    // the left_outer collapse references the suffixed right ts and its
+    // helper columns by BARE name over the joined frame — a left input
+    // already carrying them (e.g. the output of a previous range join)
+    // would make those references ambiguous at analysis
+    if (joinType == "left_outer") {
+      requireFreeColumns(left, Seq(s"${tsCol}_r", "__matches", "__rn"))
+    }
     val bucket = (c: Column) => floor(unix_micros(c) / lit(windowMicros))
     // The surrogate is only a grouping key for collapsing the two candidate
     // buckets of the same left row; its values never reach the output, so

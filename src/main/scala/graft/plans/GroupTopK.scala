@@ -48,8 +48,13 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
  */
 object PushFilterThroughTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, t: TopKPerKey)
-        if cond.references.subsetOf(AttributeSet(t.keys.flatMap(_.references))) &&
+    // keys must be BARE attributes for the subset test to be sound: with
+    // a derived key like substring(lang, 1, 2), a predicate on `lang`
+    // references only key inputs yet is NOT a function of the key value —
+    // pushing it would change which rows compete within a group
+    case Filter(cond, t: TopKPerKey)
+        if t.keys.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) &&
+          cond.references.subsetOf(AttributeSet(t.keys)) &&
           cond.deterministic =>
       t.copy(child = Filter(cond, t.child))
   }

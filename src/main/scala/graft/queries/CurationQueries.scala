@@ -51,7 +51,7 @@ object CurationQueries {
         .orderBy("lang"),
       Some("""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
              |FROM documents
-             |WHERE (doc_id * 2654435761) % 100 <
+             |WHERE ((doc_id % 2147483648) * 2654435761) % 100 <
              |  CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 40 ELSE 20 END
              |GROUP BY lang
              |ORDER BY lang""".stripMargin)),
@@ -171,7 +171,8 @@ object CurationQueries {
     Q("sample_n_per_group",
       (s, dir) => {
         val docs = TableIO.read(s, dir, "documents")
-          .withColumn("__h", pmod(col("doc_id") * lit(2654435761L), lit(1048573L)))
+          .withColumn("__h",
+            pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L), lit(1048573L)))
         Curation.topkPerGroup(docs, Seq("lang"),
             Seq(col("__h").asc, col("doc_id").asc), k = 10)
           .groupBy("lang")
@@ -181,7 +182,7 @@ object CurationQueries {
       Some("""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
              |  SELECT lang, doc_id,
              |    row_number() OVER (PARTITION BY lang
-             |      ORDER BY (doc_id * 2654435761) % 1048573, doc_id) AS rn
+             |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 1048573, doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 10
              |GROUP BY lang

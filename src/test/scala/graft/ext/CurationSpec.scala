@@ -99,6 +99,37 @@ class CurationSpec extends SparkSpec {
     assert(w1.exists(_._4 == 1) && w1.exists(_._4 == 0))
   }
 
+  test("helper/output column collisions fail fast instead of silently overwriting") {
+    val withRank = Seq((1L, "g", 9L)).toDF("id", "g", "rank")
+    intercept[IllegalArgumentException](
+      Curation.topkPerGroup(withRank, Seq("g"), Seq(col("id").asc), k = 1))
+    val withRn = Seq((1L, "g")).toDF("__rn", "g")
+    intercept[IllegalArgumentException](
+      Curation.keepByPriority(withRn, Seq("g"), Seq(col("__rn").asc)))
+  }
+
+  test("importanceWeights raises on an empty target slice instead of null scores") {
+    val df = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Curation.importanceWeights(df, "doc_id", "text", isTarget = lit(false)).collect()
+    }
+    assert(ex.getMessage.contains("target slice is empty") ||
+      Option(ex.getCause).exists(_.getMessage.contains("target slice is empty")),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
+  test("stratifiedSample hash stays in int64 for ids beyond 2^31") {
+    // raw id * 2654435761 overflows past id ~ 3.47e9; the masked form
+    // must agree with the documented ((id mod 2^31) * c) mod 100 exactly
+    val big = Seq(5000000000L, Long.MaxValue, 3474000000L).toDF("id")
+      .withColumn("lang", lit("en"))
+    val kept = Curation.stratifiedSample(big, "lang", col("id"), Map.empty, defaultPct = 50)
+      .select("id").as[Long].collect().toSet
+    val expected = Seq(5000000000L, Long.MaxValue, 3474000000L)
+      .filter(id => ((id % 2147483648L) * 2654435761L) % 100L < 50L).toSet
+    assert(kept == expected)
+  }
+
   test("topkPerGroup local pre-prune bounds rows entering the global window") {
     // With 1 input partition and k=2, at most 2 rows per group may cross
     // the shuffle: the filter on the local rank sits BELOW the global

@@ -70,6 +70,13 @@ class TemporalJoinsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TemporalJoins.rangeJoinBucketed(clashB, left, Seq("user_id"), "ts", 1000L)
     }
+    // chaining: the output of one range join (carries ts_r) cannot feed a
+    // left_outer range join, whose collapse references ts_r by bare name —
+    // must fail fast, not throw AMBIGUOUS_REFERENCE mid-analysis
+    val chained = TemporalJoins.rangeJoinBucketed(left, left, Seq("user_id"), "ts", 1000L)
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoinBucketed(chained, left, Seq("user_id"), "ts", 1000L, "left_outer")
+    }
   }
 
   test("rangeJoinBucketed plans as an equi hash join, never nested-loop") {

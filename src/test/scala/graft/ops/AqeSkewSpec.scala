@@ -15,17 +15,6 @@ import org.apache.spark.sql.functions._
 class AqeSkewSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-      body
-    } finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("AQE splits a skewed sort-merge join partition at runtime") {
     withConf(
       "spark.sql.adaptive.enabled" -> "true",

@@ -13,17 +13,6 @@ import org.apache.spark.sql.functions._
  */
 class RuntimeFilterSpec extends SparkSpec {
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-      body
-    } finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("selective dim filter injects a bloom filter into the fact side of a shuffle join") {
     withConf(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
