@@ -50,6 +50,28 @@ object TemporalJoins {
       .select((lCols.map(col) :+ col(asofCol)).toIndexedSeq: _*)
   }
 
+  /** FORWARD as-of: earliest right `tsCol` >= the left row's, within the
+   * key group (DuckDB `ASOF ... ON l.ts <= r.ts`) — the mirror of
+   * [[asofBackward]] with `min` carried over the FOLLOWING frame; same
+   * one-shuffle union-tag shape, left rows sort before right at equal ts
+   * so the match is inclusive. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, asofCol: String): DataFrame = {
+    requireFreeColumns(left, Seq("__side"))
+    requireFreeColumns(right, Seq("__side"))
+    val lCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((keyCols :+ tsCol).map(col): _*).withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // left rows sort before right at equal ts => inclusive (>=) semantics
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn(asofCol, min(when(col("__side") === 0, col(tsCol))).over(w))
+      .filter(col("__side") === 1)
+      .select((lCols.map(col) :+ col(asofCol)).toIndexedSeq: _*)
+  }
+
   /**
    * Bounded range join: pairs (left, right) with equal `keyCols` and
    * right.ts in [left.ts, left.ts + windowMicros). The inequality is

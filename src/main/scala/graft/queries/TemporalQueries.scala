@@ -39,6 +39,29 @@ object TemporalQueries {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // X7b — FORWARD as-of: for each signup, the user's next 'error' event
+    // at or after it (the time-to-first-failure scan). Same union-tag
+    // single-shuffle shape, min over the following frame.
+    Q("asof_join_forward",
+      (s, dir) => {
+        val ev = TableIO.read(s, dir, "events")
+        TemporalJoins.asofForward(
+            ev.filter(col("event_type") === "signup")
+              .select("event_id", "user_id", "ts"),
+            ev.filter(col("event_type") === "error"),
+            Seq("user_id"), "ts", "next_err_ts")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("next_err_ts")).as("next_error_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             |  epoch_us(r.ts) AS next_error_us
+             |FROM (SELECT * FROM events WHERE event_type = 'signup') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+             |  ON l.user_id = r.user_id AND l.ts <= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // Bounded range join, aggregated: errors within 5 minutes AFTER each
     // purchase (same user), zero-match purchases kept. The engine side
     // decomposes the interval predicate into an equi-join on
