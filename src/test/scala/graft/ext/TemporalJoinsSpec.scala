@@ -102,6 +102,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(exchanges <= 1, s"too many exchanges ($exchanges):\n$p")
   }
 
+  test("asofForward mirrors backward: earliest right >= left, join-free plan") {
+    val left = mkTs(Seq((1L, 500L), (2L, 5000L)), "l_id")
+    val right = mkTs(Seq((20L, 100L), (21L, 500L), (22L, 900L)), "r_id")
+    // l_id=1 at 500 matches the tie (21 at 500, inclusive); l_id=2 at
+    // 5000 has no following right row -> null
+    val out = TemporalJoins.asofForward(left, right, Seq("user_id"), "ts", "next_ts")
+      .select(col("l_id"), unix_micros(col("next_ts")).as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(1L -> Some(500L), 2L -> None))
+    val p = TemporalJoins.asofForward(left, right, Seq("user_id"), "ts", "next_ts")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"forward as-of should be join-free:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, s"extra exchanges:\n$p")
+  }
+
   test("zorder2 interleaves bits (reference values)") {
     // interleave(x=0b101, y=0b011) = y2x2 y1x1 y0x0 = 0b011011... compute
     // against a bit-by-bit reference for a few values
