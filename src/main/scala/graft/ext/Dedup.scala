@@ -33,18 +33,14 @@ object Dedup {
    * distinct — a duplicated tiebreak value alone cannot reintroduce
    * partitioning-dependent survivors. */
   def exactKeep(df: DataFrame, keyCols: Seq[String], tiebreak: String): DataFrame = {
-    // Only orderable columns may join the sort: MapType (at any nesting
-    // depth) is rejected by Spark's window ORDER BY. Rows identical on
-    // key + tiebreak + every orderable column but differing inside a map
+    // Only orderable columns may join the sort (shared rule:
+    // graft.ops.SqlTypes.orderable — MapType at any nesting depth is
+    // rejected by Spark's window ORDER BY). Rows identical on key +
+    // tiebreak + every orderable column but differing inside a map
     // remain partition-order dependent — documented residual.
-    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
-      case _ => true
-    }
     val totalOrder = col(tiebreak) +: df.schema.fields
-      .filter(f => f.name != tiebreak && !keyCols.contains(f.name) && orderable(f.dataType))
+      .filter(f => f.name != tiebreak && !keyCols.contains(f.name) &&
+        graft.ops.SqlTypes.orderable(f.dataType))
       .map(f => col(f.name)).toSeq
     df.withColumn("__rn",
         row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(totalOrder: _*)))
@@ -156,9 +152,10 @@ object Dedup {
   /** Banded LSH geometry: b bands × r rows. One AND-of-all-components
    * band (round 1) trades recall away — standard practice (MMDS ch. 3) is
    * b bands of r minhashes each, candidates = pairs agreeing on ANY band
-   * (OR across bands). 4×2 is calibrated to the fixtures; at 100 TB the
-   * same code runs with production b×r (e.g. 16×8) by extending the seed
-   * list. */
+   * (OR across bands). 4×2 is calibrated to the fixtures; at 100 TB,
+   * production b×r (e.g. 16×8) additionally swaps the injective band
+   * pack for a mixing hash (the pack is int64-safe only to r = 3 —
+   * guarded in withBandKeys). */
   val LshBands = 4
   val LshRowsPerBand = 2
 
@@ -177,6 +174,12 @@ object Dedup {
    * [[minhash]]); signatures are per-row codegen kernels, zero shuffle.
    */
   def withBandKeys(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame = {
+    // the injective pack c0*P + c1 (+ ...) reaches P^r: r <= 3 keeps it
+    // under 2^63 (P^3 ~ 1.15e18); production geometries with wider bands
+    // (e.g. 16x8) must swap the pack for a mixing hash of the components
+    // instead of extending the seed list alone
+    require(LshRowsPerBand <= 3,
+      s"band pack overflows int64 for r=$LshRowsPerBand > 3 — use a mixing hash for wide bands")
     val staged = withShingleHashes(df, textCol)
     (0 until LshBands).foldLeft(staged) { (d, j) =>
       // pack the RAW kernel outputs (null for empty shingle sets) and only

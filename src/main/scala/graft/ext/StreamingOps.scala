@@ -103,11 +103,15 @@ object StreamingOps {
           if (evs.isEmpty) Iterator.empty
           else {
             val prev = state.getOption.getOrElse(UserRunningStats(userId, 0L, 0.0, evs.head.ts))
+            val batchMax = evs.maxBy(_.ts.getTime).ts
             val next = UserRunningStats(
               userId,
               prev.n_events + evs.size,
               prev.total_value + evs.map(_.value).sum,
-              evs.maxBy(_.ts.getTime).ts)
+              // late data must not move last_ts backwards: a micro-batch
+              // holding only an out-of-order event would otherwise
+              // overwrite the newer watermark the state already carries
+              if (state.exists && prev.last_ts.after(batchMax)) prev.last_ts else batchMax)
             state.update(next)
             Iterator.single(next)
           }

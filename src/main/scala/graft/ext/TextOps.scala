@@ -84,7 +84,11 @@ object TextOps {
       .otherwise(lit(0.0))
 
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
-    stopwordHits(toks, stopwords).cast("double") / size(toks).cast("double")
+    // same empty-array contract as dupWordFrac/typeTokenRatio: 0.0, not
+    // the NaN an unguarded 0.0/0.0 would produce
+    when(size(toks) > 0,
+      stopwordHits(toks, stopwords).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
 
   /** Type-token ratio (distinct/total tokens) — the complementary view of
    * [[dupWordFrac]]; 0.0 for empty/null arrays, same guard. */

@@ -117,7 +117,11 @@ object TableIO {
   val TokenModulus: Long = 1L << 31
 
   def tokenOf(pkCol: Column): Column =
-    pmod(pkCol.cast("long") * lit(2654435761L), lit(TokenModulus))
+    // 31-bit pre-mask: a raw pk * 2654435761 overflows int64 past
+    // |pk| ~ 3.47e9 (ANSI arithmetic error on snowflake-scale ids; silent
+    // wrap otherwise) — mask first so the product stays in range for the
+    // full long domain, identity for the fixtures' small keys
+    pmod(pmod(pkCol.cast("long"), lit(TokenModulus)) * lit(2654435761L), lit(TokenModulus))
 
   /** Exact Cassandra Murmur3Partitioner token of a bigint partition key
    * (live-cluster ring parity — the token a real origin cluster's range
@@ -139,17 +143,21 @@ object TableIO {
   /** Compound-partition-key token: mix each component with a distinct odd
    * multiplier before reduction (Cassandra composite partition keys hash
    * the serialized concatenation; this is the arithmetic stand-in). */
-  def tokenOfCompound(pkCols: Seq[Column]): Column = {
-    val mixers = Iterator.iterate(2654435761L)(m => m * 31L + 17L)
-    pmod(pkCols.map(_.cast("long") * lit(mixers.next())).reduce(_ + _), lit(TokenModulus))
-  }
+  def tokenOfCompound(pkCols: Seq[Column]): Column =
+    // Horner fold with per-step reduction, NOT a sum of per-component
+    // mixers: the old mixer sequence grew past 2^36 by the second
+    // component, overflowing int64 on large keys, and the unreduced sum
+    // of products could overflow even with masked components. Every
+    // intermediate here is < 2^31 * 2654435761 < 2^63.
+    pkCols.foldLeft(lit(0L))((acc, c) =>
+      pmod(acc * lit(2654435761L) + pmod(c.cast("long"), lit(TokenModulus)), lit(TokenModulus)))
 
   /** Deterministic percentage sampling bucket (P7), using a genuinely
    * different odd multiplier (xxhash32 prime) than tokenOf — an additive
    * shift of the same multiplier would share low-bit structure with the
    * ring token, skewing samples taken inside a token sub-range. */
   def tokenPercentBucket(pkCol: Column): Column =
-    pmod(pkCol.cast("long") * lit(2246822519L), lit(100L))
+    pmod(pmod(pkCol.cast("long"), lit(TokenModulus)) * lit(2246822519L), lit(100L))
 
   /**
    * Expose writetime/TTL companion columns for a table (T9).

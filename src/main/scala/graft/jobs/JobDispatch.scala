@@ -105,9 +105,17 @@ object JobDispatch {
               target.withColumn("__w", lit(0L)),
               corrections.withColumn("__w", lit(1L)),
               pk, "__w").drop("__w")
+            // stage-then-swap: the merged frame reads the target table, so
+            // writing it back directly would overwrite its own input
+            // mid-scan. The staging table is deleted after the final write
+            // commits — leaving it would double storage per run and plant
+            // a stray table for anything enumerating the cluster directory.
             val staging = s"${targetTable}__staging"
             TableIO.write(merged, cfg.target.path, staging)
             TableIO.write(TableIO.read(spark, cfg.target.path, staging), cfg.target.path, targetTable)
+            val stagingPath = new org.apache.hadoop.fs.Path(s"${cfg.target.path}/$staging.parquet")
+            stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(stagingPath, true)
           }
         }
         classified

@@ -17,15 +17,25 @@ object Salting {
 
   /**
    * Equi-join `skewed ⋈ dim` on `keys`, spreading each skewed key over
-   * `salt` partitions. The salt on the skewed side is a deterministic
-   * function of the whole row (xxhash64), so reruns produce identical
-   * partitioning; the dim side is exploded `salt`-fold (dim must be the
-   * small side — its replication factor is `salt`).
+   * `salt` partitions. The dim side is exploded `salt`-fold (dim must be
+   * the small side — its replication factor is `salt`), so the join
+   * result is IDENTICAL for every salt assignment; the salt only decides
+   * which reducer each skewed row lands on.
+   *
+   * The skewed-side salt is therefore a round-robin counter per input
+   * partition (`monotonically_increasing_id mod salt`), NOT a hash of the
+   * row: a content hash sends literal duplicate rows of the hot key —
+   * exactly the mass-duplicated shape that makes a key hot — to ONE salt
+   * value, re-concentrating the skew it was meant to spread, and
+   * `xxhash64` rejects MapType columns outright. Round-robin spreads
+   * duplicates evenly by construction and accepts any schema. Reruns may
+   * assign different salts, but since results are salt-invariant that
+   * only re-balances work, never changes output.
    */
   def saltedEquiJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
     val saltedLeft = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val saltedDim = dim.withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     saltedLeft.join(saltedDim, keys :+ "__salt", "inner").drop("__salt")
   }

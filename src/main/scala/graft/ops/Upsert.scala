@@ -25,17 +25,12 @@ object Upsert {
       s"upsert sides differ: ${current.columns.mkString(",")} vs ${incoming.columns.mkString(",")}")
     val unioned = current.unionByName(incoming)
     // Map-typed columns (at any depth) are not orderable in a window
-    // sort; ties on writetime + every orderable column that still differ
-    // inside a map stay partition-order dependent — documented residual.
-    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
-      case _ => true
-    }
+    // sort (shared rule: SqlTypes.orderable); ties on writetime + every
+    // orderable column that still differ inside a map stay
+    // partition-order dependent — documented residual.
     val valueTiebreaks: Seq[Column] = unioned.schema.fields.toSeq
       .filterNot(f => pkCols.contains(f.name) || f.name == writetimeCol)
-      .filter(f => orderable(f.dataType))
+      .filter(f => SqlTypes.orderable(f.dataType))
       .map(f => col(f.name).desc)
     val w = Window.partitionBy(pkCols.map(col): _*)
       .orderBy(col(writetimeCol).desc +: valueTiebreaks: _*)

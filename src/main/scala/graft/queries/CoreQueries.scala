@@ -65,7 +65,7 @@ object CoreQueries {
               |ORDER BY 1, 2, 3, 4""".stripMargin)),
 
     // P4 — token sub-ring restriction over the deterministic ring stand-in
-    // ((pk * 2654435761) mod 2^31 — TableIO.tokenOf; SURVEY.md §7.4).
+    // (((pk mod 2^31) * 2654435761) mod 2^31 — TableIO.tokenOf; SURVEY.md §7.4).
     Q("filter_token_range",
       (s, dir) => Migrate.plan(s, cfg(dir, Map(
           "spark.cdm.filter.cassandra.partition.min" -> "100000000",
@@ -74,9 +74,9 @@ object CoreQueries {
           TableIO.tokenOf(col("l_orderkey")).as("ring_token"))
         .orderBy("l_orderkey", "l_linenumber"),
       Some(s"""SELECT l_orderkey, l_linenumber,
-              |  (l_orderkey * 2654435761) % 2147483648 AS ring_token
+              |  ((l_orderkey % 2147483648) * 2654435761) % 2147483648 AS ring_token
               |FROM lineitem
-              |WHERE (l_orderkey * 2654435761) % 2147483648 BETWEEN 100000000 AND 1000000000
+              |WHERE ((l_orderkey % 2147483648) * 2654435761) % 2147483648 BETWEEN 100000000 AND 1000000000
               |  AND $PkGuard
               |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
@@ -116,7 +116,7 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber"),
       Some(s"""SELECT l_orderkey, l_linenumber
               |FROM lineitem
-              |WHERE (l_orderkey * 2246822519) % 100 < 15 AND $PkGuard
+              |WHERE ((l_orderkey % 2147483648) * 2246822519) % 100 < 15 AND $PkGuard
               |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // S1/P4 production-parity path — the EXACT Cassandra Murmur3 ring

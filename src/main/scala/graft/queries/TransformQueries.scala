@@ -190,16 +190,16 @@ object TransformQueries {
           "spark.cdm.transform.custom.writetime.incrementBy" -> "3")))
         .select("l_orderkey", "l_linenumber", "writetime")
         .orderBy("l_orderkey", "l_linenumber", "writetime"),
-      Some({
-        // mirror of TableIO.tokenOfCompound's mixer sequence
-        val m1 = 2654435761L
-        val m2 = m1 * 31L + 17L
+      Some(
+        // mirror of TableIO.tokenOfCompound's overflow-safe Horner fold:
+        // acc = ((acc * 2654435761) + (component mod 2^31)) mod 2^31
         s"""SELECT l_orderkey, l_linenumber,
-           |  1704067200000000 + ((l_orderkey * $m1 + l_linenumber * $m2) % 2147483648) * 3 AS writetime
+           |  1704067200000000
+           |    + ((((l_orderkey % 2147483648) * 2654435761 + (l_linenumber % 2147483648)) % 2147483648)) * 3 AS writetime
            |FROM lineitem
            |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
            |ORDER BY 1, 2, 3""".stripMargin
-      })),
+      )),
 
     // §1.3 type mapping — CQL date -> DateType and uuid -> canonical-form
     // StringType (synthesized via md5, identical in both engines since

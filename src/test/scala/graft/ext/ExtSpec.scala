@@ -270,6 +270,30 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("dot of mismatched-length vectors is NULL, matching the HOF contract") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val out = df.select(
+        Similarity.dot($"a", $"b").as("fast"),
+        Similarity.dotHof($"a", $"b").as("ref"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(out == ((None, None)), s"got $out — a partial dot would silently mis-rank")
+  }
+
+  test("salted join spreads literal duplicate rows and tolerates map columns") {
+    // 1000 IDENTICAL rows of one hot key: a content-hash salt would send
+    // them all to one salt value (re-concentrating the skew); round-robin
+    // must use every salt. Map column exercises the xxhash64-free path.
+    val hot = Seq.fill(1000)((7L, Map("a" -> 1))).toDF("k", "m")
+    val dim = Seq((7L, "x")).toDF("k", "name")
+    val joined = graft.ops.Salting.saltedEquiJoin(hot, dim, Seq("k"), 8)
+    assert(joined.count() == 1000)
+    // distribution check: re-derive the salt the operator assigns
+    val salts = hot.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts == 8, s"duplicates concentrated on $salts salt value(s)")
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     val c = df.select(Similarity.cosine($"embedding", $"embedding").as("c")).as[Double].head()

@@ -51,6 +51,10 @@ class JobDispatchSpec extends SparkSpec {
     val corrected = spark.read.parquet(s"$target/t.parquet")
       .select("pk", "v").as[(Long, String)].collect().toSet
     assert(corrected == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the stage-then-swap scratch table must not survive the run: a stray
+    // __staging parquet doubles storage and pollutes directory listings
+    assert(!new java.io.File(s"$target/t__staging.parquet").exists(),
+      "staging table left behind after autocorrect")
   }
 
   test("autocorrect merges on the effective PK under rename + explodeMap") {

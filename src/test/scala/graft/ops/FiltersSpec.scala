@@ -38,4 +38,20 @@ class FiltersSpec extends SparkSpec {
       Filters.applyAll(df, noFilters.copy(tokenPercent = Some(10)), Nil, None)
     }
   }
+
+  test("ring-token stand-ins stay in int64 for snowflake-scale and negative keys") {
+    // a raw pk * 2654435761 overflows past |pk| ~ 3.47e9 (ANSI error);
+    // the masked forms must evaluate for the full long domain and land in
+    // their documented ranges
+    import graft.io.TableIO
+    val big = Seq(5000000000L, Long.MaxValue, Long.MinValue, -1L, 42L).toDF("pk")
+    val toks = big.select(
+        TableIO.tokenOf(col("pk")).as("t"),
+        TableIO.tokenPercentBucket(col("pk")).as("b"),
+        TableIO.tokenOfCompound(Seq(col("pk"), col("pk"))).as("c"))
+      .as[(Long, Long, Long)].collect()
+    assert(toks.forall { case (t, b, c) =>
+      t >= 0 && t < TableIO.TokenModulus && b >= 0 && b < 100 &&
+        c >= 0 && c < TableIO.TokenModulus })
+  }
 }
