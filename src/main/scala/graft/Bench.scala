@@ -46,11 +46,34 @@ object Bench {
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val failed = results.filter(_._2 < 0).map(_._1)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
+    // full per-query detail → file (the registry outgrew a stdout line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(fullLine)
+    // The harness captures only the LAST ~2000 chars of stdout and parses
+    // the JSON line it finds there; with 100+ registered queries the full
+    // line overflows that window and parsing fails. So the FINAL printed
+    // line is a compact variant: aggregate numbers intact, per-query map
+    // truncated to the slowest queries that fit a ~1300-char budget.
+    val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val kept = new StringBuilder
+    var shown = 0
+    entries.foreach { e =>
+      if (kept.length + e.length + 1 <= 1300) {
+        if (shown > 0) kept.append(','); kept.append(e); shown += 1
+      }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{$kept},""" +
+      s""""queries_total":${results.size},"queries_shown":$shown,"failed":$failedJson,""" +
+      s""""detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

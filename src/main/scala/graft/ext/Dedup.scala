@@ -532,12 +532,12 @@ object Dedup {
 
   /**
    * X2f — span-level boilerplate accounting: per document, how many of
-   * its chunks are "boilerplate" (global document frequency of the chunk
-   * hash exceeds `maxChunkDf`) and the fraction that survives span-level
-   * dedup. One shuffle on the chunk hash for the df count (window reuses
-   * that partitioning), one on the doc id for the rollup — both
-   * map-side-combined; no joins over text. Documents shorter than one
-   * chunk report n_chunks = 0 and keep_frac 1.0 (nothing to dedup).
+   * its chunks are "boilerplate" (document frequency of the chunk hash —
+   * the number of DISTINCT documents containing it — exceeds `maxChunkDf`)
+   * and the fraction that survives span-level dedup. Three shuffles, all
+   * map-side-combined and none over text: (doc, chunk) collapse, chunk-df
+   * window, doc-id rollup. Documents shorter than one chunk report
+   * n_chunks = 0 and keep_frac 1.0 (nothing to dedup).
    */
   def chunkBoilerplate(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 8, maxChunkDf: Long = 1L): DataFrame = {
@@ -546,12 +546,18 @@ object Dedup {
     val chunks = withChunkHashes(df, textCol, chunkSize)
       .select(col(idCol), explode_outer(col(ChunksCol)).as("chunk"))
       .filter(col("chunk").isNotNull)
-    val perDoc = chunks
+    // TRUE document frequency: collapse to one row per (doc, chunk) first
+    // (carrying the occurrence count), so a chunk repeated within a single
+    // document counts once toward __cdf — only cross-document repetition
+    // marks boilerplate, matching Lee et al.-style span dedup. Every
+    // occurrence still counts toward n_chunks/n_boiler.
+    val perDocChunk = chunks.groupBy(col(idCol), col("chunk")).agg(count(lit(1)).as("__occ"))
+    val perDoc = perDocChunk
       .withColumn("__cdf", count(lit(1)).over(Window.partitionBy("chunk")))
       .groupBy(idCol)
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("__cdf") > maxChunkDf, 1L).otherwise(0L)).as("n_boiler"))
+        sum(col("__occ")).as("n_chunks"),
+        sum(when(col("__cdf") > maxChunkDf, col("__occ")).otherwise(0L)).as("n_boiler"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),

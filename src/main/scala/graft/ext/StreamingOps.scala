@@ -75,10 +75,12 @@ object StreamingOps {
       leftTs: String, rightTs: String, horizon: String, watermark: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
+    // identifiers are backtick-quoted so column names containing dots,
+    // spaces, or reserved words parse as single identifiers
     l.join(r, expr(
-      s"""l.$key = r.$key
-         |AND r.$rightTs >= l.$leftTs
-         |AND r.$rightTs <= l.$leftTs + interval $horizon""".stripMargin))
+      s"""l.`$key` = r.`$key`
+         |AND r.`$rightTs` >= l.`$leftTs`
+         |AND r.`$rightTs` <= l.`$leftTs` + interval $horizon""".stripMargin))
   }
 
   /** Input/output rows for the custom-state sessionizer. */

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
 
 /**
  * Skew mitigation for hot join keys (SURVEY.md §7.5.8, the 100 TB
@@ -15,6 +16,13 @@ import org.apache.spark.sql.functions._
  */
 object Salting {
 
+  /** Whether a field can join a groupBy/hash: orderable outright, or a
+   * top-level map whose canonical entry array is orderable. */
+  private def collapsible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case m: MapType => SqlTypes.orderable(m.keyType) && SqlTypes.orderable(m.valueType)
+    case other => SqlTypes.orderable(other)
+  }
+
   /**
    * Equi-join `skewed ⋈ dim` on `keys`, spreading each skewed key over
    * `salt` partitions. The dim side is exploded `salt`-fold (dim must be
@@ -22,21 +30,54 @@ object Salting {
    * result is IDENTICAL for every salt assignment; the salt only decides
    * which reducer each skewed row lands on.
    *
-   * The skewed-side salt is therefore a round-robin counter per input
-   * partition (`monotonically_increasing_id mod salt`), NOT a hash of the
-   * row: a content hash sends literal duplicate rows of the hot key —
-   * exactly the mass-duplicated shape that makes a key hot — to ONE salt
-   * value, re-concentrating the skew it was meant to spread, and
-   * `xxhash64` rejects MapType columns outright. Round-robin spreads
-   * duplicates evenly by construction and accepts any schema. Reruns may
-   * assign different salts, but since results are salt-invariant that
-   * only re-balances work, never changes output.
+   * The salt must be DETERMINISTIC: a `monotonically_increasing_id`- or
+   * `rand`-based salt is recomputed differently when a shuffle-map task
+   * retries after a fetch failure, so already-fetched reducer input and
+   * recomputed input disagree — rows silently lost or duplicated (the
+   * indeterminate-shuffle hazard Spark only mitigates for round-robin
+   * repartition). So the salt here is `xxhash64` over the row CONTENT.
+   * A content hash alone would re-concentrate literal duplicate rows of
+   * the hot key — exactly the mass-duplicated shape that makes a key hot
+   * — onto ONE salt value, so duplicates are first COLLAPSED
+   * (groupBy all columns → `__dup` count; map-side partial aggregation
+   * absorbs the mass before it ever crosses the wire), joined once, and
+   * re-exploded `__dup`-fold after the join. The duplicate mass thus
+   * never crosses a shuffle at all — strictly better than spreading it.
+   *
+   * MapType columns cannot join a groupBy or a hash directly; they are
+   * canonicalized to `array_sort(map_entries(m))` for the collapse and
+   * the salt, then restored with `map_from_entries`. If a column is not
+   * collapsible even via entries (a map nested inside a map), the
+   * collapse step is skipped and the salt hashes only the orderable
+   * columns — deterministic, but literal full-row duplicates then share
+   * a salt (documented residual; pre-collapse such frames upstream).
    */
   def saltedEquiJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val saltedLeft = skewed.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val saltedDim = dim.withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
-    saltedLeft.join(saltedDim, keys :+ "__salt", "inner").drop("__salt")
+    val fields = skewed.schema.fields
+    if (fields.forall(f => collapsible(f.dataType))) {
+      // canonical grouping form: maps → sorted entry arrays
+      val groupCols: Seq[Column] = fields.toSeq.map { f =>
+        f.dataType match {
+          case _: MapType => array_sort(map_entries(col(f.name))).as(f.name)
+          case _ => col(f.name)
+        }
+      }
+      val collapsed = skewed.groupBy(groupCols: _*).agg(count(lit(1)).as("__dup"))
+      val salted = collapsed.withColumn("__salt",
+        pmod(xxhash64(fields.toSeq.map(f => col(f.name)): _*), lit(salt.toLong)).cast("int"))
+      // restore map columns from their canonical entries
+      val restored = fields.collect { case f if f.dataType.isInstanceOf[MapType] => f }
+        .foldLeft(salted) { (d, f) => d.withColumn(f.name, map_from_entries(col(f.name))) }
+      restored.join(saltedDim, keys :+ "__salt", "inner")
+        .withColumn("__copy", explode(sequence(lit(1L), col("__dup"))))
+        .drop("__salt", "__dup", "__copy")
+    } else {
+      val hashable = fields.filter(f => SqlTypes.orderable(f.dataType)).toSeq.map(f => col(f.name))
+      val salted = skewed.withColumn("__salt",
+        pmod(xxhash64(hashable: _*), lit(salt.toLong)).cast("int"))
+      salted.join(saltedDim, keys :+ "__salt", "inner").drop("__salt")
+    }
   }
 }

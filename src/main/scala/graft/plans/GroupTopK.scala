@@ -93,32 +93,57 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val isPartial = partial
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       // LinkedHashMap: emission order follows first-seen key order — a
       // deterministic function of the (clustered) input, not hash order
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
+      // Memory guard for the partial pass: with near-unique keys the group
+      // map would retain ~the whole input partition on the JVM heap. The
+      // partial exec is only an optimization — any row it passes through
+      // untrimmed is re-trimmed by the final exec after the shuffle — so
+      // once the map holds `PartialGroupCap` groups, rows of NEW keys
+      // stream straight through instead of opening another heap. Memory is
+      // bounded at O(cap · k) while dominant keys (the ones partial
+      // trimming exists for) still collapse map-side. The final exec holds
+      // one heap per group per (clustered) partition — the same O(groups ·
+      // k / partitions) bound as a hash aggregate over the group keys.
+      val newKeysAbsorbed = !isPartial
+      val passAndAbsorb: Iterator[InternalRow] = iter.flatMap { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElse(key, {
-          val h = mutable.PriorityQueue.empty[InternalRow](ord)
-          heaps.put(key.copy(), h)
-          h
-        })
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        val existing = heaps.get(key)
+        existing match {
+          case Some(heap) =>
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+            Iterator.empty
+          case None if newKeysAbsorbed || heaps.size < TopKPerKeyExec.PartialGroupCap =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(key.copy(), h)
+            h.enqueue(row.copy())
+            Iterator.empty
+          case None =>
+            Iterator.single(row) // cap reached: pass through, final re-trims
         }
       }
-      heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+      passAndAbsorb ++ heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Max groups the PARTIAL exec holds per task before passing new keys
+   * through untrimmed: 64k groups × k rows bounds the heap regardless of
+   * key cardinality, while any realistic hot-key distribution still
+   * collapses map-side. */
+  val PartialGroupCap: Int = 1 << 16
 }
 
 /** Canonical registration path: `spark.sql.extensions=…GraftExtensions`. */

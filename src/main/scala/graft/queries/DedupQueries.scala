@@ -460,11 +460,13 @@ object DedupQueries {
         .orderBy("doc_id"),
       Some(s"""WITH ch AS (
               |  SELECT doc_id, unnest(${OracleSql.chunks(8)}) AS chunk FROM documents),
+              |pdc AS (
+              |  SELECT doc_id, chunk, count(*) AS occ FROM ch GROUP BY 1, 2),
               |sized AS (
-              |  SELECT doc_id, chunk, count(*) OVER (PARTITION BY chunk) AS cdf FROM ch),
+              |  SELECT doc_id, occ, count(*) OVER (PARTITION BY chunk) AS cdf FROM pdc),
               |agg AS (
-              |  SELECT doc_id, count(*) AS n_chunks,
-              |         CAST(sum(CASE WHEN cdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+              |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_chunks,
+              |         CAST(sum(CASE WHEN cdf > 1 THEN occ ELSE 0 END) AS BIGINT) AS n_boiler
               |  FROM sized GROUP BY 1)
               |SELECT d.doc_id,
               |  coalesce(agg.n_chunks, 0) AS n_chunks,

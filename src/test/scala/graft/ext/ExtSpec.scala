@@ -243,7 +243,8 @@ class DedupSpec extends SparkSpec {
       (1L, s"$eight z1 z2 z3 z4 z5 z6 z7 z8"), // chunk0 shared with doc 2
       (2L, s"$eight y1 y2 y3 y4 y5 y6 y7 y8"),
       (3L, "too short"),
-      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")) // 9 tokens -> exactly 1 chunk, trailing tail ignored
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // 9 tokens -> exactly 1 chunk, trailing tail ignored
+      (5L, "q1 q2 q3 q4 q5 q6 q7 q8 q1 q2 q3 q4 q5 q6 q7 q8")) // same chunk twice IN ONE doc
       .toDF("doc_id", "text")
     val out = Dedup.chunkBoilerplate(df, "doc_id", "text", chunkSize = 8, maxChunkDf = 1L)
       .orderBy("doc_id")
@@ -252,6 +253,9 @@ class DedupSpec extends SparkSpec {
     assert(out(1) == ((2L, 2L, 1L, 0.5)))
     assert(out(2) == ((3L, 0L, 0L, 1.0)), "sub-chunk docs keep everything")
     assert(out(3) == ((4L, 1L, 0L, 1.0)))
+    // document frequency, not occurrence count: a chunk repeated twice
+    // within ONE document (df = 1) is not boilerplate at maxChunkDf = 1
+    assert(out(4) == ((5L, 2L, 0L, 1.0)), s"within-doc repeat misflagged: ${out(4)}")
   }
 }
 
@@ -279,19 +283,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out == ((None, None)), s"got $out — a partial dot would silently mis-rank")
   }
 
-  test("salted join spreads literal duplicate rows and tolerates map columns") {
-    // 1000 IDENTICAL rows of one hot key: a content-hash salt would send
-    // them all to one salt value (re-concentrating the skew); round-robin
-    // must use every salt. Map column exercises the xxhash64-free path.
-    val hot = Seq.fill(1000)((7L, Map("a" -> 1))).toDF("k", "m")
+  test("salted join collapses literal duplicate rows and tolerates map columns") {
+    // 1000 IDENTICAL rows of one hot key: the deterministic content-hash
+    // salt would concentrate them on one salt value, so the operator
+    // collapses duplicates BEFORE the shuffle (one row + __dup count) and
+    // re-explodes after the join — the mass never crosses the wire. Map
+    // column exercises the map_entries canonicalization path.
+    val hot = Seq.fill(1000)((7L, Map("a" -> 1))) ++ Seq((7L, Map("b" -> 2)))
+    val hotDf = hot.toDF("k", "m")
     val dim = Seq((7L, "x")).toDF("k", "name")
-    val joined = graft.ops.Salting.saltedEquiJoin(hot, dim, Seq("k"), 8)
-    assert(joined.count() == 1000)
-    // distribution check: re-derive the salt the operator assigns
-    val salts = hot.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
-      .select("__salt").distinct().count()
-    assert(salts == 8, s"duplicates concentrated on $salts salt value(s)")
+    val joined = graft.ops.Salting.saltedEquiJoin(hotDf, dim, Seq("k"), 8)
+    assert(joined.count() == 1001)
+    // map values survive the entries round-trip
+    val ms = joined.select("m").collect().map(_.getMap[String, Int](0).toMap).toSet
+    assert(ms == Set(Map("a" -> 1), Map("b" -> 2)))
+    // determinism: two independent runs assign identical salts (the
+    // property monotonically_increasing_id could not give under retry)
+    val r1 = joined.collect().map(_.toString).sorted
+    val r2 = graft.ops.Salting.saltedEquiJoin(hotDf, dim, Seq("k"), 8).collect().map(_.toString).sorted
+    assert(r1.sameElements(r2))
   }
 
   test("cosine of a vector with itself is 1") {
