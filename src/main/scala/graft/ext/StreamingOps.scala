@@ -53,6 +53,34 @@ object StreamingOps {
                         key: String, watermark: String): DataFrame =
     tumbling(stream.withWatermark(tsCol, watermark), tsCol, duration, key)
 
+  /**
+   * Batch gap-based sessionization — the lag/cumulative-sum face of
+   * `session_window`: a new session starts when the gap to the previous
+   * event of the same key reaches `gap` (break condition `>=`, mirroring
+   * Spark's session_window semantics, see the session_window oracle).
+   * Adds a per-key `session_seq` column (1-based).
+   *
+   * One shuffle on the key; both windows share its partitioning (lag and
+   * the running sum reuse the same sort). `tieCol` breaks equal-timestamp
+   * order deterministically — without it, lag over ties is
+   * partition-order dependent. At 100 TB the key shuffle is the same one
+   * any per-user analysis pays; no state store, no driver involvement.
+   */
+  def sessionizeByGap(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gap: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__boundary",
+        when(col("__prev_ts").isNull ||
+          col(tsCol) >= col("__prev_ts") + expr(s"INTERVAL $gap"), 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__boundary")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .drop("__prev_ts", "__boundary")
+  }
+
   /** Streaming dedup within the watermark horizon — the streaming face of
    * X1 exact dedup (state store bounded by the watermark). */
   def streamingDedup(stream: DataFrame, tsCol: String, watermark: String, idCols: Seq[String]): DataFrame =

@@ -168,4 +168,49 @@ object TextOps {
     val (en, tech) = langScores(toks)
     when(en > tech, "en").when(tech > en, "tech").otherwise("tie")
   }
+
+  /**
+   * Sparse term-frequency cosine pairs via an inverted index — the
+   * lexical-overlap companion to the dense-embedding near-dup (X2d):
+   * documents become sparse tf vectors over `termsCol` (an array<bigint>
+   * of term hashes — unigram [[tokenHash]]es or
+   * [[graft.ext.Dedup.withShingleHashes]] 3-gram hashes, caller's
+   * choice of granularity), candidate pairs are generated ONLY through
+   * shared terms (join on the term hash — never all-pairs), and
+   * cos = dot / (‖a‖·‖b‖) over the integer tf vectors.
+   *
+   * Exactness across engines: tf, tf², and the dot accumulate in int64 —
+   * order-independent; the only float ops are two sqrt's, one multiply,
+   * one divide, one round — bit-deterministic IEEE on both engines.
+   *
+   * Scale levers, same posture as [[graft.ext.Dedup.ngramJaccardPairs]]:
+   * `maxTermDf` is the document-frequency ceiling (prefix-filter idiom)
+   * that keeps the inverted-index self-join linear when a stop-term
+   * appears in d documents (O(d²) rows otherwise); norms are computed
+   * over the SAME ceiled term set, so the reported cosine is
+   * consistently "cosine over non-stop terms"; `minDot` prunes the pair
+   * stream before the norm joins. The df window shuffles on `tok`, the
+   * key the self-join needs — the partitioning is reused.
+   */
+  def sparseCosinePairs(df: org.apache.spark.sql.DataFrame, idCol: String, termsCol: String,
+      minDot: Long, maxTermDf: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode_outer(col(termsCol)).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val filtered = tf
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("tok")))
+      .filter(col("__df") <= maxTermDf).drop("__df")
+    val norms = filtered.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = filtered.select(col(idCol).as("id_a"), col("tok"), col("tf").as("tf_a"))
+    val b = filtered.select(col(idCol).as("id_b"), col("tok"), col("tf").as("tf_b"))
+    a.join(b, Seq("tok")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .filter(col("dot") >= minDot)
+      .join(norms.select(col(idCol).as("id_a"), col("n2").as("n2_a")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("n2").as("n2_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))), 6).as("cos6"))
+  }
 }

@@ -101,6 +101,30 @@ object TableIO {
       .parquet(s"$dir/$table.parquet")
 
   /**
+   * JSON-lines export/import — the interchange format training corpora
+   * actually arrive in. Schema is EXPLICIT on read: at 100 TB, schema
+   * inference is a full extra pass over the data (Spark samples, but
+   * still opens files) and silently widens types; a declared schema costs
+   * zero I/O and fails loudly on drift. Text round-trips exactly (JSON
+   * escaping handles embedded newlines/quotes/unicode).
+   */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV export/import, same explicit-schema discipline; header on, Spark
+   * quotes embedded delimiters/quotes per RFC 4180. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /**
    * Deterministic stand-in for the Cassandra Murmur3 ring token of a
    * partition key (`token(pk)` in the reference's range-scan CQL).
    *

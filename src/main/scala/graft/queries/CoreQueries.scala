@@ -186,6 +186,55 @@ object CoreQueries {
       Some("""SELECT l_orderkey, l_linenumber, nullif(l_linenumber, 3) AS pk_part
              |FROM lineitem
              |WHERE l_orderkey IS NOT NULL AND nullif(l_linenumber, 3) IS NOT NULL
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // S1+ — JSON-lines source/sink round-trip: documents exported as
+    // jsonl (the interchange format corpora arrive in), read back with an
+    // EXPLICIT schema (inference is an extra full pass at 100 TB), and
+    // aggregated. The oracle reads the original parquet — equality proves
+    // the text (embedded quotes/newlines) survived the round-trip byte-
+    // for-byte, sum(length(text)) being the content witness.
+    Q("jsonl_roundtrip",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val path = s"/tmp/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        TableIO.writeJsonLines(docs, path)
+        TableIO.readJsonLines(s, path, docs.schema)
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS sum_text_len
+             |FROM documents
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // S1+ — CSV source/sink round-trip with RFC-4180 quoting, explicit
+    // schema on read; name lengths + exact DECIMAL balance totals witness
+    // the string and numeric columns surviving text serialization.
+    Q("csv_roundtrip",
+      (s, dir) => {
+        val cust = TableIO.read(s, dir, "customer")
+        val path = s"/tmp/graft_csv_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        TableIO.writeCsv(cust, path)
+        TableIO.readCsv(s, path, cust.schema)
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+            sum(length(col("c_name")).cast("long")).as("sum_name_len"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+             |  CAST(sum(strlen(c_name)) AS BIGINT) AS sum_name_len
+             |FROM customer
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin))
   )
 }

@@ -354,6 +354,42 @@ object TextQueries {
              |  coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac,
              |  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_word_frac
              |FROM t LEFT JOIN top ON t.doc_id = top.doc_id
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // Sparse tf-cosine pairs through the inverted index — the lexical
+    // twin of embed_neardup, over 3-gram shingle hashes (unigrams are
+    // useless here: the synthetic corpus shares one small vocabulary, so
+    // every unigram's df exceeds any useful ceiling). Integer tf/dot/
+    // norm² accumulation keeps the comparison cross-engine exact; the
+    // df-ceiling (20) is the same prefix-filter lever as
+    // dedup_ngram_pairs' shingle ceiling.
+    Q("sparse_cosine_pairs",
+      (s, dir) => TextOps.sparseCosinePairs(
+          graft.ext.Dedup.withShingleHashes(
+            TableIO.read(s, dir, "documents").filter(col("doc_id") < 300), "text"),
+          "doc_id", graft.ext.Dedup.ShinglesCol, minDot = 3L, maxTermDf = 20L)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(${OracleSql.shingles}) AS tok
+              |  FROM documents WHERE doc_id < 300),
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+              |f AS (
+              |  SELECT doc_id, tok, tf FROM (
+              |    SELECT doc_id, tok, tf, count(*) OVER (PARTITION BY tok) AS df FROM tf)
+              |  WHERE df <= 20),
+              |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM f GROUP BY 1),
+              |d AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+              |  FROM f a JOIN f b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |  HAVING sum(a.tf * b.tf) >= 3)
+              |SELECT id_a, id_b, dot,
+              |  round(CAST(dot AS DOUBLE) /
+              |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos6
+              |FROM d
+              |JOIN norms na ON na.doc_id = id_a
+              |JOIN norms nb ON nb.doc_id = id_b
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }

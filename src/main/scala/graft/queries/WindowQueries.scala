@@ -119,6 +119,62 @@ object WindowQueries {
               |  count(*) AS n, $DecimalSumSql AS v
               |FROM g
               |GROUP BY user_id, sid
-              |ORDER BY user_id, session_start_us""".stripMargin))
+              |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Batch gap-sessionization via lag + running sum (the join-free,
+    // state-free form of session_window): per-session rollup keyed on the
+    // explicit session_seq the operator assigns. Tie-broken on event_id
+    // so equal-timestamp order is deterministic in both engines.
+    Q("sessionize_gaps",
+      (s, dir) => StreamingOps.sessionizeByGap(
+          TableIO.read(s, dir, "events"), "user_id", "ts", "event_id", "30 minutes")
+        .groupBy("user_id", "session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+        .orderBy("user_id", "session_seq"),
+      Some(s"""WITH o AS (
+              |  SELECT user_id, event_id, ts, value,
+              |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              |  FROM events),
+              |g AS (
+              |  SELECT *, SUM(CASE WHEN prev IS NULL OR ts >= prev + INTERVAL '30 minutes'
+              |                     THEN 1 ELSE 0 END)
+              |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                  ROWS UNBOUNDED PRECEDING) AS session_seq
+              |  FROM o)
+              |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              |  count(*) AS n_events,
+              |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+              |  $DecimalSumSql AS v
+              |FROM g
+              |GROUP BY user_id, session_seq
+              |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // SCD-2 dimension build from the event change log: per user, each
+    // event_type change opens a validity interval closed by the next
+    // change (null = current). One key shuffle; lag-filter, version
+    // row_number and valid-to lead all reuse it (graft.ops.Scd).
+    Q("scd2_dim",
+      (s, dir) => graft.ops.Scd.scd2FromChangeLog(
+          TableIO.read(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "version"),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+             |  FROM events),
+             |ch AS (
+             |  SELECT user_id, event_id, ts, event_type
+             |  FROM o WHERE prev_state IS NULL OR prev_state <> event_type)
+             |SELECT user_id, event_type AS state,
+             |  CAST(row_number() OVER w AS INTEGER) AS version,
+             |  epoch_us(ts) AS valid_from_us,
+             |  lead(epoch_us(ts)) OVER w AS valid_to_us,
+             |  lead(epoch_us(ts)) OVER w IS NULL AS is_current
+             |FROM ch
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, version""".stripMargin))
   )
 }
