@@ -81,6 +81,15 @@ object DiffData {
   def missing(origin: DataFrame, target: DataFrame, pkCols: Seq[String]): DataFrame =
     origin.join(target.select(pkCols.map(col): _*), pkCols, "left_anti")
 
+  /** JN2b — the REVERSE of [[missing]]: rows present in target but absent
+   * from origin (target-side orphans — failed deletes, writes that raced
+   * a migration cutover, TTL divergence). Upstream DiffData only
+   * validates from origin's perspective; a complete reconciliation needs
+   * both directions. Same left-anti shape with the sides swapped, so the
+   * plan is the identical single PK-keyed hash join. */
+  def extraInTarget(origin: DataFrame, target: DataFrame, pkCols: Seq[String]): DataFrame =
+    target.join(origin.select(pkCols.map(col): _*), pkCols, "left_anti")
+
   /** A1 — job counters: rows by classification
    * ([upstream] job/JobCounter.java prints read/valid/missing/mismatch). */
   def counters(classified: DataFrame): DataFrame =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.TableIO
-import graft.jobs.{DiffData, Guardrail}
+import graft.jobs.{DiffData, Guardrail, Profile}
 import graft.ops.{Counters, Transforms}
 import graft.run.RunLedger
 
@@ -75,6 +75,23 @@ object DiffQueries {
       Some(s"""SELECT o_orderkey, o_custkey
               |FROM orders
               |WHERE $tpSql IN (3,4)
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // JN2b — target-side orphans (reverse anti-join): the target fixture
+    // gains synthetic extra rows (tp=7 keys shifted out of origin's key
+    // space) that the origin-perspective classes can never see.
+    Q("diff_extra_target",
+      (s, dir) => {
+        val (o, t0) = originAndTarget(s, dir)
+        val extras = o.filter(tpCol === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        DiffData.extraInTarget(o, t0.unionByName(extras), Pk)
+          .select("o_orderkey", "o_custkey")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey
+              |FROM orders
+              |WHERE $tpSql = 7
               |ORDER BY o_orderkey""".stripMargin)),
 
     // JN3 — mismatch rows with per-column diff detail.
@@ -156,6 +173,28 @@ object DiffQueries {
              |FROM documents
              |WHERE greatest(strlen(text), strlen(lang), strlen(source)) > 300
              |ORDER BY doc_id""".stripMargin)),
+
+    // A4+ — column-profile audit (Profile.profile): row/null/exact-
+    // distinct counts + portable min/max strings per column, one agg job.
+    Q("data_profile",
+      (s, dir) => Profile.profile(
+          TableIO.read(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy("col_name"),
+      Some {
+        def one(c: String, renderCast: String => String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min(${renderCast(c)}) AS VARCHAR) AS min_str,
+             |  CAST(max(${renderCast(c)}) AS VARCHAR) AS max_str
+             |FROM lineitem""".stripMargin
+        val plain = (c: String) => c
+        val dec = (c: String) => s"CAST($c AS DECIMAL(18,6))"
+        Seq(one("l_orderkey", plain), one("l_linenumber", plain),
+          one("l_quantity", dec), one("l_returnflag", plain), one("l_shipdate", plain))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
 
     // J2 after T2 — reconciliation of an EXPLODED table: the map key joins
     // the primary key (SURVEY §7.5.6 / CdmConfig.effectivePrimaryKey), so

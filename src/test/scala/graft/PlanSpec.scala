@@ -193,4 +193,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "queries side should broadcast")
   }
+
+  test("scd2 build shuffles once on the key: lag, version, lead share the partitioning") {
+    val p = plan(graft.ops.Scd.scd2FromChangeLog(
+      TableIO.read(spark, Sf, "events"), "user_id", "ts", "event_id", "event_type"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"SCD-2 should reuse one key shuffle:\n${p.take(2000)}")
+  }
+
+  test("gap sessionization shuffles once on the key") {
+    val p = plan(graft.ext.StreamingOps.sessionizeByGap(
+      TableIO.read(spark, Sf, "events"), "user_id", "ts", "event_id", "30 minutes"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"lag + running sum should share one key shuffle:\n${p.take(2000)}")
+  }
+
+  test("sparse cosine pairs joins only through the inverted index — no cartesian") {
+    val p = plan(SparkEntry.queries("sparse_cosine_pairs")(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into the plan:\n${p.take(2000)}")
+  }
+
+  test("salted join stays deterministic: no monotonically_increasing_id in the plan") {
+    val orders = TableIO.read(spark, Sf, "orders")
+    val dim = TableIO.read(spark, Sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    val p = plan(graft.ops.Salting.saltedEquiJoin(orders, dim, Seq("o_custkey"), 8))
+    assert(!p.contains("monotonically_increasing_id"),
+      s"nondeterministic salt (indeterminate-shuffle hazard):\n${p.take(2000)}")
+    assert(p.contains("xxhash64"), s"content salt missing:\n${p.take(2000)}")
+  }
 }
