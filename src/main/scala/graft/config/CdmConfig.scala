@@ -241,6 +241,25 @@ object CdmConfig {
 
   def from(spark: SparkSession): CdmConfig = from(spark.sparkContext.getConf)
 
+  /** Load a cdm.properties FILE from disk — the `--properties-file` path
+   * the wrapper hands spark-submit (`/root/reference/entrypoint.sh:277`).
+   * java.util.Properties parsing (ISO-8859-1, backslash escapes,
+   * `key=value` / `key value` forms — the same dialect spark-submit
+   * feeds SparkConf), non-`spark.cdm.*` keys ignored (a real properties
+   * file carries spark.executor.* etc.), then the identical unknown-key
+   * fail-fast and typed validation as the SparkConf path. */
+  def fromPropertiesFile(path: String): CdmConfig = {
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(path)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val all = props.asScala.toMap
+    val cdm = all.filter(_._1.startsWith("spark.cdm."))
+    val unknown = cdm.keySet -- KnownKeys
+    require(unknown.isEmpty, s"Unknown spark.cdm.* properties: ${unknown.toSeq.sorted.mkString(", ")}")
+    fromMap(cdm)
+  }
+
   def from(conf: SparkConf): CdmConfig = {
     val cdm = conf.getAll.filter(_._1.startsWith("spark.cdm.")).toMap
     val unknown = cdm.keySet -- KnownKeys

@@ -94,6 +94,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val sortOrder = order
     val limit = k
     val isPartial = partial
+    // read once on the driver at execute time, so a test/session can size
+    // the guard; tasks see the captured value
+    val groupCap = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.partialGroupCap", TopKPerKeyExec.PartialGroupCap.toString)
+      .toInt
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
@@ -121,7 +126,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
               heap.dequeue(); heap.enqueue(row.copy())
             }
             Iterator.empty
-          case None if newKeysAbsorbed || heaps.size < TopKPerKeyExec.PartialGroupCap =>
+          case None if newKeysAbsorbed || heaps.size < groupCap =>
             val h = mutable.PriorityQueue.empty[InternalRow](ord)
             heaps.put(key.copy(), h)
             h.enqueue(row.copy())
@@ -139,10 +144,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 }
 
 object TopKPerKeyExec {
-  /** Max groups the PARTIAL exec holds per task before passing new keys
-   * through untrimmed: 64k groups × k rows bounds the heap regardless of
-   * key cardinality, while any realistic hot-key distribution still
-   * collapses map-side. */
+  /** Default max groups the PARTIAL exec holds per task before passing
+   * new keys through untrimmed (override:
+   * `spark.graft.topk.partialGroupCap`): 64k groups × k rows bounds the
+   * heap regardless of key cardinality, while any realistic hot-key
+   * distribution still collapses map-side. */
   val PartialGroupCap: Int = 1 << 16
 }
 

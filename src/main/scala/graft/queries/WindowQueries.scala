@@ -153,6 +153,31 @@ object WindowQueries {
               |GROUP BY user_id, session_seq
               |ORDER BY user_id, session_seq""".stripMargin)),
 
+    // RANGE-frame rolling window: per event, count + DECIMAL value sum of
+    // the same user's events in the trailing hour — the time-based frame
+    // (rangeBetween over µs) the rows-based running windows can't express.
+    // RANGE includes ORDER-BY peers in both engines, so equal-timestamp
+    // ties agree; output order is pinned by (user, ts, event_id).
+    Q("rolling_time_sum",
+      (s, dir) => {
+        val e = TableIO.read(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-3600000000L, 0L)
+        e.select(col("user_id"), col("event_id"), col("ts_us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("v_1h"))
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |  count(*) OVER w AS n_1h,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
     // SCD-2 dimension build from the event change log: per user, each
     // event_type change opens a validity interval closed by the next
     // change (null = current). One key shuffle; lag-filter, version

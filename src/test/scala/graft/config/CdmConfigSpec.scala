@@ -81,6 +81,28 @@ class CdmConfigSpec extends AnyFunSuite {
     assert(cfg.perf.consistencyRead == "LOCAL_ONE" && cfg.perf.consistencyWrite == "EACH_QUORUM")
   }
 
+  test("loads a cdm.properties file from disk, ignoring non-cdm spark keys") {
+    val f = java.nio.file.Files.createTempFile("cdm", ".properties")
+    java.nio.file.Files.writeString(f,
+      """# migration config
+        |spark.cdm.connect.origin.path=/data/origin
+        |spark.cdm.schema.origin.keyspaceTable=ks.tbl
+        |spark.cdm.schema.origin.primaryKey=pk1,pk2
+        |spark.cdm.perfops.numParts=64
+        |spark.executor.memory=25G
+        |spark.serializer=org.apache.spark.serializer.KryoSerializer
+        |""".stripMargin)
+    try {
+      val cfg = CdmConfig.fromPropertiesFile(f.toString)
+      assert(cfg.origin.path == "/data/origin")
+      assert(cfg.schema.primaryKey == Seq("pk1", "pk2"))
+      assert(cfg.perf.numParts.contains(64))
+      // unknown spark.cdm.* keys in a FILE fail fast like the SparkConf path
+      java.nio.file.Files.writeString(f, "spark.cdm.bogus.key=1\n")
+      intercept[IllegalArgumentException](CdmConfig.fromPropertiesFile(f.toString))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("rejects contradictory connection configs") {
     intercept[IllegalArgumentException](CdmConfig.fromMap(Map( // scb + host
       "spark.cdm.connect.origin.host" -> "h",

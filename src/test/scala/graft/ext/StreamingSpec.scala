@@ -129,6 +129,16 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("intervalJoin handles reserved-word and dotted column names (backtick quoting)") {
+    val left = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("order", "event.ts") // reserved word + dotted name
+    val right = Seq((1L, Timestamp.valueOf("2024-01-01 00:05:00")))
+      .toDF("order", "click.ts")
+    val out = StreamingOps.intervalJoin(left, right,
+      "order", "event.ts", "click.ts", horizon = "1 hour", watermark = "2 hours")
+    assert(out.count() == 1)
+  }
+
   test("sessionized assigns gap-separated events to distinct sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),

@@ -74,4 +74,18 @@ class GroupTopKSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(out == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("partial group cap: near-unique keys pass through untrimmed, result stays exact") {
+    // 5000 distinct keys force the partial exec past a tiny cap, so most
+    // rows take the pass-through path; the final exec must still produce
+    // the exact per-group top-k.
+    val df = Seq.tabulate(10000)(i => (i.toLong % 5000, i.toLong, i.toLong)).toDF("g", "v", "id")
+    withConf("spark.graft.topk.partialGroupCap" -> "8") {
+      val out = GroupTopK.topkPerKey(df, Seq("g"), Seq($"v".desc, $"id".asc), k = 1)
+        .select("g", "id").as[(Long, Long)].collect().toMap
+      assert(out.size == 5000)
+      // top row per key g is the second occurrence: id = g + 5000
+      assert(out(0L) == 5000L && out(4999L) == 9999L && out(17L) == 5017L)
+    }
+  }
 }
