@@ -46,6 +46,41 @@ object AnalyticsQueries {
              |GROUP BY r_name
              |ORDER BY r_name""".stripMargin)),
 
+    // TPC-H Q5 shape: two fact-to-dim equi-joins PLUS a cross-dimension
+    // equality (customer and supplier in the same nation) — the join
+    // topology where planners go wrong at scale (the cross-dim predicate
+    // must stay a post-join filter on broadcast rows, never a shuffle).
+    // Also the only query exercising the supplier table.
+    Q("local_supplier_revenue",
+      (s, dir) => {
+        val li = TableIO.read(s, dir, "lineitem")
+        val o = TableIO.read(s, dir, "orders")
+        val c = TableIO.read(s, dir, "customer")
+        val sup = TableIO.read(s, dir, "supplier")
+        val n = TableIO.read(s, dir, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .filter(c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+              .cast("double").as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE c_nationkey = s_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
     // §2.7 — window functions: per-user running totals + previous-event
     // deltas over event time.
     Q("window_running",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.io.TableIO
 import graft.jobs.{DiffData, Guardrail, Profile}
 import graft.ops.{Counters, Transforms}
-import graft.run.RunLedger
+import graft.run.{Quarantine, RunLedger}
 
 /**
  * Harness queries for DiffData (J2: JN1–JN3, A1), GuardrailCheck (J3/A4),
@@ -173,6 +173,30 @@ object DiffQueries {
              |FROM documents
              |WHERE greatest(strlen(text), strlen(lang), strlen(source)) > 300
              |ORDER BY doc_id""".stripMargin)),
+
+    // §2.9+ — dead-letter routing: rows violating validation rules carry
+    // the violated-rule list and route to quarantine; clean rows continue.
+    // Registered as the route/reason census (the writeRouted single-pass
+    // partitionBy split is proven in QuarantineSpec).
+    Q("quarantine_split",
+      (s, dir) => Quarantine.classify(
+          TableIO.read(s, dir, "lineitem"),
+          Seq(
+            "tax_low" -> (col("l_tax") <= 0.05),
+            "qty_cap" -> (col("l_quantity") <= 45.0)))
+        .groupBy(col(Quarantine.RouteCol).as("route"), col(Quarantine.ReasonsCol).as("reasons"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("route", "reasons"),
+      Some("""WITH c AS (
+             |  SELECT concat_ws(',',
+             |    CASE WHEN NOT coalesce(l_tax <= 0.05, FALSE) THEN 'tax_low' END,
+             |    CASE WHEN NOT coalesce(l_quantity <= 45.0, FALSE) THEN 'qty_cap' END) AS reasons
+             |  FROM lineitem)
+             |SELECT CASE WHEN reasons = '' THEN 'good' ELSE 'quarantine' END AS route,
+             |       reasons, count(*) AS n
+             |FROM c
+             |GROUP BY 1, 2
+             |ORDER BY route, reasons""".stripMargin)),
 
     // A4+ — column-profile audit (Profile.profile): row/null/exact-
     // distinct counts + portable min/max strings per column, one agg job.

@@ -1,0 +1,54 @@
+package graft.run
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.run.{Quarantine => Q}
+
+class StreamingMigrateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("continuous migrate merges micro-batches by last-writer-wins, idempotently") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = tmpDir()
+    val source = MemoryStream[(Long, String, Long)]
+    val stream = source.toDF().toDF("pk", "v", "wt")
+    val q = StreamingMigrate.start(stream, target, "tbl", Seq("pk"), "wt", tmpDir())
+    try {
+      source.addData((1L, "a", 100L), (2L, "b", 100L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$target/tbl.parquet").count() == 2)
+
+      // batch 2: newer write for pk 2, STALE write for pk 1, new pk 3
+      source.addData((2L, "b2", 200L), (1L, "stale", 50L), (3L, "c", 100L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$target/tbl.parquet")
+        .select("pk", "v", "wt").as[(Long, String, Long)].collect().toSet
+      assert(got == Set((1L, "a", 100L), (2L, "b2", 200L), (3L, "c", 100L)),
+        s"got $got — stale write must lose, newer must win")
+    } finally q.stop()
+  }
+
+  test("quarantine classify routes violations with reasons; writeRouted splits in one pass") {
+    val df = Seq(
+      (1L, 10.0, "ok"),
+      (2L, -5.0, "neg"), // violates positive
+      (3L, 10.0, null), // violates named (null predicate -> violation)
+      (4L, -1.0, null)) // violates both
+      .toDF("id", "amount", "name")
+    val classified = Q.classify(df, Seq(
+      "positive" -> ($"amount" > 0),
+      "named" -> $"name".isNotNull))
+    val reasons = classified.orderBy("id")
+      .select(Q.ReasonsCol).as[String].collect().toSeq
+    assert(reasons == Seq("", "positive", "named", "positive,named"))
+
+    val dir = tmpDir()
+    Q.writeRouted(classified, dir)
+    val good = spark.read.parquet(s"$dir/${Q.RouteCol}=${Q.Good}")
+    val bad = spark.read.parquet(s"$dir/${Q.RouteCol}=${Q.Quarantined}")
+    assert(good.count() == 1 && bad.count() == 3)
+    // partition pruning: reading one side never lists the other
+    assert(bad.select("id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+  }
+}
