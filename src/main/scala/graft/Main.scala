@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.{CdmConfig, EnvProperties}
+import graft.jobs.JobDispatch
+
+/**
+ * spark-submit entry point — the launch surface a reference user already
+ * has (`/root/reference/entrypoint.sh:274-283` spark-submits a job class
+ * with `--properties-file cdm.properties`; `spark-submit-cdm:10-26`
+ * re-dispatches by job name):
+ *
+ *   spark-submit --class graft.Main graft.jar <migrate|validate|guardrail> [cdm.properties]
+ *
+ * Config resolution order mirrors the wrapper:
+ *  1. explicit properties-file argument (`CdmConfig.fromPropertiesFile`);
+ *  2. `CDM_PROPERTY_*` environment variables through the wrapper's
+ *     rewrite engine (`EnvProperties` — entrypoint.sh:88-179);
+ *  3. the SparkConf itself (spark-submit `--properties-file` /
+ *     `--conf spark.cdm.*=` already landed the keys there).
+ * The job name may also come from `CDM_JOB_NAME`, exactly like the
+ * wrapper's dispatch.
+ */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val jobName = args.headOption.orElse(sys.env.get("CDM_JOB_NAME")).getOrElse(
+      throw new IllegalArgumentException(
+        "usage: graft.Main <migrate|validate|guardrail> [cdm.properties] (or set CDM_JOB_NAME)"))
+    JobDispatch.resolve(jobName) // fail fast on a bad name, before any Spark work
+    val spark = SparkSession.builder().appName(s"graft-$jobName").getOrCreate()
+    val cfg = resolveConfig(spark, args.lift(1), sys.env)
+    val report = JobDispatch.run(spark, jobName, cfg)
+    // the report frame is small by construction (job counters / diff
+    // report / guardrail violations); migrate returns the target read,
+    // where count() is the "rows written" figure upstream prints
+    println(s"[graft] $jobName complete: ${report.count()} report rows")
+  }
+
+  /** Wrapper-parity config resolution; separated for direct testing. */
+  def resolveConfig(spark: SparkSession, propertiesFile: Option[String],
+      env: Map[String, String]): CdmConfig =
+    propertiesFile match {
+      case Some(path) => CdmConfig.fromPropertiesFile(path)
+      case None if env.keys.exists(_.startsWith(EnvProperties.DefaultPrefix)) =>
+        EnvProperties.configFromEnv(env)
+      case None => CdmConfig.from(spark)
+    }
+}

@@ -194,6 +194,13 @@ class PlanSpec extends SparkSpec {
       "queries side should broadcast")
   }
 
+  test("Q5-shape join broadcasts all three dims and never goes nested-loop") {
+    val p = plan(SparkEntry.queries("local_supplier_revenue")(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-dim predicate degraded the join:\n${p.take(2000)}")
+  }
+
   test("scd2 build shuffles once on the key: lag, version, lead share the partitioning") {
     val p = plan(graft.ops.Scd.scd2FromChangeLog(
       TableIO.read(spark, Sf, "events"), "user_id", "ts", "event_id", "event_type"))

@@ -112,6 +112,30 @@ class JobDispatchSpec extends SparkSpec {
     assert(Set(7, 9).subsetOf(parts) && parts.size > 2)
   }
 
+  test("Main: spark-submit shape end-to-end from a properties file") {
+    val target = tmpDir()
+    val f = java.nio.file.Files.createTempFile("cdm-main", ".properties")
+    java.nio.file.Files.writeString(f,
+      s"""spark.cdm.connect.origin.path=$Sf
+         |spark.cdm.connect.target.path=$target
+         |spark.cdm.schema.origin.keyspaceTable=nation
+         |spark.cdm.schema.origin.primaryKey=n_nationkey
+         |""".stripMargin)
+    try {
+      graft.Main.main(Array("Migrate", f.toString))
+      assert(spark.read.parquet(s"$target/nation.parquet").count() ==
+        spark.read.parquet(s"$Sf/nation.parquet").count())
+      // config resolution precedence: env beats SparkConf when no file
+      val cfg = graft.Main.resolveConfig(spark, None, Map(
+        "CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PATH" -> "/env/origin",
+        "CDM_PROPERTY_SPARK_CDM_SCHEMA_ORIGIN_KEYSPACETABLE" -> "t",
+        "CDM_PROPERTY_SPARK_CDM_SCHEMA_ORIGIN_PRIMARYKEY" -> "pk"))
+      assert(cfg.origin.path == "/env/origin")
+      // bad job name fails fast with the wrapper's message shape
+      intercept[IllegalArgumentException](graft.Main.main(Array("compact")))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("dispatched guardrail applies colSizeInKB") {
     val cfg = CdmConfig.fromMap(Map(
       "spark.cdm.connect.origin.path" -> Sf,
