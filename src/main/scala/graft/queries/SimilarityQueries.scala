@@ -59,6 +59,36 @@ object SimilarityQueries {
        |    i -> CAST($a[sub*${Similarity.PqSubDim}+i] AS DOUBLE) * CAST($b[sub*${Similarity.PqSubDim}+i] AS DOUBLE))),
        |  (acc, x) -> acc + x)""".stripMargin
 
+  /** Shared CTE chain mirroring Similarity.pqCodes/pqAdcTopK through the
+   * per-pair ADC sums (`pairs`): centroids vec_id<16, queries vec_id<5,
+   * fixed-point µ-unit LUT entries. Used by both pq_adc_topk and
+   * pq_rerank_topk so the band arithmetic lives in one place. */
+  private lazy val pqAdcCtes =
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+       |sp AS (SELECT CAST(range AS BIGINT) AS sub FROM range(0, ${Similarity.PqSubspaces})),
+       |d AS (
+       |  SELECT e.vec_id, sp.sub, c.c_id,
+       |         round(${subDotSql("e.embedding", "e.embedding")}
+       |               - 2.0 * ${subDotSql("e.embedding", "c.cemb")}
+       |               + ${subDotSql("c.cemb", "c.cemb")}, 6) AS dist6
+       |  FROM embeddings e, sp, cent c),
+       |codes AS (
+       |  SELECT vec_id, sub, c_id AS code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist6, c_id) AS rn FROM d)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+       |lut AS (
+       |  SELECT q.query_id, sp.sub, c.c_id AS code,
+       |         CAST(floor((${subDotSql("q.qemb", "q.qemb")}
+       |               - 2.0 * ${subDotSql("q.qemb", "c.cemb")}
+       |               + ${subDotSql("c.cemb", "c.cemb")}) * 1000000.0) AS BIGINT) AS pdist_us
+       |  FROM q, sp, cent c),
+       |pairs AS (
+       |  SELECT l.query_id, cd.vec_id, CAST(sum(l.pdist_us) AS BIGINT) AS adc_us
+       |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+       |  WHERE cd.vec_id != l.query_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB mirrors of the LSH plane machinery (identical plane literals
    * generated from Similarity.planeComponent). */
   private def planeListSql(j: Int): String =
@@ -466,34 +496,42 @@ object SimilarityQueries {
         Similarity.pqAdcTopK(emb.filter(col("vec_id") < 5), emb, emb.filter(col("vec_id") < 16), k = 3)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 16),
-              |sp AS (SELECT CAST(range AS BIGINT) AS sub FROM range(0, ${Similarity.PqSubspaces})),
-              |d AS (
-              |  SELECT e.vec_id, sp.sub, c.c_id,
-              |         round(${subDotSql("e.embedding", "e.embedding")}
-              |               - 2.0 * ${subDotSql("e.embedding", "c.cemb")}
-              |               + ${subDotSql("c.cemb", "c.cemb")}, 6) AS dist6
-              |  FROM embeddings e, sp, cent c),
-              |codes AS (
-              |  SELECT vec_id, sub, c_id AS code
-              |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist6, c_id) AS rn FROM d)
-              |  WHERE rn = 1),
-              |q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 5),
-              |lut AS (
-              |  SELECT q.query_id, sp.sub, c.c_id AS code,
-              |         CAST(floor((${subDotSql("q.qemb", "q.qemb")}
-              |               - 2.0 * ${subDotSql("q.qemb", "c.cemb")}
-              |               + ${subDotSql("c.cemb", "c.cemb")}) * 1000000.0) AS BIGINT) AS pdist_us
-              |  FROM q, sp, cent c),
-              |pairs AS (
-              |  SELECT l.query_id, cd.vec_id, CAST(sum(l.pdist_us) AS BIGINT) AS adc_us
-              |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
-              |  WHERE cd.vec_id != l.query_id
-              |  GROUP BY 1, 2)
+      Some(s"""$pqAdcCtes
               |SELECT query_id,
               |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_us, vec_id) AS INTEGER) AS rank,
               |       vec_id AS neighbor_id, adc_us
               |FROM pairs
+              |QUALIFY rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // X3+ — TWO-STAGE retrieval: ADC shortlist (10 per query) re-ranked
+    // by exact full-dimension cosine to the final 3 — the production PQ
+    // pattern (shortlist absorbs quantization error, exact pass touches
+    // only shortlisted pairs).
+    Q("pq_rerank_topk",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.pqRerankTopK(emb.filter(col("vec_id") < 5), emb,
+            emb.filter(col("vec_id") < 16), k = 3, shortlist = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$pqAdcCtes,
+              |short AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id,
+              |           row_number() OVER (PARTITION BY query_id ORDER BY adc_us, vec_id) AS srn
+              |    FROM pairs)
+              |  WHERE srn <= 10),
+              |exact AS (
+              |  SELECT s.query_id, s.vec_id AS neighbor_id,
+              |         ${cosSql("qe.embedding", "ne.embedding")} AS cos6
+              |  FROM short s
+              |  JOIN embeddings qe ON qe.vec_id = s.query_id
+              |  JOIN embeddings ne ON ne.vec_id = s.vec_id)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
+              |       neighbor_id, cos6
+              |FROM exact
               |QUALIFY rank <= 3
               |ORDER BY query_id, rank""".stripMargin)),
 

@@ -29,6 +29,22 @@ class StreamingMigrateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StatsListener observes records read and shuffle bytes for a real job") {
+    val l = StatsListener.attach(spark)
+    try {
+      spark.read.parquet(s"$Sf/orders.parquet")
+        .groupBy("o_orderstatus").count().collect()
+      // listener events are delivered asynchronously; poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (l.snapshot("shuffleBytesWritten") == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val s = l.snapshot
+      assert(s("recordsRead") > 0, s"no input records observed: $s")
+      assert(s("shuffleBytesWritten") > 0, s"groupBy shuffle not observed: $s")
+      assert(s("tasks") > 0)
+    } finally StatsListener.detach(spark, l)
+  }
+
   test("quarantine classify routes violations with reasons; writeRouted splits in one pass") {
     val df = Seq(
       (1L, 10.0, "ok"),
