@@ -390,6 +390,51 @@ object TextQueries {
               |FROM d
               |JOIN norms na ON na.doc_id = id_a
               |JOIN norms nb ON nb.doc_id = id_b
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Count-min-sketch heavy-hitter probe — the custom-Aggregator tier
+    // (§2.12): a 4×512 sketch built in one pass (fixed 16 KiB state
+    // regardless of corpus size), probed for fixed words. The oracle
+    // mirrors the SKETCH arithmetic cell-for-cell (merge is elementwise
+    // addition → partition-order independent → exactly reproducible).
+    Q("cms_heavy_hitters",
+      (s, dir) => {
+        import graft.functions.CountMinSketch
+        val toks = TableIO.read(s, dir, "documents")
+          .select(explode_outer(expr(
+            s"transform(split(text, ' '), t -> CAST(${TextOps.tokenHashSql("t")} AS BIGINT))")).as("tok"))
+          .filter(col("tok").isNotNull)
+        val sketch = toks.agg(CountMinSketch.udafFn(col("tok")).as("sketch"))
+        val probes = s.range(1)
+          .select(explode(array(Seq("the", "data", "of", "query", "zzzunseen").map(lit): _*)).as("word"))
+          .withColumn("h", expr(s"CAST(${TextOps.tokenHashSql("word")} AS BIGINT)"))
+        probes.crossJoin(broadcast(sketch))
+          .withColumn("est", least((0 until CountMinSketch.Depth).map(i =>
+            element_at(col("sketch"),
+              (lit(i * CountMinSketch.Width) +
+                expr(CountMinSketch.bucketSql(i, "h")) + lit(1)).cast("int"))): _*))
+          .select("word", "est")
+          .orderBy("word")
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(list_transform(string_split(text, ' '),
+              |           t -> CAST(${hSql("t")} AS BIGINT))) AS tok
+              |  FROM documents),
+              |hp AS (SELECT i, a, b FROM (VALUES (0, 131, 17), (1, 10007, 257),
+              |         (2, 92821, 8191), (3, 486187739, 131071)) t(i, a, b)),
+              |bk AS (
+              |  SELECT i, ((a * (tok % 1000000007) + b) % 1000000007) % 512 AS bkt, count(*) AS c
+              |  FROM tk, hp GROUP BY 1, 2),
+              |probes AS (
+              |  SELECT word, CAST(${hSql("word")} AS BIGINT) AS h
+              |  FROM (VALUES ('the'), ('data'), ('of'), ('query'), ('zzzunseen')) v(word)),
+              |e AS (
+              |  SELECT p.word, min(coalesce(b.c, 0)) AS est
+              |  FROM probes p
+              |  CROSS JOIN hp r
+              |  LEFT JOIN bk b ON b.i = r.i
+              |    AND b.bkt = ((r.a * (p.h % 1000000007) + r.b) % 1000000007) % 512
+              |  GROUP BY 1)
+              |SELECT word, est FROM e ORDER BY word""".stripMargin))
   )
 }

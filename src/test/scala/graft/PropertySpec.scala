@@ -113,4 +113,63 @@ class PropertySpec extends SparkSpec {
     val elapsed = (System.nanoTime() - t0) / 1e9
     assert(elapsed >= 0.25, s"300 rows at 1000 rows/s finished in ${elapsed}s (< 0.25s floor)")
   }
+
+  test("property: sessionizeByGap equals the sequential reference (r5)") {
+    // random (user, ts-second, id) events with heavy ts collisions
+    val evs = sample(Gen.listOfN(400,
+      Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 5000L)))).zipWithIndex
+      .map { case ((u, s), i) => (u, s, i.toLong) }
+    val df = evs.toDF("u", "s", "id").withColumn("ts", timestamp_seconds($"s"))
+    val got = graft.ext.StreamingOps.sessionizeByGap(df, "u", "ts", "id", "10 minutes")
+      .select("u", "id", "session_seq").as[(Long, Long, Long)].collect()
+      .map { case (u, id, seq) => (u, id) -> seq }.toMap
+    // sequential reference: walk each user's (ts, id)-sorted events
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      var seq = 0L; var prev = Long.MinValue
+      rows.sortBy(r => (r._2, r._3)).map { case (_, s, id) =>
+        if (prev == Long.MinValue || s - prev >= 600) seq += 1
+        prev = s
+        (u, id) -> seq
+      }
+    }
+    assert(got == expected)
+  }
+
+  test("property: scd2 intervals chain exactly and cover every state change (r5)") {
+    val evs = sample(Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 2000L), Gen.oneOf("A", "B", "C"))))
+      .zipWithIndex.map { case ((u, s, st), i) => (u, s, i.toLong, st) }
+    val df = evs.toDF("u", "s", "id", "st").withColumn("ts", timestamp_seconds($"s"))
+    val got = graft.ops.Scd.scd2FromChangeLog(df, "u", "ts", "id", "st")
+      .select("u", "state", "version", "valid_from_us", "valid_to_us")
+      .as[(Long, String, Int, Long, Option[Long])].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    evs.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val changes = sorted.foldLeft(List.empty[(Long, String)]) { case (acc, (_, s, _, st)) =>
+        if (acc.headOption.exists(_._2 == st)) acc else (s * 1000000L, st) :: acc
+      }.reverse
+      val ivs = got(u)
+      assert(ivs.map(i => (i._4, i._2)) == changes, s"user $u intervals diverge")
+      // versions are 1..n and each valid_to chains to the next valid_from
+      assert(ivs.map(_._3) == (1 to ivs.size))
+      ivs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5.contains(b._4), s"user $u: interval gap")
+        case _ =>
+      }
+      assert(ivs.last._5.isEmpty, "last interval must be open")
+    }
+  }
+
+  test("property: salted join equals the plain join on random dup-heavy data (r5)") {
+    val rows = sample(Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(1L, 3L)))) // few keys, many dups
+    val skewed = rows.toDF("k", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "name")
+    val salted = graft.ops.Salting.saltedEquiJoin(skewed, dim, Seq("k"), 4)
+      .select("k", "v", "name")
+    val plain = skewed.join(dim, Seq("k")).select("k", "v", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted join must equal the plain join as a multiset")
+  }
 }
