@@ -149,6 +149,21 @@ object AnalyticsQueries {
     // capability the reference lacks entirely and Spark gives free.
     // NULLS FIRST is pinned explicitly — Spark and DuckDB default
     // opposite null orderings.
+    // §2.6 — explicit GROUPING SETS (the shape cube/rollup can't express:
+    // an arbitrary set list — here each single dimension + grand total,
+    // WITHOUT the (lang, source) pair a cube would add).
+    Q("grouping_sets_stats",
+      (s, dir) => TableIO.read(s, dir, "documents")
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("lang").asc_nulls_first, col("source").asc_nulls_first),
+      Some("""SELECT lang, source, count(*) AS n,
+             |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+             |FROM documents
+             |GROUP BY GROUPING SETS ((lang), (source), ())
+             |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)),
+
     Q("rollup_stats",
       (s, dir) => TableIO.read(s, dir, "documents")
         .rollup("lang", "source")
