@@ -71,8 +71,12 @@ object Bench {
         if (shown > 0) kept.append(','); kept.append(e); shown += 1
       }
     }
+    // failed list capped too: a mass failure (every query down) must not
+    // overflow the same capture window the compact line exists to fit
+    val failedCompact = failed.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{$kept},""" +
-      s""""queries_total":${results.size},"queries_shown":$shown,"failed":$failedJson,""" +
+      s""""queries_total":${results.size},"queries_shown":$shown,""" +
+      s""""failed":$failedCompact,"failed_count":${failed.size},""" +
       s""""detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }

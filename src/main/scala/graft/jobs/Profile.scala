@@ -30,19 +30,33 @@ object Profile {
    * double→string formatting diverges (scientific-notation thresholds).
    */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    def renderable(c: String): Column = df.schema(c).dataType match {
-      case DoubleType | FloatType => col(c).cast("decimal(18,6)")
-      case _ => col(c)
+    require(cols.nonEmpty, "profile needs at least one column")
+    // Float min/max: aggregate the RAW double (so NaN/±Inf/huge outliers
+    // — exactly what an audit must surface — participate in the
+    // ordering; both engines sort NaN above +Inf), then render: named
+    // specials explicitly, finite values through DECIMAL(38,6) (portable
+    // full-scale formatting; |v| ≥ 1e32 would still null — far past any
+    // physical measurement). An aggregate-on-the-cast instead would
+    // silently DROP the extremes from min/max.
+    def render(c: String, v: Column): Column = df.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        when(isnan(v), lit("NaN"))
+          .when(v === Double.PositiveInfinity, lit("Infinity"))
+          .when(v === Double.NegativeInfinity, lit("-Infinity"))
+          .otherwise(v.cast("decimal(38,6)").cast("string"))
+      case _ => v.cast("string")
     }
     cols.map { c =>
       df.select(col(c)).agg(
           count(lit(1)).as("n_rows"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
           countDistinct(col(c)).as("n_distinct"),
-          min(renderable(c)).cast("string").as("min_str"),
-          max(renderable(c)).cast("string").as("max_str"))
+          min(col(c)).as("__min"),
+          max(col(c)).as("__max"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_str"), col("max_str"))
+          col("n_distinct"),
+          render(c, col("__min")).as("min_str"),
+          render(c, col("__max")).as("max_str"))
     }.reduce(_ unionByName _)
   }
 }

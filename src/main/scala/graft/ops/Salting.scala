@@ -70,13 +70,28 @@ object Salting {
       // restore map columns from their canonical entries
       val restored = fields.collect { case f if f.dataType.isInstanceOf[MapType] => f }
         .foldLeft(salted) { (d, f) => d.withColumn(f.name, map_from_entries(col(f.name))) }
+      // Two-level re-explosion: a single sequence(1, __dup) would build a
+      // __dup-length array in one row — a 500M-duplicate hot key (exactly
+      // the shape this operator exists for) means a multi-GB array in one
+      // task, and Spark's sequence caps out near 2^31 elements anyway.
+      // Chunking bounds every generated array at max(chunk, __dup/chunk):
+      // ~4096 entries until __dup ~ 1.7e7, √__dup-ish beyond. Expansion
+      // still streams through Generate (no buffering of the output).
+      val chunk = 4096L
       restored.join(saltedDim, keys :+ "__salt", "inner")
-        .withColumn("__copy", explode(sequence(lit(1L), col("__dup"))))
-        .drop("__salt", "__dup", "__copy")
+        .withColumn("__chunk", explode(sequence(lit(0L), expr(s"(__dup - 1L) div ${chunk}L"))))
+        .withColumn("__copy", explode(sequence(lit(1L),
+          least(lit(chunk), col("__dup") - col("__chunk") * lit(chunk)))))
+        .drop("__salt", "__dup", "__chunk", "__copy")
     } else {
       val hashable = fields.filter(f => SqlTypes.orderable(f.dataType)).toSeq.map(f => col(f.name))
-      val salted = skewed.withColumn("__salt",
-        pmod(xxhash64(hashable: _*), lit(salt.toLong)).cast("int"))
+      // zero orderable columns (e.g. key inside a map-of-maps row): a
+      // constant salt is deterministic and correct (the dim side carries
+      // every salt value), just unspread — degraded, never wrong
+      val saltCol =
+        if (hashable.isEmpty) lit(0)
+        else pmod(xxhash64(hashable: _*), lit(salt.toLong)).cast("int")
+      val salted = skewed.withColumn("__salt", saltCol)
       salted.join(saltedDim, keys :+ "__salt", "inner").drop("__salt")
     }
   }

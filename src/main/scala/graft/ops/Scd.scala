@@ -34,9 +34,16 @@ object Scd {
   def scd2FromChangeLog(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, stateCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    // NULL is a real state: change detection must be null-safe (<=>), and
+    // "no previous row" must be distinguished from "previous state was
+    // null" (lag returns null for both) — row_number does that. Plain
+    // =!= would drop transitions INTO null (three-valued logic) and emit
+    // duplicate intervals for consecutive nulls.
     val changes = df
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev_state", lag(col(stateCol), 1).over(w))
-      .filter(col("__prev_state").isNull || col("__prev_state") =!= col(stateCol))
+      .filter(col("__rn") === 1 || !(col("__prev_state") <=> col(stateCol)))
+      .drop("__rn")
     // second window over the FILTERED rows: same key partitioning, so the
     // exchange is reused; only the sort re-runs on the (much smaller)
     // change set

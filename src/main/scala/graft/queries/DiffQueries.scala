@@ -206,15 +206,21 @@ object DiffQueries {
           Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))
         .orderBy("col_name"),
       Some {
-        def one(c: String, renderCast: String => String) =
+        // render mirrors Profile.render: aggregate the raw value, name
+        // the float specials, format finite floats via DECIMAL(38,6)
+        val plain = (agg: String) => s"CAST($agg AS VARCHAR)"
+        val dec = (agg: String) =>
+          s"""CASE WHEN isnan($agg) THEN 'NaN'
+             |       WHEN $agg = 'infinity'::DOUBLE THEN 'Infinity'
+             |       WHEN $agg = '-infinity'::DOUBLE THEN '-Infinity'
+             |       ELSE CAST(CAST($agg AS DECIMAL(38,6)) AS VARCHAR) END""".stripMargin
+        def one(c: String, render: String => String) =
           s"""SELECT '$c' AS col_name, count(*) AS n_rows,
              |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
              |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-             |  CAST(min(${renderCast(c)}) AS VARCHAR) AS min_str,
-             |  CAST(max(${renderCast(c)}) AS VARCHAR) AS max_str
+             |  ${render(s"min($c)")} AS min_str,
+             |  ${render(s"max($c)")} AS max_str
              |FROM lineitem""".stripMargin
-        val plain = (c: String) => c
-        val dec = (c: String) => s"CAST($c AS DECIMAL(18,6))"
         Seq(one("l_orderkey", plain), one("l_linenumber", plain),
           one("l_quantity", dec), one("l_returnflag", plain), one("l_shipdate", plain))
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")

@@ -188,11 +188,12 @@ object WindowQueries {
         .orderBy("user_id", "version"),
       Some("""WITH o AS (
              |  SELECT user_id, event_id, ts, event_type,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
              |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
              |  FROM events),
              |ch AS (
              |  SELECT user_id, event_id, ts, event_type
-             |  FROM o WHERE prev_state IS NULL OR prev_state <> event_type)
+             |  FROM o WHERE rn = 1 OR prev_state IS DISTINCT FROM event_type)
              |SELECT user_id, event_type AS state,
              |  CAST(row_number() OVER w AS INTEGER) AS version,
              |  epoch_us(ts) AS valid_from_us,

@@ -34,11 +34,22 @@ object StreamingMigrate {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val path = new Path(s"$targetDir/$table.parquet")
+        val staging = new Path(s"$targetDir/$table.parquet.__staging")
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Crash recovery BEFORE reading: the swap sequence is
+        // write-staging → delete-target → rename-staging. A crash between
+        // delete and rename leaves a complete staging and no target —
+        // staging IS the last durable state, so finish the interrupted
+        // rename (the checkpoint then replays the batch onto it; LWW makes
+        // that a no-op). A staging alongside a live target is an
+        // incomplete write from a crash before the delete — discard it.
+        if (fs.exists(staging)) {
+          if (!fs.exists(path)) require(fs.rename(staging, path), s"recovery rename failed for $path")
+          else fs.delete(staging, true)
+        }
         val current =
           if (fs.exists(path)) spark.read.parquet(path.toString)
           else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        val staging = new Path(s"$targetDir/$table.parquet.__staging")
         Upsert.lastWriterWins(current, batch, pkCols, writetimeCol)
           .write.mode("overwrite").parquet(staging.toString)
         if (fs.exists(path)) fs.delete(path, true)

@@ -289,11 +289,13 @@ class SimilaritySpec extends SparkSpec {
     // collapses duplicates BEFORE the shuffle (one row + __dup count) and
     // re-explodes after the join — the mass never crosses the wire. Map
     // column exercises the map_entries canonicalization path.
-    val hot = Seq.fill(1000)((7L, Map("a" -> 1))) ++ Seq((7L, Map("b" -> 2)))
+    // 10000 crosses the 4096-row re-explosion chunk so the two-level
+    // Generate path is exercised, not just the single-chunk case
+    val hot = Seq.fill(10000)((7L, Map("a" -> 1))) ++ Seq((7L, Map("b" -> 2)))
     val hotDf = hot.toDF("k", "m")
     val dim = Seq((7L, "x")).toDF("k", "name")
     val joined = graft.ops.Salting.saltedEquiJoin(hotDf, dim, Seq("k"), 8)
-    assert(joined.count() == 1001)
+    assert(joined.count() == 10001)
     // map values survive the entries round-trip
     val ms = joined.select("m").collect().map(_.getMap[String, Int](0).toMap).toSet
     assert(ms == Set(Map("a" -> 1), Map("b" -> 2)))

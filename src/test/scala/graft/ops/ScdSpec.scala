@@ -32,6 +32,40 @@ class ScdSpec extends SparkSpec {
     assert(out(3).toSeq == Seq(2L, "X", 1, us(0), null, true))
   }
 
+  test("scd2FromChangeLog treats null as a real state (null-safe change detection)") {
+    val log = Seq(
+      (1L, 1L, ts(0), Some("A")),
+      (1L, 2L, ts(5), None), // transition INTO null must open an interval
+      (1L, 3L, ts(10), None), // consecutive null: no duplicate interval
+      (1L, 4L, ts(15), Some("A")),
+      (2L, 5L, ts(0), None)) // entity starting in null state gets version 1
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Scd.scd2FromChangeLog(log, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version")
+      .select("user_id", "state", "version", "is_current")
+      .collect().map(_.toSeq).toSeq
+    assert(out == Seq(
+      Seq(1L, "A", 1, false),
+      Seq(1L, null, 2, false),
+      Seq(1L, "A", 3, true),
+      Seq(2L, null, 1, true)), s"got $out")
+  }
+
+  test("profile renders NaN/Infinity and huge doubles instead of nulling them") {
+    val df = Seq(1.5, Double.NaN, Double.PositiveInfinity, 1e13, -2.25)
+      .toDF("v")
+    val row = graft.jobs.Profile.profile(df, Seq("v")).collect().head
+    // NaN sorts above +Infinity in Spark's double ordering
+    assert(row.getAs[String]("max_str") == "NaN")
+    assert(row.getAs[String]("min_str") == "-2.250000")
+    val finite = graft.jobs.Profile.profile(df.filter(!isnan($"v")), Seq("v")).collect().head
+    assert(finite.getAs[String]("max_str") == "Infinity")
+    val big = graft.jobs.Profile.profile(Seq(1e13, 2.0).toDF("v"), Seq("v")).collect().head
+    assert(big.getAs[String]("max_str") == "10000000000000.000000",
+      s"huge double nulled: ${big.getAs[String]("max_str")}")
+    intercept[IllegalArgumentException](graft.jobs.Profile.profile(df, Seq.empty))
+  }
+
   test("scd2FromChangeLog breaks equal-timestamp ties on the tie column") {
     val log = Seq(
       (1L, 2L, ts(0), "B"), // same ts: event_id orders B after A

@@ -29,6 +29,25 @@ class StreamingMigrateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crash between delete and rename recovers from staging, losing nothing") {
+    val target = tmpDir()
+    // state as a crash would leave it: complete staging, NO live target
+    Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("pk", "v", "wt")
+      .write.parquet(s"$target/tbl.parquet.__staging")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, Long)]
+    val q = StreamingMigrate.start(source.toDF().toDF("pk", "v", "wt"),
+      target, "tbl", Seq("pk"), "wt", tmpDir())
+    try {
+      source.addData((3L, "c", 100L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$target/tbl.parquet")
+        .select("pk", "v").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")),
+        s"staged state lost in recovery: $got")
+    } finally q.stop()
+  }
+
   test("StatsListener observes records read and shuffle bytes for a real job") {
     val l = StatsListener.attach(spark)
     try {
