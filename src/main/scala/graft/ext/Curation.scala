@@ -20,14 +20,9 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
-  /** Fail fast on internal-helper/output column collisions — silently
-   * overwriting (withColumn) or deleting (drop) a caller's column is data
-   * loss; same contract as TemporalJoins.requireFreeColumns. */
-  private def requireFreeColumns(df: DataFrame, names: Seq[String]): Unit = {
-    val clash = names.filter(df.columns.contains)
-    require(clash.isEmpty,
-      s"input already contains column(s) ${clash.mkString(", ")} — rename them before calling")
-  }
+  /** Shared fail-fast collision guard — see SqlTypes.requireFreeColumns. */
+  private def requireFreeColumns(df: DataFrame, names: Seq[String]): Unit =
+    graft.ops.SqlTypes.requireFreeColumns(df, names)
 
   /**
    * Group-wise top-k by an explicit total order — the "best k documents
@@ -149,24 +144,38 @@ object Curation {
           expr(s"raise_error('importanceWeights: n_raw * t_target exceeds int64 — switch the products to DECIMAL(38,0)')"))
         .otherwise(expr("(1000000 * n_target * t_raw) div (n_raw * t_target)")))
       .select(col("__b"), col("w_us"))
-    tok.join(broadcast(weights), "__b")
+    val scored = tok.join(broadcast(weights), "__b")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum("w_us").as("score_us"))
+    // full-coverage contract (same as chunkBoilerplate): a null-text
+    // document has zero tokens and silently vanishing from the output
+    // would make a downstream inner join drop the doc — emit it with a
+    // zero score instead
+    df.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_us"), lit(0L)).as("score_us"))
       .withColumn("target_like", (col("score_us") > col("n_tokens") * lit(1000000L)).cast("int"))
   }
 
   /**
-   * Fixed-width histogram of a non-negative numeric column: bucket
-   * `floor(v / width)`, per-bucket count and min/max envelope. One
+   * Fixed-width histogram of a numeric column (negatives included):
+   * bucket `floor(v / width)`, per-bucket count and min/max envelope. One
    * map-side-combined groupBy — the corpus length-distribution audit
    * (quality filters are tuned against exactly this table).
    */
   def histogram(df: DataFrame, valueCol: Column, width: Long): DataFrame = {
     require(width > 0, s"width must be positive, got $width")
-    // integer division (div), not double `/` + cast: exact for the full
-    // long domain, and mirrors DuckDB's `//` on BIGINT
+    // TRUE floor division, exact over the full long domain (never double
+    // `/` + cast — drifts past 2^53). Bare `div` truncates toward zero
+    // (as does DuckDB's `//`), which would give bucket 0 DOUBLE width —
+    // spanning (-width, width) and mixing signs — on negative-valued
+    // columns (deltas, balances); the correction shifts negative
+    // non-multiples down one bucket so every bucket is [k·w, (k+1)·w).
     df.select(valueCol.cast("long").as("__v"))
-      .groupBy(expr(s"__v div $width").as("bucket"))
+      .groupBy(expr(
+        s"CASE WHEN __v >= 0 OR __v % $width = 0 THEN __v div $width ELSE __v div $width - 1 END")
+        .as("bucket"))
       .agg(
         count(lit(1)).as("n"),
         min("__v").as("min_v"),

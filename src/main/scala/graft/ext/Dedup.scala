@@ -243,6 +243,9 @@ object Dedup {
       .filter(col("bsize") <= bucketCap)
       .drop("bsize")
     melt(batchBanded, "id_new").join(corpus, Seq("band", "bkey"))
+      // a re-ingested document present on BOTH sides would otherwise pair
+      // with itself and be "deduplicated" against itself downstream
+      .filter(col("id_new") =!= col("id_corpus"))
       .groupBy("id_new", "id_corpus")
       .agg(count(lit(1)).as("n_bands"))
   }
@@ -406,7 +409,13 @@ object Dedup {
    * staged shingle array per row. */
   def simhash16(df: DataFrame, textCol: String, outCol: String): DataFrame =
     withShingleHashes(df, textCol)
-      .withColumn(outCol, org.apache.spark.sql.graft.SignatureKernels.simhash16(col(ShinglesCol)))
+      // NULL sentinel for sub-shingle (< 3 token) documents: the kernel
+      // returns sketch 0 on an empty array, which would bucket EVERY
+      // short document together and report all of them as pairwise exact
+      // duplicates (the minhash path engineered per-doc sentinels for the
+      // same hazard). Null block keys fall out of the pair equi-join.
+      .withColumn(outCol, when(size(col(ShinglesCol)) > 0,
+        org.apache.spark.sql.graft.SignatureKernels.simhash16(col(ShinglesCol))))
       .drop(ShinglesCol)
 
   /** HOF reference formulation of the [[simhash16]] kernel over a named
@@ -441,7 +450,9 @@ object Dedup {
    * Hamming distance ≤ 3. */
   def simhashWide(df: DataFrame, textCol: String, outCol: String): DataFrame =
     withShingleHashes(df, textCol)
-      .withColumn(outCol, org.apache.spark.sql.graft.SignatureKernels.simhashWide(col(ShinglesCol)))
+      // same short-document NULL sentinel as [[simhash16]]
+      .withColumn(outCol, when(size(col(ShinglesCol)) > 0,
+        org.apache.spark.sql.graft.SignatureKernels.simhashWide(col(ShinglesCol))))
       .drop(ShinglesCol)
 
   def simhashPairsWide(df: DataFrame, textCol: String, idCol: String,

@@ -39,7 +39,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with a zero-norm guard: an all-zero vector has no direction,
+   * and the unguarded 0/0 = NaN is WORSE than undefined under Spark's
+   * ordering (NaN sorts above every double, so a zero vector would rank
+   * as everyone's nearest neighbor, and NaN > threshold is TRUE, so
+   * semanticDedup/nearDupPairs would silently drop real documents as
+   * "duplicates" of a zero vector). Null instead: filters drop it, desc
+   * ordering puts it last. */
+  def cosine(a: Column, b: Column): Column =
+    cosineFrom(dot(a, b), norm(a), norm(b))
+
+  /** Same guard over a precomputed dot and per-side norms (the join paths
+   * stage norms once per row, so only the cross dot is per-pair). */
+  def cosineFrom(d: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom =!= 0.0, d / denom)
+  }
 
   /**
    * Brute-force exact top-k: every query vector against every candidate.
@@ -55,7 +70,7 @@ object Similarity {
     val c = candidates.withColumn("c_norm", norm(col("embedding")))
     val pairs = c
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos6", round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("cos6", round(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
     rankTopK(pairs, k)
   }
 
@@ -69,7 +84,7 @@ object Similarity {
     val pairs = c
       .join(broadcast(q), col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
       .drop("q_label")
-      .withColumn("cos6", round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("cos6", round(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
     rankTopK(pairs, k)
   }
 
@@ -119,7 +134,7 @@ object Similarity {
       .withColumn("c_bucket", lshBucket(col("embedding")))
     val pairs = c
       .join(broadcast(q), col("c_bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos6", round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("cos6", round(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
     rankTopK(pairs, k)
   }
 
@@ -145,7 +160,7 @@ object Similarity {
       .withColumn("c_bucket", lshBucket(col("embedding")))
     val pairs = c
       .join(broadcast(q), col("c_bucket") === col("probe") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos6", round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("cos6", round(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
     rankTopK(pairs, k)
   }
 
@@ -328,7 +343,7 @@ object Similarity {
     val drops = a.join(b, Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos6",
-        round(dot(col("__emb_a"), col("__emb_b")) / (col("__norm_a") * col("__norm_b")), 6))
+        round(cosineFrom(dot(col("__emb_a"), col("__emb_b")), col("__norm_a"), col("__norm_b")), 6))
       .filter(col("cos6") > threshold)
       .select(col("id_b").as("vec_id")).distinct()
     assigned.join(drops, Seq("vec_id"), "left_anti")
@@ -395,7 +410,7 @@ object Similarity {
       norm(col("embedding")).as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos6", round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
+      .withColumn("cos6", round(cosineFrom(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")), 6))
       .filter(col("cos6") > threshold)
       .select("label", "id_a", "id_b", "cos6")
   }

@@ -68,6 +68,7 @@ object StreamingOps {
    */
   def sessionizeByGap(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gap: String): DataFrame = {
+    graft.ops.SqlTypes.requireFreeColumns(df, Seq("__prev_ts", "__boundary", "session_seq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     df.withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
@@ -134,10 +135,17 @@ object StreamingOps {
           else {
             val prev = state.getOption.getOrElse(UserRunningStats(userId, 0L, 0.0, evs.head.ts))
             val batchMax = evs.maxBy(_.ts.getTime).ts
+            // DECIMAL-discipline (file header contract): exact BigDecimal
+            // accumulation makes the per-batch sum independent of event
+            // order WITHIN a batch (a raw Double fold varies in the low
+            // bits with iteration order); only the stored running total
+            // rounds to Double at batch boundaries
+            val total = (BigDecimal(prev.total_value) +
+              evs.map(e => BigDecimal(e.value)).sum).toDouble
             val next = UserRunningStats(
               userId,
               prev.n_events + evs.size,
-              prev.total_value + evs.map(_.value).sum,
+              total,
               // late data must not move last_ts backwards: a micro-batch
               // holding only an out-of-order event would otherwise
               // overwrite the newer watermark the state already carries

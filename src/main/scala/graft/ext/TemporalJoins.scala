@@ -35,7 +35,7 @@ object TemporalJoins {
    */
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, asofCol: String): DataFrame = {
-    requireFreeColumns(left, Seq("__side"))
+    requireFreeColumns(left, Seq("__side", asofCol))
     requireFreeColumns(right, Seq("__side"))
     val lCols = left.columns
     val l = left.withColumn("__side", lit(1))
@@ -57,7 +57,7 @@ object TemporalJoins {
    * so the match is inclusive. */
   def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, asofCol: String): DataFrame = {
-    requireFreeColumns(left, Seq("__side"))
+    requireFreeColumns(left, Seq("__side", asofCol))
     requireFreeColumns(right, Seq("__side"))
     val lCols = left.columns
     val l = left.withColumn("__side", lit(1))
@@ -142,12 +142,7 @@ object TemporalJoins {
     }
   }
 
-  /** Fail fast when an input already carries one of the operator's
-   * internal helper columns: letting unionByName/join proceed would
-   * silently null-fill or mis-bucket instead of erroring clearly. */
-  private def requireFreeColumns(df: DataFrame, names: Seq[String]): Unit = {
-    val clash = names.filter(df.columns.contains)
-    require(clash.isEmpty,
-      s"input already contains internal helper column(s) ${clash.mkString(", ")} — rename them before calling")
-  }
+  /** Shared fail-fast collision guard — see SqlTypes.requireFreeColumns. */
+  private def requireFreeColumns(df: DataFrame, names: Seq[String]): Unit =
+    graft.ops.SqlTypes.requireFreeColumns(df, names)
 }

@@ -18,4 +18,15 @@ object SqlTypes {
     case a: ArrayType => orderable(a.elementType)
     case _ => true
   }
+
+  /** Fail fast when an input already carries one of an operator's
+   * internal-helper or output columns: letting withColumn/unionByName/
+   * drop proceed would silently overwrite, null-fill, or delete caller
+   * data instead of erroring clearly. ONE shared definition (previously
+   * copied per file, which let a third call site ship without it). */
+  def requireFreeColumns(df: org.apache.spark.sql.DataFrame, names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already contains column(s) ${clash.mkString(", ")} — rename them before calling")
+  }
 }

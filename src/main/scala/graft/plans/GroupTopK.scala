@@ -181,6 +181,10 @@ object GroupTopK {
    * unique tiebreak for deterministic survivors. */
   def topkPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // empty keys would reach Spark's ClusteredDistribution(Nil) require
+    // deep inside EnsureRequirements — fail here with the actual fix
+    require(keyCols.nonEmpty,
+      "topkPerKey needs at least one key column — for a global top-k use orderBy(...).limit(k)")
     val spark = df.sparkSession.asInstanceOf[SparkSession]
     ensureRegistered(spark)
     // session converter, NOT ExpressionUtils.expression: the latter wraps

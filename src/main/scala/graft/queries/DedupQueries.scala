@@ -259,10 +259,11 @@ object DedupQueries {
         .select("doc_id", "simhash")
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
+              |  CASE WHEN len($shinglesSql) = 0 THEN NULL ELSE
               |  CAST(list_sum(list_transform(range(0, 16), b ->
               |    CASE WHEN list_sum(list_transform($shinglesSql,
               |                 s -> ((CAST((s * 2654435761) % 65536 AS BIGINT) >> b) & 1) * 2 - 1)) > 0
-              |         THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+              |         THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) END AS simhash
               |FROM documents
               |ORDER BY doc_id""".stripMargin)),
 

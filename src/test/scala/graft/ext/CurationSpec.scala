@@ -130,6 +130,27 @@ class CurationSpec extends SparkSpec {
     assert(kept == expected)
   }
 
+  test("histogram floors negative values instead of merging them into bucket 0") {
+    val df = Seq(-150L, -50L, -1L, 0L, 50L, 150L, -100L).toDF("v")
+    val out = Curation.histogram(df, col("v"), 100L)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    // floor semantics: [-200,-100) -> -2, [-100,0) -> -1, [0,100) -> 0
+    assert(out == Map(-2L -> 1L, -1L -> 3L, 0L -> 2L, 1L -> 1L), s"got $out")
+  }
+
+  test("importanceWeights covers null-text documents with a zero score") {
+    val df = Seq(
+      (1L, "alpha beta gamma", true),
+      (2L, null.asInstanceOf[String], false),
+      (3L, "alpha beta", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = Curation.importanceWeights(df, "doc_id", "text", col("is_t"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "target_like").as[(Long, Long, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L), "null-text doc must not vanish")
+    assert(out(1) == ((2L, 0L, 0)), s"null-text doc must score neutral-zero: ${out(1)}")
+  }
+
   test("topkPerGroup local pre-prune bounds rows entering the global window") {
     // With 1 input partition and k=2, at most 2 rows per group may cross
     // the shuffle: the filter on the local rank sits BELOW the global

@@ -31,8 +31,9 @@ class DedupSpec extends SparkSpec {
     assert(sigs.take(3).forall { case (id, s) => s == -id - 2 })
     assert(sigs.drop(3).forall(_._2 >= 0L))
     val sims = Dedup.simhash16(df, "text", "sh").select("doc_id", "sh").orderBy("doc_id")
-      .as[(Long, Long)].collect().toSeq
-    assert(sims.take(3).forall(_._2 == 0L)) // no shingles -> no bits set
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(sims.take(3).forall(_._2.isEmpty)) // no shingles -> null sentinel sketch
+    assert(sims.drop(3).forall(_._2.nonEmpty))
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 1L).count() >= 0)
     // short docs share the sentinel signature but must NOT pair up
     val pairs = Dedup.minhashPairs(Dedup.withMinhashSignature(df, "text"), "doc_id")
@@ -257,6 +258,29 @@ class DedupSpec extends SparkSpec {
     // within ONE document (df = 1) is not boilerplate at maxChunkDf = 1
     assert(out(4) == ((5L, 2L, 0L, 1.0)), s"within-doc repeat misflagged: ${out(4)}")
   }
+
+  test("simhash: short documents get a null sketch, never pairwise sketch-0 collisions") {
+    val docs = Seq(
+      (1L, "one two"), // < 3 tokens: no shingles
+      (2L, "three"), // < 3 tokens: no shingles
+      (3L, "a b c d e f g h i j")) // real sketch
+      .toDF("doc_id", "text")
+    val sk = Dedup.simhash16(docs, "text", "simhash")
+      .orderBy("doc_id").select("simhash").collect().map(r => Option(r.get(0)))
+    assert(sk(0).isEmpty && sk(1).isEmpty && sk(2).nonEmpty,
+      "short docs must carry a null sketch, not 0")
+    // the two short docs must NOT be reported as a Hamming-0 pair
+    assert(Dedup.simhashPairs(docs, "text", "doc_id").count() == 0)
+  }
+
+  test("incremental minhash never pairs a document with itself on re-ingest") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").limit(50)
+    val banded = Dedup.withBandKeys(docs, "text")
+    // batch == corpus: every doc exists on both sides
+    val pairs = Dedup.minhashPairsIncremental(banded, banded, "doc_id")
+    assert(pairs.filter(col("id_new") === col("id_corpus")).count() == 0,
+      "self-pairs would deduplicate documents against themselves")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -304,6 +328,27 @@ class SimilaritySpec extends SparkSpec {
     val r1 = joined.collect().map(_.toString).sorted
     val r2 = graft.ops.Salting.saltedEquiJoin(hotDf, dim, Seq("k"), 8).collect().map(_.toString).sorted
     assert(r1.sameElements(r2))
+  }
+
+  test("zero-norm vectors yield null cosine, never a NaN that outranks everyone") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 0f), 0), // zero vector: no direction
+      (3L, Array(1f, 1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val c = emb.filter($"vec_id" === 1).select(
+      Similarity.cosine($"embedding", array(lit(0f), lit(0f), lit(0f))).as("c"))
+      .collect().head
+    assert(c.isNullAt(0), "cosine against a zero vector must be null, not NaN")
+    // near-dup pairs must not report the zero vector as anyone's duplicate
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"zero vector paired: $pairs")
+    // and top-k must rank real neighbors above it, not NaN-first
+    val top = Similarity.topK(emb.filter($"vec_id" === 1), emb, 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 3L, s"zero vector outranked a real neighbor (got $top)")
   }
 
   test("cosine of a vector with itself is 1") {
