@@ -36,8 +36,18 @@ case class FloatVectorDot(left: Expression, right: Expression)
   // mismatched lengths yield NULL, matching the HOF form bit-for-bit:
   // zip_with pads the shorter array with nulls, so aggregate's sum goes
   // null — truncating to min(len) here would instead return a
-  // plausible-looking partial dot for a corrupted/mixed-dim table
+  // plausible-looking partial dot for a corrupted/mixed-dim table.
+  // Likewise a NULL ELEMENT nulls the whole dot (the HOF's null product
+  // poisons the fold): treating a null slot as 0.0 would score a
+  // corrupted embedding as a plausible similarity and diverge from the
+  // oracle. The null checks are only emitted when the array type says
+  // elements can be null, so the dense-fixture hot loop stays tight.
   override def nullable: Boolean = true
+
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,6 +57,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -58,6 +69,10 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -65,9 +80,10 @@ case class FloatVectorDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

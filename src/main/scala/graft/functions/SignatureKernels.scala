@@ -26,18 +26,27 @@ case class MinhashComponent(child: Expression, a: Long, b: Long, p: Long)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_component"
 
+  // null elements are SKIPPED, matching the HOF mirror exactly:
+  // array_min ignores null entries, so list_min(transform(...)) over an
+  // array holding nulls minimizes the non-null hashes (and is null when
+  // every element is null) — hashing a null slot as (0·a+b) mod p would
+  // instead inject a phantom shingle
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
     var best = Long.MaxValue
+    var found = false
     var i = 0
     while (i < n) {
-      val h = (arr.getLong(i) * a + b) % p
-      if (h < best) best = h
+      if (!arr.isNullAt(i)) {
+        found = true
+        val h = (arr.getLong(i) * a + b) % p
+        if (h < best) best = h
+      }
       i += 1
     }
-    best
+    if (found) best else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -46,15 +55,19 @@ case class MinhashComponent(child: Expression, a: Long, b: Long, p: Long)
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
       val best = ctx.freshName("best")
+      val found = ctx.freshName("found")
       s"""
          |int $n = $x.numElements();
          |if ($n == 0) { ${ev.isNull} = true; } else {
          |  long $best = Long.MAX_VALUE;
+         |  boolean $found = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i)) continue;
+         |    $found = true;
          |    long $h = ($x.getLong($i) * ${a}L + ${b}L) % ${p}L;
          |    if ($h < $best) $best = $h;
          |  }
-         |  ${ev.value} = $best;
+         |  if ($found) { ${ev.value} = $best; } else { ${ev.isNull} = true; }
          |}
        """.stripMargin
     })

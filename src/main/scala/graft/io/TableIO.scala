@@ -177,11 +177,21 @@ object TableIO {
       pmod(acc * lit(2654435761L) + pmod(c.cast("long"), lit(TokenModulus)), lit(TokenModulus)))
 
   /** Deterministic percentage sampling bucket (P7), using a genuinely
-   * different odd multiplier (xxhash32 prime) than tokenOf — an additive
-   * shift of the same multiplier would share low-bit structure with the
-   * ring token, skewing samples taken inside a token sub-range. */
+   * different odd multiplier (xxhash32 prime) than tokenOf. The product
+   * is reduced mod [[TokenModulus]] BEFORE the mod-100: a direct
+   * `(pk·m) mod 100` collapses to a bijection of `pk mod 100` (the
+   * multiplier contributes nothing past a residue permutation), so keys
+   * allocated in blocks of 100 — or ms-timestamps at second granularity
+   * — would all share one bucket and sample at 0% or 100% instead of
+   * pct%. The intermediate reduction folds the key's HIGH bits into the
+   * bucket, breaking that structure. The bucket then takes the HIGH bits
+   * of the mixed value (`(mixed·100) >> 31`), never `mod 100`: a low-bit
+   * residue of the reduced product is still a lattice (gcd(2³¹ mod 100,
+   * 100) = 4 → only 25 reachable buckets for block-structured keys —
+   * measured), while the top bits are where the multiplier actually
+   * mixes. */
   def tokenPercentBucket(pkCol: Column): Column =
-    pmod(pmod(pkCol.cast("long"), lit(TokenModulus)) * lit(2246822519L), lit(100L))
+    shiftright(pmod(pmod(pkCol.cast("long"), lit(TokenModulus)) * lit(2246822519L), lit(TokenModulus)) * lit(100L), 31)
 
   /**
    * Expose writetime/TTL companion columns for a table (T9).

@@ -52,16 +52,23 @@ object JobDispatch {
         // post-rename (+ explode-key) effective PK for the same reason.
         val origin = graft.jobs.Migrate.plan(spark, cfg)
         val pk = cfg.effectivePrimaryKey
-        val target = TableIO.read(spark, cfg.target, targetTable, Some(cfg.perf))
-          // a TrackedMigrate-written target carries its bucket column —
-          // an engine artifact, not data; never part of the comparison
-          .drop(graft.run.TrackedMigrate.BucketCol)
+        val rawTarget = TableIO.read(spark, cfg.target, targetTable, Some(cfg.perf))
+        // a TrackedMigrate-written target carries its bucket column — an
+        // engine artifact, not data; never part of the comparison. Its
+        // PRESENCE is remembered: the autocorrect rewrite below must
+        // restore the partition layout, not flatten it.
+        val bucketPartitioned = rawTarget.columns.contains(graft.run.TrackedMigrate.BucketCol)
+        val target = rawTarget.drop(graft.run.TrackedMigrate.BucketCol)
         // Parquet target: persist the report FIRST (upstream logs every
         // diff row) so downstream reads are decoupled from the target
         // files the autocorrect pass may overwrite below. A live target is
-        // never overwritten file-wise, so its report can stay lazy.
+        // never overwritten file-wise, but its report feeds up to three
+        // actions (partition file, autocorrect, the returned frame) —
+        // cache it so the full reconciliation join runs once, and so the
+        // autocorrect write cannot reclassify rows a LATER recomputation
+        // would see post-correction (report/partition-file consistency).
         val classified =
-          if (liveTarget) graft.jobs.DiffData.classify(origin, target, pk)
+          if (liveTarget) graft.jobs.DiffData.classify(origin, target, pk).persist()
           else {
             val reportTable = s"${targetTable}_diff_report"
             TableIO.write(
@@ -112,7 +119,20 @@ object JobDispatch {
             // a stray table for anything enumerating the cluster directory.
             val staging = s"${targetTable}__staging"
             TableIO.write(merged, cfg.target.path, staging)
-            TableIO.write(TableIO.read(spark, cfg.target.path, staging), cfg.target.path, targetTable)
+            val corrected = TableIO.read(spark, cfg.target.path, staging)
+            // a TrackedMigrate-written target must keep its __part layout:
+            // a flat rewrite would leave stale full-table files that a
+            // later tracked run's DYNAMIC partition overwrite never
+            // deletes — double-counting every row on the next read. The
+            // bucket is recomputed with this run's numParts (must match
+            // the migrate's, as the run ledger's bucket ids already do).
+            if (bucketPartitioned) {
+              val numParts = cfg.perf.numParts.getOrElse(32)
+              TableIO.writePartitioned(
+                corrected.withColumn(graft.run.TrackedMigrate.BucketCol,
+                  TrackedMigrate.bucketOf(pk.head, numParts)),
+                cfg.target.path, targetTable, Seq(graft.run.TrackedMigrate.BucketCol))
+            } else TableIO.write(corrected, cfg.target.path, targetTable)
             val stagingPath = new org.apache.hadoop.fs.Path(s"${cfg.target.path}/$staging.parquet")
             stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .delete(stagingPath, true)

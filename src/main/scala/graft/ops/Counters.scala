@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
 object Counters {
 
   def mergeDeltas(df: DataFrame, pkCols: Seq[String], deltaCol: String,
-                  precision: Int = 18, scale: Int = 2): DataFrame =
+                  precision: Int = 38, scale: Int = 6): DataFrame =
+    // (38,6) default: headroom to ~1e32 before a delta would null out
+    // under a non-ANSI overflow (the old (18,2) silently rounded
+    // sub-cent deltas half-up AND dropped any |delta| ≥ 1e16 from the
+    // sum). Values finer than `scale` still round — callers pick the
+    // scale of their counter domain (Cassandra counters proper are
+    // integral, scale 0).
     df.groupBy(pkCols.map(col): _*)
       .agg(sum(col(deltaCol).cast(s"decimal($precision,$scale)")).cast("double").as("counter_value"))
 }

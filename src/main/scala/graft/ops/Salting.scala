@@ -54,6 +54,8 @@ object Salting {
    */
   def saltedEquiJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
+    SqlTypes.requireFreeColumns(skewed, Seq("__salt", "__dup", "__chunk", "__copy"))
+    SqlTypes.requireFreeColumns(dim, Seq("__salt"))
     val saltedDim = dim.withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     val fields = skewed.schema.fields
     if (fields.forall(f => collapsible(f.dataType))) {

@@ -33,6 +33,9 @@ object Scd {
    */
   def scd2FromChangeLog(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, stateCol: String): DataFrame = {
+    SqlTypes.requireFreeColumns(df,
+      Seq("__rn", "__prev_state", "version", "valid_from_us", "valid_to_us", "is_current")
+        .filterNot(Seq(keyCol, tsCol, tieCol, stateCol).contains))
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     // NULL is a real state: change detection must be null-safe (<=>), and
     // "no previous row" must be distinguished from "previous state was

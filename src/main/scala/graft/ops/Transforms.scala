@@ -81,13 +81,33 @@ object Transforms {
 
   /** T7 — missing-key-timestamp repair
    * (`spark.cdm.transform.missing.key.ts.replace.value`): replace
-   * null/epoch-0 timestamps appearing as map keys. */
-  def repairMissingMapKeyTs(df: DataFrame, mapCol: String, replacementMicros: Long): DataFrame =
-    df.withColumn(mapCol,
-      map_from_arrays(
-        transform(map_keys(col(mapCol)), k =>
-          when(k.isNull || unix_micros(k) === 0L, timestamp_micros(lit(replacementMicros))).otherwise(k)),
-        map_values(col(mapCol))))
+   * null/epoch-0 timestamps appearing as map keys.
+   *
+   * Collision-safe: a naive per-key rewrite would produce DUPLICATE map
+   * keys whenever the map already contains the replacement instant (or
+   * holds two broken keys), and `map_from_arrays` then kills the job at
+   * runtime under the default mapKeyDedupPolicy=EXCEPTION. Semantics
+   * here: all broken entries collapse to ONE entry at the replacement
+   * key — unless a real entry already occupies it, in which case the
+   * real entry wins and the broken ones are dropped (first broken entry
+   * in map order supplies the value; map entry order is the stored
+   * order, deterministic per row). */
+  def repairMissingMapKeyTs(df: DataFrame, mapCol: String, replacementMicros: Long): DataFrame = {
+    val repl = timestamp_micros(lit(replacementMicros))
+    def broken(k: Column) = k.isNull || unix_micros(k) === 0L
+    df.withColumn(mapCol, {
+      val m = col(mapCol)
+      val entries = map_entries(m)
+      val brokenEntries = filter(entries, e => broken(e.getField("key")))
+      val nonBroken = filter(entries, e => !broken(e.getField("key")))
+      val hasRealRepl = array_contains(map_keys(m), repl)
+      val rebuilt = when(hasRealRepl, nonBroken).otherwise(
+        concat(nonBroken, array(struct(
+          repl.as("key"),
+          element_at(brokenEntries, 1).getField("value").as("value")))))
+      when(size(brokenEntries) === 0, m).otherwise(map_from_entries(rebuilt))
+    })
+  }
 
   /** T8 — custom writetime/TTL override (`spark.cdm.transform.custom.*`):
    * force a constant writetime (optionally incremented per row to break
@@ -175,7 +195,7 @@ object Transforms {
    * (matching the E4 fail-fast posture and upstream, where e.g.
    * `map.remove.null.value` acts on map columns during migration). */
   def applyAll(df: DataFrame, t: TransformConfig, pkCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.types.{MapType, TimestampType}
+    import org.apache.spark.sql.types.{MapType, TimestampNTZType, TimestampType}
     var d = df
     t.constantColumns.foreach(c => d = constantColumns(d, c))
     t.explodeMap.foreach(c => d = explodeMap(d, c))
@@ -185,8 +205,12 @@ object Transforms {
         .foreach(c => d = mapRemoveNullValues(d, c))
     t.missingKeyTsReplace.foreach { micros =>
       val tsKeyed = d.schema.fields.collect {
+        // BOTH timestamp flavors: parquet without isAdjustedToUTC surfaces
+        // as TimestampNTZType in Spark 4 — matching only TimestampType
+        // would silently skip the repair (the same round-2 red row the
+        // codec block above was fixed for)
         case f if (f.dataType match {
-          case MapType(TimestampType, _, _) => true
+          case MapType(TimestampType, _, _) | MapType(TimestampNTZType, _, _) => true
           case _ => false
         }) => f.name
       }

@@ -23,6 +23,7 @@ object Upsert {
                      writetimeCol: String): DataFrame = {
     require(current.columns.sorted.sameElements(incoming.columns.sorted),
       s"upsert sides differ: ${current.columns.mkString(",")} vs ${incoming.columns.mkString(",")}")
+    SqlTypes.requireFreeColumns(current, Seq("__rn"))
     val unioned = current.unionByName(incoming)
     // Map-typed columns (at any depth) are not orderable in a window
     // sort (shared rule: SqlTypes.orderable); ties on writetime + every

@@ -116,7 +116,8 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber"),
       Some(s"""SELECT l_orderkey, l_linenumber
               |FROM lineitem
-              |WHERE ((l_orderkey % 2147483648) * 2246822519) % 100 < 15 AND $PkGuard
+              |WHERE ((((l_orderkey % 2147483648) * 2246822519) % 2147483648) * 100) >> 31 < 15
+              |  AND $PkGuard
               |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // S1/P4 production-parity path — the EXACT Cassandra Murmur3 ring

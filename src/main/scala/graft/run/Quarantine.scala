@@ -29,6 +29,7 @@ object Quarantine {
    */
   def classify(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one validation rule")
+    graft.ops.SqlTypes.requireFreeColumns(df, Seq(RouteCol, ReasonsCol))
     val reasons = array_join(
       filter(
         array(rules.map { case (name, pred) =>

@@ -48,13 +48,20 @@ object RunLedger {
   def readPartitionFile(spark: SparkSession, path: String): DataFrame = {
     // the file is operator-hand-editable by contract, so validate eagerly
     // with a clear error naming the bad lines — a permissive cast would
-    // surface later as a bare NullPointerException in the resume path
-    val raw = spark.read.schema("raw STRING").csv(path)
-    val bad = raw.filter(!col("raw").rlike("^\\s*-?\\d+\\s*$")).limit(5)
-      .collect().map(_.getString(0))
+    // surface later as a bare NullPointerException in the resume path.
+    // text(), NOT csv(): the csv reader would silently truncate a line
+    // like "3,4" to its first token, validating a malformed file and
+    // resuming the wrong bucket.
+    val raw = spark.read.text(path).select(col("value").as("raw"))
+    // digits-only AND int-range: "4294967296" matches a digits regex but
+    // casts to null, which is the same downstream NPE with extra steps
+    val parsed = raw.withColumn("part_id", col("raw").cast("int"))
+    val bad = parsed
+      .filter(!col("raw").rlike("^\\s*-?\\d+\\s*$") || col("part_id").isNull)
+      .limit(5).collect().map(_.getString(0))
     require(bad.isEmpty,
-      s"partition file $path contains non-numeric lines: ${bad.mkString("'", "', '", "'")}")
-    raw.select(col("raw").cast("int").as("part_id"))
+      s"partition file $path contains non-numeric or out-of-range lines: ${bad.mkString("'", "', '", "'")}")
+    parsed.select("part_id")
   }
 
   def writePartitionFile(parts: DataFrame, path: String): Unit =
@@ -69,8 +76,14 @@ object RunLedger {
    * construction) because text overwrite deletes the path before a lazy
    * read of the same path would execute. */
   def appendPartitionFile(spark: SparkSession, parts: DataFrame, path: String): Unit = {
+    // Hadoop FileSystem, NOT java.io.File: on hdfs://-/s3a://-style paths
+    // a local-file existence check is always false, so a prior migrate's
+    // recorded ranges would be silently clobbered instead of appended —
+    // the exact contract violation the doc above forbids.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Seq[Int] =
-      if (new java.io.File(path).exists())
+      if (fs.exists(hPath))
         readPartitionFile(spark, path).collect().map(_.getInt(0)).toIndexedSeq
       else Seq.empty
     import spark.implicits._

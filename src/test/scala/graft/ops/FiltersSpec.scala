@@ -54,4 +54,17 @@ class FiltersSpec extends SparkSpec {
       t >= 0 && t < TableIO.TokenModulus && b >= 0 && b < 100 &&
         c >= 0 && c < TableIO.TokenModulus })
   }
+
+  test("token-percent buckets spread keys allocated in blocks of 100") {
+    import graft.io.TableIO
+    // keys that are all multiples of 100 (block allocation, second-
+    // granularity ms-timestamps): a (pk*m) mod 100 bucket depends only on
+    // pk mod 100 and would put ALL of them in one bucket — sampling at
+    // 0% or 100% instead of pct%. The high-bit mixing must spread them.
+    val df = spark.range(0, 1000).select(($"id" * 100L).as("pk"))
+    val buckets = df.select(TableIO.tokenPercentBucket($"pk").as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect()
+    assert(buckets.length > 50, s"only ${buckets.length} distinct buckets for block-of-100 keys")
+    assert(buckets.map(_._2).max < 100, "one bucket dominates — sampling still structured")
+  }
 }

@@ -69,6 +69,24 @@ class TransformsSpec extends SparkSpec {
     assert(e.getMessage.contains("ck"))
   }
 
+  test("map-key repair survives a collision with an existing replacement key") {
+    import java.sql.Timestamp
+    val epoch0 = new Timestamp(0L)
+    val repl = new Timestamp(1000L) // = 1_000_000 micros
+    val other = new Timestamp(2000L)
+    val df = Seq(
+      (1L, Map(epoch0 -> "broken", repl -> "real")), // collision: real wins
+      (2L, Map(epoch0 -> "a", other -> "b")), // plain rewrite
+      (3L, Map(epoch0 -> "x", epoch0 -> "y"))) // scala Map collapses dup keys; single broken
+      .toDF("id", "m")
+    val out = graft.ops.Transforms.repairMissingMapKeyTs(df, "m", 1000000L)
+      .orderBy("id").select("m").collect()
+      .map(_.getMap[Timestamp, String](0).toMap)
+    assert(out(0) == Map(repl -> "real"), s"real entry must win: ${out(0)}")
+    assert(out(1) == Map(repl -> "a", other -> "b"))
+    assert(out(2) == Map(repl -> "x") || out(2) == Map(repl -> "y"))
+  }
+
   test("effectivePrimaryKey extends the renamed PK with the explode key") {
     val cfg = CdmConfig.fromMap(Map(
       "spark.cdm.schema.origin.primaryKey" -> "a,b",

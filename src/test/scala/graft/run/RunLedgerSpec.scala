@@ -28,4 +28,18 @@ class RunLedgerSpec extends SparkSpec {
       .orderBy("part_id").as[Int].collect().toSeq
     assert(pending == Seq(1, 2))
   }
+
+  test("partition file rejects out-of-int-range and comma-joined lines") {
+    val dir = tmpDir()
+    // int overflow: digits-only but casts to null -> must be named, not NPE later
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/pf1"), "1\n4294967296\n")
+    val e1 = intercept[IllegalArgumentException](
+      RunLedger.readPartitionFile(spark, s"$dir/pf1").collect())
+    assert(e1.getMessage.contains("4294967296"))
+    // a csv reader would silently truncate "3,4" to 3; text() must reject it
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/pf2"), "3,4\n")
+    val e2 = intercept[IllegalArgumentException](
+      RunLedger.readPartitionFile(spark, s"$dir/pf2").collect())
+    assert(e2.getMessage.contains("3,4"))
+  }
 }
