@@ -66,10 +66,14 @@ object Bench {
     val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + r3(v) }
     val kept = new StringBuilder
     var shown = 0
+    // stop at the FIRST entry that does not fit: skipping it but keeping
+    // later (shorter-named, faster) entries would misrepresent the slow
+    // end of the distribution — the compact map is a slowest-PREFIX
+    var full = false
     entries.foreach { e =>
-      if (kept.length + e.length + 1 <= 1300) {
+      if (!full && kept.length + e.length + 1 <= 1300) {
         if (shown > 0) kept.append(','); kept.append(e); shown += 1
-      }
+      } else full = true
     }
     // failed list capped too: a mass failure (every query down) must not
     // overflow the same capture window the compact line exists to fit

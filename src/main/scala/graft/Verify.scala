@@ -27,6 +27,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // delete any stale dump FIRST: re-running into a used outDir, a
+      // query that regressed to throwing would otherwise leave its old
+      // (passing) parquet in place and the driver would score the broken
+      // query green against stale data
+      val dumpDir = Paths.get(outDir, name)
+      if (Files.exists(dumpDir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dumpDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

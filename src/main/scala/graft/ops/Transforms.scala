@@ -30,6 +30,13 @@ object Transforms {
    * cardinality-changing operator (`[upstream] feature/ExplodeMap.java`);
    * in Spark it is the built-in `explode` Generate node. */
   def explodeMap(df: DataFrame, cfg: ExplodeMapConfig): DataFrame = {
+    // fail fast on name collisions BEFORE building the frame: key == value
+    // or either colliding with a surviving column would emit duplicate
+    // column names, and the next by-name reference dies with an ambiguous-
+    // column error deep in the job instead of here (E4 posture)
+    require(cfg.keyName != cfg.valueName,
+      s"explodeMap key and value columns must differ, both are '${cfg.keyName}'")
+    SqlTypes.requireFreeColumns(df.drop(cfg.originName), Seq(cfg.keyName, cfg.valueName))
     val others = df.columns.filterNot(_ == cfg.originName).map(col)
     // explode_outer + key-not-null filter ≡ explode (map keys are never
     // null; only the empty/null-map row gets a null key, and explode

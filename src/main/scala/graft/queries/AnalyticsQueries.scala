@@ -112,14 +112,14 @@ object AnalyticsQueries {
     Q("set_ops",
       (s, dir) => {
         val o = TableIO.read(s, dir, "orders").select("o_orderkey")
-        val lowTok = o.filter(pmod(col("o_orderkey") * 2654435761L, lit(100L)) < 60)
-        val midTok = o.filter(pmod(col("o_orderkey") * 2654435761L, lit(100L)).between(30, 80))
+        val lowTok = o.filter(pmod(pmod(col("o_orderkey"), lit(2147483648L)) * 2654435761L, lit(100L)) < 60)
+        val midTok = o.filter(pmod(pmod(col("o_orderkey"), lit(2147483648L)) * 2654435761L, lit(100L)).between(30, 80))
         lowTok.except(midTok).withColumn("op", lit("except"))
           .union(lowTok.intersect(midTok).withColumn("op", lit("intersect")))
           .orderBy("op", "o_orderkey")
       },
-      Some("""WITH low AS (SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 < 60),
-             |mid AS (SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 BETWEEN 30 AND 80)
+      Some("""WITH low AS (SELECT o_orderkey FROM orders WHERE ((o_orderkey % 2147483648) * 2654435761) % 100 < 60),
+             |mid AS (SELECT o_orderkey FROM orders WHERE ((o_orderkey % 2147483648) * 2654435761) % 100 BETWEEN 30 AND 80)
              |SELECT o_orderkey, 'except' AS op FROM (SELECT * FROM low EXCEPT SELECT * FROM mid)
              |UNION ALL
              |SELECT o_orderkey, 'intersect' AS op FROM (SELECT * FROM low INTERSECT SELECT * FROM mid)
@@ -241,8 +241,8 @@ object AnalyticsQueries {
         // multiplicative mix before the modulo so both coordinates cover
         // the 8-bit domain at every scale factor (raw l_suppkey spans
         // only 10 values at sf0.001); same arithmetic in the oracle
-        val x = pmod(col("l_partkey") * lit(2654435761L), lit(256L))
-        val y = pmod(col("l_suppkey") * lit(2654435761L), lit(256L))
+        val x = pmod(pmod(col("l_partkey"), lit(2147483648L)) * lit(2654435761L), lit(256L))
+        val y = pmod(pmod(col("l_suppkey"), lit(2147483648L)) * lit(2654435761L), lit(256L))
         TableIO.read(s, dir, "lineitem")
           .select(x.as("x"), y.as("y"),
             graft.ext.Layout.zorder2(x, y).as("zval"))
@@ -254,8 +254,8 @@ object AnalyticsQueries {
           .orderBy("file_id")
       },
       Some {
-        val xSql = "((l_partkey * 2654435761) % 256)"
-        val ySql = "((l_suppkey * 2654435761) % 256)"
+        val xSql = "(((l_partkey % 2147483648) * 2654435761) % 256)"
+        val ySql = "(((l_suppkey % 2147483648) * 2654435761) % 256)"
         val zSql = graft.ext.Layout.zorder2Sql(xSql, ySql)
         s"""WITH z AS (
            |  SELECT $xSql AS x, $ySql AS y, $zSql AS zval

@@ -205,7 +205,7 @@ object CoreQueries {
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"),
-            sum(length(col("text")).cast("long")).as("sum_text_len"))
+            sum(octet_length(col("text")).cast("long")).as("sum_text_len"))
           .orderBy("lang", "source")
       },
       Some("""SELECT lang, source, count(*) AS n_docs,
@@ -228,7 +228,7 @@ object CoreQueries {
           .agg(
             count(lit(1)).as("n"),
             sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
-            sum(length(col("c_name")).cast("long")).as("sum_name_len"))
+            sum(octet_length(col("c_name")).cast("long")).as("sum_name_len"))
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment, count(*) AS n,

@@ -23,9 +23,9 @@ import graft.run.{Quarantine, RunLedger}
 object DiffQueries {
 
   private val Pk = Seq("o_orderkey")
-  private val tpSql = "(o_orderkey * 2654435761) % 100"
+  private val tpSql = "((o_orderkey % 2147483648) * 2654435761) % 100"
 
-  private def tpCol = pmod(col("o_orderkey") * lit(2654435761L), lit(100L))
+  private def tpCol = pmod(pmod(col("o_orderkey"), lit(2147483648L)) * lit(2654435761L), lit(100L))
 
   private def originAndTarget(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val origin = TableIO.read(s, dir, "orders")

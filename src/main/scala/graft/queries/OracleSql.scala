@@ -11,8 +11,12 @@ import graft.ext.Dedup
 object OracleSql {
 
   /** Mirror of TextOps.tokenHashSql. */
+// length() (characters), NOT strlen() (bytes): the Spark side uses
+  // length(), and the two diverge on any multibyte token — which would
+  // silently break every shingle/minhash/simhash/fingerprint oracle on
+  // the first non-ASCII corpus
   def tokenHash(t: String): String =
-    s"(ascii($t)*96 + ascii(right($t,1)) + strlen($t)*7)"
+    s"(ascii($t)*96 + ascii(right($t,1)) + length($t)*7)"
 
   /** Mirror of TextOps.prefixKey. */
   def prefixKey(n: Int = 3): String =

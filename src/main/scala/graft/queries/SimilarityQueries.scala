@@ -292,7 +292,11 @@ object SimilarityQueries {
              |  FROM embeddings),
              |coded AS (
              |  SELECT vec_id, embedding, s,
-             |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS INT)) AS q
+             |    -- zero-scale guard mirroring QuantizeInt8Stats: an
+             |    -- all-zero embedding quantizes to all-zero codes, where
+             |    -- an unguarded v*127/0 is NaN and floor(NaN) errors
+             |    list_transform(embedding, v -> CASE WHEN s = 0 THEN 0
+             |      ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS INT) END) AS q
              |  FROM base)
              |SELECT vec_id,
              |  round(s, 6) AS scale6,

@@ -280,12 +280,12 @@ object TextQueries {
     Q("train_val_split",
       (s, dir) => TableIO.read(s, dir, "documents")
         .withColumn("split",
-          when(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 90, lit("train"))
+          when(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L), lit(100L)) < 90, lit("train"))
             .otherwise(lit("val")))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("split", "lang"),
-      Some("""SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90
+      Some("""SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90
              |            THEN 'train' ELSE 'val' END AS split,
              |       lang, count(*) AS n
              |FROM documents
