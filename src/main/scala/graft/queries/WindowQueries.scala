@@ -178,6 +178,32 @@ object WindowQueries {
              |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, ts_us, event_id""".stripMargin)),
 
+    // Stream-stream INTERVAL join, batch face (the impression→click
+    // attribution shape): clicks within 1 hour AFTER each view, per user.
+    // The identical lineage runs as a dual-watermark streaming join
+    // (StreamingSpec proves batch/stream parity); registered here so the
+    // join semantics are oracle-pinned too.
+    Q("interval_join_agg",
+      (s, dir) => {
+        val e = TableIO.read(s, dir, "events")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        StreamingOps.intervalJoin(views, clicks, "user_id", "v_ts", "c_ts",
+            horizon = "1 hour", watermark = "2 hours")
+          .groupBy(col("l.user_id").as("user_id"), col("view_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy("user_id", "view_id")
+      },
+      Some("""SELECT v.user_id AS user_id, v.event_id AS view_id, count(*) AS n_clicks
+             |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+             |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON v.user_id = c.user_id
+             | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+             |GROUP BY 1, 2
+             |ORDER BY v.user_id, view_id""".stripMargin)),
+
     // SCD-2 dimension build from the event change log: per user, each
     // event_type change opens a validity interval closed by the next
     // change (null = current). One key shuffle; lag-filter, version

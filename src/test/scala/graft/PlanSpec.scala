@@ -221,6 +221,13 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join leaked into the plan:\n${p.take(2000)}")
   }
 
+  test("PQ rerank broadcasts the shortlist and queries, never shuffling the vector store") {
+    val p = plan(SparkEntry.queries("pq_rerank_topk")(spark, Sf))
+    // ADC LUT + shortlist + query-vector joins: all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"rerank stage shuffles the store:\n${p.take(2000)}")
+  }
+
   test("salted join stays deterministic: no monotonically_increasing_id in the plan") {
     val orders = TableIO.read(spark, Sf, "orders")
     val dim = TableIO.read(spark, Sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
