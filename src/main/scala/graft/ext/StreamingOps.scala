@@ -115,6 +115,61 @@ object StreamingOps {
   /** Input/output rows for the custom-state sessionizer. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double, last_ts: java.sql.Timestamp)
+  final case class SessionAgg(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /**
+   * Custom-state sessionization with EVENT-TIME TIMEOUT — the state-
+   * EVICTION face of §2.10 that `session_window` hides and
+   * [[runningUserStats]] (NoTimeout) doesn't exercise: an open session
+   * lives in the state store only until the watermark passes its end +
+   * gap; then `hasTimedOut` fires, the FINAL session row is emitted, and
+   * the state is removed. Without a timeout, one state entry per
+   * ever-seen key lives forever — the unbounded-state leak that kills
+   * long-running streaming jobs. Sessions closed by a gap WITHIN a batch
+   * emit immediately; the tail session of each key emits on timeout.
+   *
+   * Batch iterators arrive unordered, so events are sorted by ts before
+   * folding (per key per batch — bounded by the batch, not the stream).
+   */
+  def sessionizeWithState(events: org.apache.spark.sql.Dataset[UserEvent],
+      gapMinutes: Int, watermarkDelay: String)
+      : org.apache.spark.sql.Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionAgg]) => {
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionAgg]
+            evs.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              open = open match {
+                case Some(s) if us - s.end_us < gapMicros =>
+                  Some(s.copy(end_us = math.max(s.end_us, us), n_events = s.n_events + 1))
+                case Some(s) => // gap reached within the batch: close it
+                  closed += s
+                  Some(SessionAgg(userId, us, us, 1L))
+                case None => Some(SessionAgg(userId, us, us, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // evict when the watermark passes the session's horizon
+              state.setTimeoutTimestamp(s.end_us / 1000L + gapMinutes.toLong * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+        })
+  }
 
   /**
    * Custom keyed state beyond what `session_window` expresses — the

@@ -139,6 +139,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("stateful sessionizer emits in-batch closed sessions and evicts on event-time timeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[StreamingOps.UserEvent]
+    val out = StreamingOps.sessionizeWithState(source.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sess_state").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    try {
+      // batch 1: user 1 opens a session; a second event extends it; a
+      // THIRD event past the gap closes the first WITHIN the batch
+      source.addData(
+        StreamingOps.UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        StreamingOps.UserEvent(1L, ts("2024-01-01 10:05:00"), 1.0),
+        StreamingOps.UserEvent(1L, ts("2024-01-01 11:00:00"), 1.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess_state").as[StreamingOps.SessionAgg].collect().toSet
+      assert(afterB1.map(s => (s.user_id, s.n_events)) == Set((1L, 2L)),
+        s"in-batch closed session missing: $afterB1")
+
+      // batch 2: another user far in the future advances the watermark
+      // past user 1's open-session horizon -> timeout emits the final row
+      // and evicts the state
+      source.addData(StreamingOps.UserEvent(2L, ts("2024-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+      // timeouts fire when a batch RUNS with the advanced watermark
+      source.addData(StreamingOps.UserEvent(2L, ts("2024-01-01 14:01:00"), 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_state").as[StreamingOps.SessionAgg].collect().toSet
+      assert(all.exists(s => s.user_id == 1L && s.n_events == 1L &&
+        s.start_us == ts("2024-01-01 11:00:00").getTime * 1000L),
+        s"tail session not emitted on event-time timeout: $all")
+    } finally q.stop()
+  }
+
   test("sessionized assigns gap-separated events to distinct sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
