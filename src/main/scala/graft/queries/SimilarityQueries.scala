@@ -125,6 +125,88 @@ object SimilarityQueries {
               |QUALIFY rank <= 3
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // X3+ — HYBRID retrieval: dense cosine top-10 and sparse shingle-tf
+    // top-10 fused per query by Reciprocal Rank Fusion (integer
+    // micro-unit contributions, so the fused score is an exact int64
+    // sum). doc_id and vec_id share the id space (the multimodal-join
+    // convention), so the two systems rank the same candidates.
+    Q("hybrid_rrf_topk",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        val dense = graft.ext.Similarity.topK(
+            emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") < 300), 10)
+          .select("query_id", "neighbor_id", "rank")
+        val pairs = graft.ext.TextOps.sparseCosinePairs(
+          graft.ext.Dedup.withShingleHashes(
+            TableIO.read(s, dir, "documents").filter(col("doc_id") < 300), "text"),
+          "doc_id", graft.ext.Dedup.ShinglesCol, minDot = 1L, maxTermDf = 20L)
+        val directed = pairs.filter(col("id_a") < 5)
+            .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cos6"))
+          .unionByName(pairs.filter(col("id_b") < 5)
+            .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cos6")))
+        val sparse = directed
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(col("cos6").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 10)
+          .select("query_id", "neighbor_id", "rank")
+        graft.ext.Hybrid.rrfFuse(Seq(dense, sparse), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+              |dp AS (
+              |  SELECT q.query_id, e.vec_id AS neighbor_id,
+              |         ${cosSql("q.q_emb", "e.embedding")} AS cos6
+              |  FROM embeddings e, q
+              |  WHERE e.vec_id < 300 AND e.vec_id != q.query_id),
+              |dense AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+              |  FROM dp QUALIFY rank <= 10),
+              |tk AS (
+              |  SELECT doc_id, unnest(${OracleSql.shingles}) AS tok
+              |  FROM documents WHERE doc_id < 300),
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+              |f AS (
+              |  SELECT doc_id, tok, tf FROM (
+              |    SELECT doc_id, tok, tf, count(*) OVER (PARTITION BY tok) AS df FROM tf)
+              |  WHERE df <= 20),
+              |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM f GROUP BY 1),
+              |sd AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+              |  FROM f a JOIN f b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |  HAVING sum(a.tf * b.tf) >= 1),
+              |sp AS (
+              |  SELECT id_a, id_b,
+              |    round(CAST(dot AS DOUBLE) /
+              |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos6
+              |  FROM sd
+              |  JOIN norms na ON na.doc_id = id_a
+              |  JOIN norms nb ON nb.doc_id = id_b),
+              |directed AS (
+              |  SELECT id_a AS query_id, id_b AS neighbor_id, cos6 FROM sp WHERE id_a < 5
+              |  UNION ALL
+              |  SELECT id_b AS query_id, id_a AS neighbor_id, cos6 FROM sp WHERE id_b < 5),
+              |sparse AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+              |  FROM directed QUALIFY rank <= 10),
+              |u AS (
+              |  SELECT query_id, neighbor_id, CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM dense
+              |  UNION ALL
+              |  SELECT query_id, neighbor_id, CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM sparse),
+              |fused AS (
+              |  SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_us, count(*) AS n_systems
+              |  FROM u GROUP BY 1, 2)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_us DESC, neighbor_id) AS INTEGER) AS rank,
+              |       neighbor_id, rrf_us, n_systems
+              |FROM fused
+              |QUALIFY rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // X3 — IVF-style blocked top-k: candidates restricted to the query's
     // coarse cell (label), the tractable-at-100TB search path.
     Q("topk_cosine_ivf",

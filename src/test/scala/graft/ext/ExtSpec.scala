@@ -351,6 +351,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top == 3L, s"zero vector outranked a real neighbor (got $top)")
   }
 
+  test("RRF fusion: consensus candidates outrank single-system toppers") {
+    // system A ranks {10, 11, 12}; system B ranks {11, 10, 13}:
+    // candidate 10: 1e6/61 + 1e6/62 = 16393 + 16129 = 32522 (consensus)
+    // candidate 11: 1e6/62 + 1e6/61 = same 32522 — tie broken on id
+    // candidate 12: 1e6/63 = 15873, candidate 13: same single vote
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 13L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val out = graft.ext.Hybrid.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("rank")
+      .select("rank", "neighbor_id", "rrf_us", "n_systems")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, 10L, 32522L, 2L), (2, 11L, 32522L, 2L),
+      (3, 12L, 15873L, 1L), (4, 13L, 15873L, 1L)), s"got $out")
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     val c = df.select(Similarity.cosine($"embedding", $"embedding").as("c")).as[Double].head()
