@@ -117,4 +117,10 @@ class JobsSpec extends SparkSpec {
     assert(!plan.contains("aggregate(") && !plan.contains("lambdafunction"),
       s"HOF fold leaked into the common-shape plan:\n$plan")
   }
+
+  test("driver contract: SparkEntry.entry returns rows on the smoke fixture") {
+    // the driver smoke-checks rows > 0 on sf0.001 — pin it as a test so a
+    // refactor cannot silently break the flagship path
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
 }
