@@ -34,7 +34,11 @@ object Verify {
       val dumpDir = Paths.get(outDir, name)
       if (Files.exists(dumpDir)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(dumpDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        // Files.walk holds directory handles until closed — over a
+        // 131-query dump that is 131 leaked fds per run without this.
+        val walk = Files.walk(dumpDir)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close()
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

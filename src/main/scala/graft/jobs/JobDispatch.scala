@@ -64,11 +64,17 @@ object JobDispatch {
         // files the autocorrect pass may overwrite below. A live target is
         // never overwritten file-wise, but its report feeds up to three
         // actions (partition file, autocorrect, the returned frame) —
-        // cache it so the full reconciliation join runs once, and so the
+        // snapshot it so the full reconciliation join runs once, and so the
         // autocorrect write cannot reclassify rows a LATER recomputation
         // would see post-correction (report/partition-file consistency).
+        // localCheckpoint, not persist(): a persisted frame is pinned by
+        // the session's CacheManager forever (each dispatched validate
+        // would leak storage for the session lifetime), while checkpoint
+        // blocks are released by the ContextCleaner once the report frame
+        // is unreachable — and the returned frame still reads the
+        // materialized snapshot, never a post-correction recompute.
         val classified =
-          if (liveTarget) graft.jobs.DiffData.classify(origin, target, pk).persist()
+          if (liveTarget) graft.jobs.DiffData.classify(origin, target, pk).localCheckpoint()
           else {
             val reportTable = s"${targetTable}_diff_report"
             TableIO.write(

@@ -305,12 +305,18 @@ object CurationQueries {
               |  FROM counts),
               |w AS (
               |  SELECT b, (1000000 * n_target * t_raw) // (n_raw * t_target) AS w_us
-              |  FROM counts, tot)
-              |SELECT tok.doc_id, count(*) AS n_tokens,
-              |       CAST(sum(w.w_us) AS BIGINT) AS score_us,
-              |       CAST(CASE WHEN sum(w.w_us) > count(*) * 1000000 THEN 1 ELSE 0 END AS INTEGER) AS target_like
-              |FROM tok JOIN w ON tok.b = w.b
-              |GROUP BY 1
+              |  FROM counts, tot),
+              |scored AS (
+              |  SELECT tok.doc_id, count(*) AS n_tokens,
+              |         CAST(sum(w.w_us) AS BIGINT) AS score_us
+              |  FROM tok JOIN w ON tok.b = w.b
+              |  GROUP BY 1)
+              |SELECT d.doc_id,
+              |       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+              |       CAST(coalesce(s.score_us, 0) AS BIGINT) AS score_us,
+              |       CAST(CASE WHEN coalesce(s.score_us, 0) > coalesce(s.n_tokens, 0) * 1000000
+              |            THEN 1 ELSE 0 END AS INTEGER) AS target_like
+              |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
               |ORDER BY 1""".stripMargin))
   )
 }

@@ -280,10 +280,11 @@ object DedupQueries {
         .orderBy("id_a", "id_b"),
       Some(s"""WITH s AS (
               |  SELECT doc_id,
+              |    CASE WHEN len($shinglesSql) = 0 THEN NULL ELSE
               |    CAST(list_sum(list_transform(range(0, 16), b ->
               |      CASE WHEN list_sum(list_transform($shinglesSql,
               |                   s -> ((CAST((s * 2654435761) % 65536 AS BIGINT) >> b) & 1) * 2 - 1)) > 0
-              |           THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+              |           THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) END AS simhash
               |  FROM documents WHERE doc_id < 300)
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -308,8 +309,9 @@ object DedupQueries {
              |           THEN CAST(1 AS BIGINT) << (b + $off) ELSE 0 END)) AS BIGINT)""".stripMargin
         s"""WITH s AS (
            |  SELECT doc_id,
+           |    CASE WHEN len($shinglesSql) = 0 THEN NULL ELSE
            |    ${half(2654435761L, 0)}
-           |    + ${half(2246822519L, 30)} AS simhash
+           |    + ${half(2246822519L, 30)} END AS simhash
            |  FROM documents WHERE doc_id < 300)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

@@ -155,7 +155,7 @@ object DiffQueries {
       (s, dir) => Counters.mergeDeltas(TableIO.read(s, dir, "lineitem"), Seq("l_orderkey"), "l_quantity")
         .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS counter_value
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS counter_value
              |FROM lineitem
              |GROUP BY l_orderkey
              |ORDER BY l_orderkey""".stripMargin)),
