@@ -18,6 +18,11 @@ object AnalyticsQueries {
     // with broadcast dimensions — revenue by region. The multi-join
     // analytics shape the engine must plan well at 100 TB (fact table
     // streams, dims broadcast, single shuffle for the final groupBy).
+    // broadcast() hints ONLY on the genuinely fixed-size dims (nation=25
+    // rows, region=5 at every SF): customer SCALES with SF, so a hard
+    // hint would OOM executors at 100× where size-based AQE broadcast
+    // correctly degrades to a shuffle join. At fixture scale AQE still
+    // picks broadcast for customer — the hint bought nothing.
     Q("star_join_revenue",
       (s, dir) => {
         val li = TableIO.read(s, dir, "lineitem")
@@ -26,7 +31,7 @@ object AnalyticsQueries {
         val n = TableIO.read(s, dir, "nation")
         val r = TableIO.read(s, dir, "region")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(r("r_name"))
@@ -49,8 +54,12 @@ object AnalyticsQueries {
     // TPC-H Q5 shape: two fact-to-dim equi-joins PLUS a cross-dimension
     // equality (customer and supplier in the same nation) — the join
     // topology where planners go wrong at scale (the cross-dim predicate
-    // must stay a post-join filter on broadcast rows, never a shuffle).
-    // Also the only query exercising the supplier table.
+    // must stay a post-join filter, never a shuffle of its own).
+    // Also the only query exercising the supplier table. Like
+    // star_join_revenue above: no broadcast() hints on supplier/customer
+    // (both SF-scaling — a hard hint is a 100×-scale OOM); only the
+    // fixed 25-row nation keeps its hint, everything else is left to
+    // size-based/AQE join selection.
     Q("local_supplier_revenue",
       (s, dir) => {
         val li = TableIO.read(s, dir, "lineitem")
@@ -59,8 +68,8 @@ object AnalyticsQueries {
         val sup = TableIO.read(s, dir, "supplier")
         val n = TableIO.read(s, dir, "nation")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .filter(c("c_nationkey") === sup("s_nationkey"))
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .groupBy(n("n_name"))

@@ -134,11 +134,14 @@ class PlanSpec extends SparkSpec {
       s"signature re-inlined into a Filter:\n${p.take(2000)}")
   }
 
-  test("star join broadcasts every dimension (single shuffle for the groupBy)") {
+  test("star join broadcasts the fixed-size dims; SF-scaling dims are left to AQE") {
     val df = SparkEntry.queries("star_join_revenue")(spark, Sf)
     val p = plan(df)
+    // only nation (25 rows) and region (5) carry broadcast() hints —
+    // customer scales with SF, so the plan must be legal either way:
+    // size-based broadcast at fixture scale, shuffle join at 100×.
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(broadcasts >= 3, s"dims not broadcast ($broadcasts):\n${p.take(1500)}")
+    assert(broadcasts >= 2, s"fixed dims not broadcast ($broadcasts):\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
   }
 
@@ -194,9 +197,11 @@ class PlanSpec extends SparkSpec {
       "queries side should broadcast")
   }
 
-  test("Q5-shape join broadcasts all three dims and never goes nested-loop") {
+  test("Q5-shape join broadcasts the fixed dim and never goes nested-loop") {
     val p = plan(SparkEntry.queries("local_supplier_revenue")(spark, Sf))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n${p.take(2000)}")
+    // nation is the only hinted (fixed-size) dim; supplier/customer are
+    // SF-scaling and must be broadcastable-or-shuffled at AQE's choice.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, s"nation not broadcast:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cross-dim predicate degraded the join:\n${p.take(2000)}")
   }
