@@ -2,15 +2,18 @@ package org.apache.spark.sql.graft.plans
 
 import scala.collection.mutable
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeSet, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /**
  * Whole-operator Catalyst extension (SURVEY.md §2 preference tier (c):
@@ -95,9 +98,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val limit = k
     val isPartial = partial
     // read once on the driver at execute time, so a test/session can size
-    // the guard; tasks see the captured value
-    val groupCap = org.apache.spark.sql.internal.SQLConf.get
+    // the guards; tasks see the captured values
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val groupCap = conf
       .getConfString("spark.graft.topk.partialGroupCap", TopKPerKeyExec.PartialGroupCap.toString)
+      .toInt
+    val finalCap = conf
+      .getConfString("spark.graft.topk.finalGroupCap", TopKPerKeyExec.FinalGroupCap.toString)
       .toInt
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -105,37 +112,65 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       // LinkedHashMap: emission order follows first-seen key order — a
       // deterministic function of the (clustered) input, not hash order
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      // Memory guard for the partial pass: with near-unique keys the group
-      // map would retain ~the whole input partition on the JVM heap. The
-      // partial exec is only an optimization — any row it passes through
-      // untrimmed is re-trimmed by the final exec after the shuffle — so
-      // once the map holds `PartialGroupCap` groups, rows of NEW keys
-      // stream straight through instead of opening another heap. Memory is
-      // bounded at O(cap · k) while dominant keys (the ones partial
-      // trimming exists for) still collapse map-side. The final exec holds
-      // one heap per group per (clustered) partition — the same O(groups ·
-      // k / partitions) bound as a hash aggregate over the group keys.
-      val newKeysAbsorbed = !isPartial
-      val passAndAbsorb: Iterator[InternalRow] = iter.flatMap { row =>
-        val key = keyProj(row)
-        val existing = heaps.get(key)
-        existing match {
-          case Some(heap) =>
-            if (heap.size < limit) heap.enqueue(row.copy())
-            else if (ord.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(row.copy())
-            }
-            Iterator.empty
-          case None if newKeysAbsorbed || heaps.size < groupCap =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h.enqueue(row.copy())
-            Iterator.empty
-          case None =>
-            Iterator.single(row) // cap reached: pass through, final re-trims
+      def absorb(heap: mutable.PriorityQueue[InternalRow], row: InternalRow): Unit =
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
         }
+      def drained: Iterator[InternalRow] =
+        heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+      if (isPartial) {
+        // Memory guard for the partial pass: with near-unique keys the
+        // group map would retain ~the whole input partition on the JVM
+        // heap. The partial exec is only an optimization — any row it
+        // passes through untrimmed is re-trimmed by the final exec after
+        // the shuffle — so once the map holds `PartialGroupCap` groups,
+        // rows of NEW keys stream straight through instead of opening
+        // another heap. Memory is bounded at O(cap · k) while dominant
+        // keys (the ones partial trimming exists for) still collapse
+        // map-side.
+        val passAndAbsorb: Iterator[InternalRow] = iter.flatMap { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) =>
+              absorb(heap, row); Iterator.empty
+            case None if heaps.size < groupCap =>
+              val h = mutable.PriorityQueue.empty[InternalRow](ord)
+              heaps.put(key.copy(), h)
+              h.enqueue(row.copy())
+              Iterator.empty
+            case None =>
+              Iterator.single(row) // cap reached: pass through, final re-trims
+          }
+        }
+        passAndAbsorb ++ drained
+      } else {
+        // FINAL pass: must produce exact results, so rows can never pass
+        // through — instead, when the partition holds more than
+        // `FinalGroupCap` distinct groups the heap map stops scaling with
+        // cardinality and the partition DEGRADES to the sort formulation:
+        // everything accumulated so far plus the rest of the input goes
+        // through a spill-safe external sort on (keys, order), and the
+        // first k rows per key group are streamed off the sorted run.
+        // Same answer, O(k) emit memory, disk instead of OOM — the heap
+        // path stays the fast path for every partition under the cap.
+        var overflow: InternalRow = null
+        while (iter.hasNext && (overflow eq null)) {
+          val row = iter.next()
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) => absorb(heap, row)
+            case None if heaps.size < finalCap =>
+              val h = mutable.PriorityQueue.empty[InternalRow](ord)
+              heaps.put(key.copy(), h)
+              h.enqueue(row.copy())
+            case None => overflow = row.copy()
+          }
+        }
+        if (overflow eq null) drained
+        else TopKPerKeyExec.sortedTopK(childOutput, keyExprs, sortOrder, limit,
+          heaps.valuesIterator.flatMap(_.iterator) ++ Iterator.single(overflow) ++ iter)
       }
-      passAndAbsorb ++ heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
     }
   }
 
@@ -150,6 +185,57 @@ object TopKPerKeyExec {
    * heap regardless of key cardinality, while any realistic hot-key
    * distribution still collapses map-side. */
   val PartialGroupCap: Int = 1 << 16
+
+  /** Default max groups the FINAL exec holds per task before degrading
+   * the partition to the spill-safe sorted formulation (override:
+   * `spark.graft.topk.finalGroupCap`). 1M groups × k row copies is the
+   * knee where an in-heap group map starts competing with executor
+   * memory; past it, sorting (which spills) is the plan a window/sort
+   * formulation would have run anyway. */
+  val FinalGroupCap: Int = 1 << 20
+
+  /** Exact group-wise top-k via external sort: order by (keys, order),
+   * then stream the first k rows of each key group off the sorted run.
+   * UnsafeExternalRowSorter spills to disk under memory pressure, so this
+   * path is safe at any group cardinality. Constant sort prefixes (radix
+   * off) push all comparisons to the row ordering — the keys have no
+   * generic prefix, and this path is the degraded one where correctness,
+   * not the last 20% of sort throughput, is the point. */
+  private[plans] def sortedTopK(
+      childOutput: Seq[Attribute],
+      keyExprs: Seq[Expression],
+      order: Seq[SortOrder],
+      limit: Int,
+      rows: Iterator[InternalRow]): Iterator[InternalRow] = {
+    val schema = DataTypeUtils.fromAttributes(childOutput)
+    val ordering =
+      RowOrdering.create(keyExprs.map(SortOrder(_, Ascending)) ++ order, childOutput)
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        zero.value = 0L; zero.isNull = false; zero
+      }
+    }
+    val sorter = UnsafeExternalRowSorter.create(
+      schema, ordering, PrefixComparators.LONG, prefixComputer,
+      SparkEnv.get.memoryManager.pageSizeBytes, false)
+    val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+    val sorted = sorter.sort(rows.map {
+      case u: UnsafeRow => u
+      case r => toUnsafe(r)
+    })
+    val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+    var currentKey: UnsafeRow = null
+    var emitted = 0
+    sorted.flatMap { row =>
+      val key = keyProj(row)
+      if ((currentKey eq null) || key != currentKey) {
+        currentKey = key.copy()
+        emitted = 1
+      } else emitted += 1
+      if (emitted <= limit) Iterator.single(row) else Iterator.empty
+    }
+  }
 }
 
 /** Canonical registration path: `spark.sql.extensions=…GraftExtensions`. */

@@ -75,6 +75,31 @@ class GroupTopKSpec extends SparkSpec {
     assert(out == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("final group cap: cap-exceeded partitions degrade to the sorted form, result stays exact") {
+    // 5000 distinct groups against a final cap of 16: every reduce
+    // partition blows past the heap-map cap and takes the external-sort
+    // fallback; the answer must be identical to the uncapped run.
+    val df = Seq.tabulate(20000)(i => (i.toLong % 5000, (i * 37 % 101).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    val expected = GroupTopK.topkPerKey(df, Seq("g"), Seq($"v".desc, $"id".asc), k = 2)
+      .select("g", "id").as[(Long, Long)].collect().toSet
+    withConf("spark.graft.topk.finalGroupCap" -> "16") {
+      val out = GroupTopK.topkPerKey(df, Seq("g"), Seq($"v".desc, $"id".asc), k = 2)
+        .select("g", "id").as[(Long, Long)].collect().toSet
+      assert(out == expected)
+      assert(out.size == 10000) // 2 survivors per group, all groups present
+    }
+    // both caps undersized at once: partial passes rows through untrimmed
+    // AND final degrades to the sort — the exact contract must still hold
+    withConf(
+      "spark.graft.topk.partialGroupCap" -> "4",
+      "spark.graft.topk.finalGroupCap" -> "16") {
+      val out = GroupTopK.topkPerKey(df, Seq("g"), Seq($"v".desc, $"id".asc), k = 2)
+        .select("g", "id").as[(Long, Long)].collect().toSet
+      assert(out == expected)
+    }
+  }
+
   test("partial group cap: near-unique keys pass through untrimmed, result stays exact") {
     // 5000 distinct keys force the partial exec past a tiny cap, so most
     // rows take the pass-through path; the final exec must still produce
