@@ -511,14 +511,31 @@ object DedupQueries {
              |  count(DISTINCT source) AS n_sources
              |FROM documents""".stripMargin)),
 
-    // X6 — HLL++ approximate distinct: deterministic within Spark but not
-    // reproducible in DuckDB, so registered without oracle (rows-only).
+    // X6 — HLL++ approximate distinct. The raw estimate is deterministic
+    // within Spark but not reproducible in DuckDB, so the oracle-checkable
+    // claim is the TOLERANCE: at rsd=0.01 the estimate must land within
+    // max(2%·exact, 5 rows) of the exact count — 2% is 2σ of the
+    // requested sketch precision, the absolute floor covers the tiny
+    // per-group cardinalities of the small fixtures where a relative band
+    // alone is narrower than ±1 row. Spark emits the exact count beside
+    // the within-band verdict; DuckDB recomputes the exact count and
+    // asserts the band literally — the hash compare then proves both
+    // engines agree on the exact counts AND the estimate sat in-band.
     Q("approx_distinct",
       (s, dir) => TableIO.read(s, dir, "documents")
         .groupBy("lang")
-        .agg(approx_count_distinct(col("doc_id")).as("approx_docs"))
+        .agg(
+          countDistinct(col("doc_id")).as("exact_docs"),
+          (abs(approx_count_distinct(col("doc_id"), 0.01) - countDistinct(col("doc_id")))
+            <= greatest(countDistinct(col("doc_id")) * lit(0.02), lit(5.0)))
+            .as("approx_in_band"))
         .orderBy("lang"),
-      None),
+      Some("""SELECT lang,
+             |  count(DISTINCT doc_id) AS exact_docs,
+             |  TRUE AS approx_in_band
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
 
     // Train/eval contamination check: per train document (source != src0),
     // the fraction of its distinct 3-gram shingles that also appear
