@@ -99,6 +99,75 @@ object EnvProperties {
     }
   }
 
+  /** Prefix of the wrapper's second rewrite pass — log4j configuration
+   * (`/root/reference/entrypoint.sh:184-186` calls
+   * `set_operating_file_values "$CDM_LOG4J_CONFIGURATION"
+   * "prefix:CDM_LOGGING_" "="`). */
+  val LoggingPrefix = "CDM_LOGGING_"
+
+  /**
+   * The wrapper's raw FILE-LINE rewrite (`set_operating_file_values`,
+   * entrypoint.sh:88-179) with an explicit delimiter — the form its
+   * log4j pass uses (`=`; entrypoint.sh:186). [[applyEnv]] models the
+   * cdm.properties pass over a typed template; log4j files are opaque to
+   * the engine, so this one works on lines, mirroring:
+   *  - key derivation as [[confKeyOf]] (prefix strip, lowercase, `_`→`.`);
+   *  - `env:OTHER` indirection (entrypoint.sh:137-141);
+   *  - the line is located case-insensitively, optionally commented
+   *    (`^#?key(delim|$)`); absent → hard error (entrypoint.sh:146-149);
+   *  - a commented line is enabled (leading `#` dropped), an active one
+   *    updated; the key keeps the FILE's spelling and the original
+   *    delimiter span (spaces around `=`) is preserved (the sed `\1\2`
+   *    backrefs, entrypoint.sh:174);
+   *  - a bare `key` line with no delimiter+value gets the value appended
+   *    after four spaces — even in `=` mode (entrypoint.sh:160-168's
+   *    no-value branch sets the replacement to literal spaces).
+   *
+   * Divergences (deliberate, documented): a missing `env:` indirect fails
+   * fast (same posture as [[applyEnv]]); and values are treated
+   * atomically, where the wrapper's unquoted `${env_config_values[*]}`
+   * word-splits a value containing spaces (entrypoint.sh:121) — faithful
+   * modeling of that would corrupt multi-word log4j values by design.
+   *
+   * @param delimiter Some("=") for the log4j pass; None = whitespace mode
+   *                  (the cdm.properties pass shape).
+   */
+  def rewriteFileLines(
+      lines: Seq[String],
+      env: Map[String, String],
+      prefix: String = LoggingPrefix,
+      delimiter: Option[String] = Some("=")): Seq[String] = {
+    val delimRegex = delimiter match {
+      case Some(d) => s"[ \\t]*${java.util.regex.Pattern.quote(d)}[ \\t]*"
+      case None => "[ \\t]+"
+    }
+    env.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1).foldLeft(lines) {
+      case (acc, (name, rawValue)) =>
+        val confKey = confKeyOf(name, prefix)
+        val value =
+          if (rawValue.startsWith("env:")) {
+            val ref = rawValue.stripPrefix("env:")
+            env.getOrElse(ref, throw new IllegalArgumentException(
+              s"Property $confKey references environment variable '$ref' which is not set"))
+          } else rawValue
+        val qKey = java.util.regex.Pattern.quote(confKey)
+        val valued = s"(?i)^#?($qKey)($delimRegex).*$$".r
+        val bare = s"(?i)^#?($qKey)$$".r
+        val idx = acc.indexWhere {
+          case valued(_, _) => true
+          case bare(_) => true
+          case _ => false
+        }
+        if (idx < 0) throw new IllegalArgumentException(
+          s"Unable to find property $confKey in the file")
+        val rewritten = acc(idx) match {
+          case valued(fileKey, delim) => s"$fileKey$delim$value"
+          case bare(fileKey) => s"$fileKey    $value"
+        }
+        acc.updated(idx, rewritten)
+    }
+  }
+
   /** End-to-end: env vars → rewritten properties → typed CdmConfig. */
   def configFromEnv(
       env: Map[String, String],

@@ -182,6 +182,52 @@ class EnvPropertiesSpec extends AnyFunSuite {
       "log4j.logger.com.datastax" -> "TRACE"))
   }
 
+  test("=-delimiter line rewrite: enable, update, spacing preserved, bare-key quirk (entrypoint.sh:160-174)") {
+    val file = Seq(
+      "# Set everything to be logged to the console",
+      "#log4j.rootCategory=INFO, console",
+      "log4j.appender.console.target = System.err",
+      "log4j.logger.org.apache.spark")
+    val out = rewriteFileLines(file, Map(
+      // commented key: enabled, file's camelCase spelling kept, '=' kept
+      "CDM_LOGGING_LOG4J_ROOTCATEGORY" -> "DEBUG,console",
+      // active key: updated, the original ' = ' span preserved verbatim
+      "CDM_LOGGING_LOG4J_APPENDER_CONSOLE_TARGET" -> "System.out",
+      // bare key with no delimiter at all: value appended after four
+      // spaces, even in '=' mode — the wrapper's no-value branch
+      "CDM_LOGGING_LOG4J_LOGGER_ORG_APACHE_SPARK" -> "WARN"))
+    assert(out == Seq(
+      "# Set everything to be logged to the console",
+      "log4j.rootCategory=DEBUG,console",
+      "log4j.appender.console.target = System.out",
+      "log4j.logger.org.apache.spark    WARN"))
+  }
+
+  test("=-delimiter line rewrite: env: indirection and missing-key hard error") {
+    val file = Seq("#log4j.rootCategory=INFO")
+    val out = rewriteFileLines(file,
+      Map("CDM_LOGGING_LOG4J_ROOTCATEGORY" -> "env:LOG_LEVEL", "LOG_LEVEL" -> "TRACE"))
+    assert(out == Seq("log4j.rootCategory=TRACE"))
+    val e = intercept[IllegalArgumentException](
+      rewriteFileLines(file, Map("CDM_LOGGING_LOG4J_NOPE" -> "x")))
+    assert(e.getMessage.contains("Unable to find property log4j.nope"))
+    // a key that's only a PREFIX of a file key must not match: the regex
+    // requires the delimiter (or end-of-line) right after the key
+    val e2 = intercept[IllegalArgumentException](
+      rewriteFileLines(Seq("log4j.rootCategoryExtra=INFO"),
+        Map("CDM_LOGGING_LOG4J_ROOTCATEGORY" -> "x")))
+    assert(e2.getMessage.contains("log4j.rootcategory"))
+  }
+
+  test("whitespace mode rewrites space-delimited lines (the cdm.properties file shape)") {
+    val file = Seq("spark.cdm.perfops.numParts    5000", "#spark.cdm.perfops.batchSize  5")
+    val out = rewriteFileLines(file, Map(
+        "CDM_PROPERTY_SPARK_CDM_PERFOPS_NUMPARTS" -> "32",
+        "CDM_PROPERTY_SPARK_CDM_PERFOPS_BATCHSIZE" -> "10"),
+      prefix = DefaultPrefix, delimiter = None)
+    assert(out == Seq("spark.cdm.perfops.numParts    32", "spark.cdm.perfops.batchSize  10"))
+  }
+
   test("end-to-end: env → properties → typed CdmConfig") {
     val cfg = configFromEnv(Map(
       "CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_PATH" -> "/o",
