@@ -27,6 +27,16 @@ object CassandraTableIO {
    * docs, `org.apache.spark.sql.cassandra`). */
   val Format = "org.apache.spark.sql.cassandra"
 
+  /** Session override for the source format behind this seam. Tests point
+   * it at [[MemCqlProvider]] (the in-memory CQL-shaped DSv2) so Migrate/
+   * DiffData/Guardrail run END-TO-END through the exact option map,
+   * pushdown, and batched-upsert code paths below — the zero-egress
+   * sandbox's substitute for a live cluster. Production leaves it unset. */
+  val FormatConf = "spark.graft.cassandra.format"
+
+  private def format(spark: SparkSession): String =
+    spark.conf.get(FormatConf, Format)
+
   /** Map a [[ClusterConfig]] onto the connector's `spark.cassandra.*`
    * option surface (public option names from the connector's reference
    * docs). Pure — unit-testable without a cluster. */
@@ -62,6 +72,9 @@ object CassandraTableIO {
       b += "spark.cassandra.output.consistency.level" -> p.consistencyWrite
       b += "spark.cassandra.input.fetch.sizeInRows" -> p.fetchSizeInRows.toString
       b += "spark.cassandra.output.batch.grouping.key" -> "partition"
+      // CDM's perfops.batchSize is rows-per-unlogged-batch — the
+      // connector's output.batch.size.rows is the same unit
+      b += "spark.cassandra.output.batch.size.rows" -> p.batchSize.toString
     }
     b.result()
   }
@@ -81,7 +94,7 @@ object CassandraTableIO {
   def read(spark: SparkSession, cluster: ClusterConfig, keyspaceTable: String,
       perf: Option[PerfConfig] = None): DataFrame = {
     val (ks, tbl) = splitKeyspaceTable(keyspaceTable)
-    spark.read.format(Format)
+    spark.read.format(format(spark))
       .options(connectorOptions(cluster, perf))
       .option("keyspace", ks)
       .option("table", tbl)
@@ -93,7 +106,7 @@ object CassandraTableIO {
   def write(df: DataFrame, cluster: ClusterConfig, keyspaceTable: String,
       perf: Option[PerfConfig] = None): Unit = {
     val (ks, tbl) = splitKeyspaceTable(keyspaceTable)
-    df.write.format(Format)
+    df.write.format(format(df.sparkSession))
       .options(connectorOptions(cluster, perf))
       .option("keyspace", ks)
       .option("table", tbl)
