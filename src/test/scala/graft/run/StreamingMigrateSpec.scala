@@ -48,6 +48,45 @@ class StreamingMigrateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kill + restart from checkpoint: replayed batch no-ops, offline data lands — exactly-once state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = tmpDir()
+    val ckpt = tmpDir()
+    val source = MemoryStream[(Long, String, Long)]
+    val stream = source.toDF().toDF("pk", "v", "wt")
+
+    val q1 = StreamingMigrate.start(stream, target, "tbl", Seq("pk"), "wt", ckpt)
+    try {
+      source.addData((1L, "a", 100L), (2L, "b", 100L))
+      q1.processAllAvailable()
+      source.addData((2L, "b2", 200L), (3L, "c", 100L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // Crash shape: the batch's WORK completed (target swapped) but the
+    // checkpoint commit marker was never written — kill the marker of the
+    // last batch, so the restarted query MUST replay it against a target
+    // that already contains its effects. LWW is what makes that a no-op.
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt).max
+    assert(new java.io.File(commits, last.toString).delete(), "could not simulate crash")
+    // the local FS keeps a checksum sidecar; a stale one fails the
+    // replayed batch's commit re-write
+    new java.io.File(commits, s".$last.crc").delete()
+
+    // data that arrives while the pipeline is down
+    source.addData((1L, "a2", 300L))
+
+    val q2 = StreamingMigrate.start(stream, target, "tbl", Seq("pk"), "wt", ckpt)
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$target/tbl.parquet")
+        .select("pk", "v", "wt").as[(Long, String, Long)].collect().toSet
+      assert(got == Set((1L, "a2", 300L), (2L, "b2", 200L), (3L, "c", 100L)),
+        s"restart broke exactly-once target state: $got")
+    } finally q2.stop()
+  }
+
   test("StatsListener observes records read and shuffle bytes for a real job") {
     val l = StatsListener.attach(spark)
     try {
