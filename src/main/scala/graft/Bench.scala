@@ -34,7 +34,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional dev-loop arg: comma-separated query names (the driver
+    // passes no args → full run)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
     val names = SparkEntry.registry.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     // one warm-up of the first query amortizes JVM/codegen startup
     names.headOption.foreach(runOnce)
     // two timed runs per query, keep the min: reports steady-state

@@ -102,6 +102,30 @@ object SimilarityQueries {
       .map(j => s"CASE WHEN ${planeDotSql(emb, j)} > 0 THEN ${1 << j} ELSE 0 END")
       .mkString("(", " + ", ")")
 
+  /** Synthetic hot key for the skew-stress pair: 90% of lineitem rows on
+   * key 0, the rest across 96 cold keys. */
+  private def skewedLineitem(s: org.apache.spark.sql.SparkSession, dir: String) =
+    TableIO.read(s, dir, "lineitem")
+      .withColumn("skew_key",
+        when(pmod(col("l_orderkey"), lit(10L)) =!= 0L, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(97L))))
+      .select("skew_key", "l_quantity")
+
+  private def skewDim(s: org.apache.spark.sql.SparkSession) =
+    s.range(0, 97).select(col("id").as("skew_key"), pmod(col("id"), lit(7L)).as("bucket"))
+
+  private val SkewOracleSql =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 10 != 0 THEN 0
+      |              ELSE l_orderkey % 97 END AS skew_key, l_quantity
+      |  FROM lineitem),
+      |dim AS (SELECT range AS skew_key, range % 7 AS bucket FROM range(0, 97))
+      |SELECT bucket, count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |FROM li JOIN dim USING (skew_key)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X3 — brute-force exact cosine top-k (broadcast queries, two-phase
@@ -299,6 +323,37 @@ object SimilarityQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Skew-stress pair (benchmark artifact, VERDICT r5 #6): the same join
+    // over a SYNTHETICALLY skewed key — 90% of lineitem rows collapse
+    // onto key 0, the rest spread over 96 keys — once as a plain
+    // equi-join (AQE's skew handling at bench time) and once through
+    // ops/Salting.saltedEquiJoin. Identical oracle: the salt must be
+    // invisible in the output; BENCH_r{N} then carries a measured
+    // salted-vs-AQE comparison at sf0.1 (see BASELINE.md).
+    Q("skew_join_plain",
+      (s, dir) => {
+        val li = skewedLineitem(s, dir)
+        li.join(skewDim(s), Seq("skew_key"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("qty"))
+          .orderBy("bucket")
+      },
+      Some(SkewOracleSql)),
+
+    Q("skew_join_salted",
+      (s, dir) => {
+        val li = skewedLineitem(s, dir)
+        Salting.saltedEquiJoin(li, skewDim(s), Seq("skew_key"), salt = 32)
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("qty"))
+          .orderBy("bucket")
+      },
+      Some(SkewOracleSql)),
 
     // X2d — embedding-cosine near-duplicate pairs, label-blocked (bounded
     // to vec_id < 2000 so the pair count is stable across scale factors).
