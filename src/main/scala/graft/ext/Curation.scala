@@ -181,4 +181,61 @@ object Curation {
         min("__v").as("min_v"),
         max("__v").as("max_v"))
   }
+
+  /**
+   * X30 — GPT-style sequence packing: concatenate each group's documents
+   * in id order into one virtual token stream and cut it into fixed
+   * `seqLen`-token training sequences; report, per document, where it
+   * lands (first sequence, offset) and how many sequence boundaries it
+   * straddles. This is the batch-assembly step after curation and shard
+   * packing (TextQueries.shard_packing bins whole docs under a budget;
+   * this is the exact-fill form where documents SPAN sequences, the way a
+   * causal-LM dataloader actually packs).
+   *
+   * One running-sum window per group — the shuffle is keyed on
+   * `groupCol` (shard/language), the same unit a 100 TB run parallelizes
+   * writing by, so groups pack independently on their own executors; no
+   * global sort, no collect. All arithmetic is exact int64: start offset
+   * = cumsum − n, sequence ids by integer div.
+   */
+  def packSequences(df: DataFrame, idCol: String, groupCol: String,
+      nTokens: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    requireFreeColumns(df, Seq("n_tokens", "start_tok", "first_seq", "offset_in_seq", "n_seqs"))
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol), nTokens.cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_tok div $seqLen"))
+      // an empty document occupies no tokens: it "lands" at its start
+      // boundary and spans exactly one sequence by convention
+      .withColumn("n_seqs",
+        when(col("n_tokens") > 0,
+          expr(s"(start_tok + n_tokens - 1) div $seqLen") - col("first_seq") + 1L)
+          .otherwise(1L))
+      .withColumn("offset_in_seq", expr(s"start_tok % $seqLen"))
+  }
+
+  /**
+   * X31 — cross-source duplication overlap matrix: for every pair of
+   * sources, how many distinct content keys they share. The audit a
+   * curation run does before setting source mixing weights — two crawls
+   * with 40% content overlap should not both count at full weight
+   * (near-dup weighting per Dedup; this is the exact-key census).
+   *
+   * The pair generation is the inverted-index idiom (self-join through
+   * the content key, never source × source × corpus): one distinct
+   * collapse to (key, source), then pairs only THROUGH shared keys. A
+   * key carried by s sources emits O(s²) rows with s ≤ |sources| (tiny);
+   * the text itself never shuffles — callers pass a digest (md5/xxhash)
+   * as the key for long content.
+   */
+  def crossSourceOverlap(df: DataFrame, keyCol: Column, srcCol: String): DataFrame = {
+    val ks = df.select(keyCol.as("__k"), col(srcCol).as("__s")).distinct()
+    ks.withColumnRenamed("__s", "src_a")
+      .join(ks.withColumnRenamed("__s", "src_b"), "__k")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

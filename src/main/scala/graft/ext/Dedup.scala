@@ -579,6 +579,54 @@ object Dedup {
           .otherwise(lit(1.0)))
   }
 
+  /**
+   * X2g — duplicate-SPAN statistics: per document, the longest run of
+   * consecutive chunks whose hash also appears in some OTHER document
+   * (chunk document-frequency > 1). This is the detection face of exact
+   * substring dedup (Lee et al. 2021) at chunk granularity: a doc whose
+   * longest cross-duplicated span covers hundreds of tokens is a copy or
+   * a quote, even when its overall boilerplate fraction (chunkBoilerplate)
+   * looks tame, because a long run concentrated in one place reads very
+   * differently from the same mass scattered as boilerplate.
+   *
+   * Plan: posexplode the staged chunk hashes (keeps the in-doc index),
+   * true cross-doc df via a distinct (doc, chunk) collapse + groupBy on
+   * the chunk hash, join the df back (both sides already hash-partitioned
+   * on `chunk` — one exchange each), then classic gaps-and-islands on the
+   * dup-flagged indexes: run id = idx − row_number() per doc. No text
+   * ever shuffles; every aggregation is map-side combined; the per-doc
+   * window is keyed by the id, the natural parallelism unit.
+   */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 8): DataFrame = {
+    val chunks = withChunkHashes(df, textCol, chunkSize)
+      .select(col(idCol), posexplode_outer(col(ChunksCol)))
+      .withColumnRenamed("pos", "__idx")
+      .withColumnRenamed("col", "__chunk")
+      .filter(col("__chunk").isNotNull)
+    // df counts DISTINCT documents per chunk — repetition inside one doc
+    // alone is self-similarity, not cross-corpus duplication
+    val cdf = chunks.select(col(idCol), col("__chunk")).distinct()
+      .groupBy("__chunk").agg(count(lit(1)).as("__cdf"))
+    val flagged = chunks.join(cdf, "__chunk")
+      .withColumn("__dup", col("__cdf") > 1L)
+    val totals = flagged.groupBy(idCol).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+    val runs = flagged.filter(col("__dup"))
+      .withColumn("__grp",
+        col("__idx") - row_number().over(Window.partitionBy(idCol).orderBy("__idx")))
+      .groupBy(col(idCol), col("__grp")).agg(count(lit(1)).as("__run"))
+      .groupBy(idCol).agg(max("__run").as("max_dup_run"))
+    df.select(col(idCol)).join(totals, Seq(idCol), "left_outer")
+      .join(runs, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+      .withColumn("max_dup_tokens", col("max_dup_run") * chunkSize)
+  }
+
   /** X2c — n-gram Jaccard pairs: explode distinct shingles, self-join on
    * the shingle (shuffle on shingle hash — the inverted-index pattern),
    * count co-occurrences, then Jaccard = |∩| / (|A| + |B| − |∩|).

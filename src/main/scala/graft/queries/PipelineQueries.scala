@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Bloom, Curation, Dedup, Linkage}
+import graft.ext.TextOps
+import graft.io.TableIO
+
+/**
+ * Round-6 pipeline-operator queries (SURVEY.md §2.11 X2g, X28–X31):
+ * Bloom-prefiltered decontamination, duplicate-span statistics, blocked
+ * fuzzy record linkage, GPT-style sequence packing, and the cross-source
+ * duplication census. Each entry exercises the real operator code in
+ * graft.ext and carries a hand-written DuckDB mirror.
+ */
+object PipelineQueries {
+
+  private val shinglesSql = OracleSql.shingles
+
+  val all: Seq[Q] = Seq(
+
+    // X28 — decontamination with a Bloom prefilter: build an 8 KiB bitset
+    // over the eval (src0) shingle set, discard corpus shingles map-side,
+    // exact-verify only the candidates. The OUTPUT is exact (Bloom filters
+    // have no false negatives and the verify join removes false
+    // positives), so the oracle is the plain semi-join — the bitset is an
+    // execution strategy, not a semantics change. Complements
+    // contamination_check (which reports per-doc overlap fractions over
+    // ALL docs); this lists only the contaminated docs with hit counts,
+    // the shape a quarantine step consumes.
+    Q("bloom_contamination",
+      (s, dir) => {
+        val sh = Dedup.withShingleHashes(TableIO.read(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("source"), explode_outer(col(Dedup.ShinglesCol)).as("sh"))
+          .filter(col("sh").isNotNull)
+        val train = sh.filter(col("source") =!= "src0").select("doc_id", "sh").distinct()
+        val evalSh = sh.filter(col("source") === "src0").select("sh").distinct()
+        val words = Bloom.buildWords(evalSh, "sh")
+        train
+          .filter(Bloom.mightContain(words, col("sh")))
+          .join(evalSh, Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, source, unnest($shinglesSql) AS sh FROM documents),
+              |tr AS (SELECT DISTINCT doc_id, sh FROM s WHERE source <> 'src0'),
+              |ev AS (SELECT DISTINCT sh FROM s WHERE source = 'src0')
+              |SELECT tr.doc_id, count(*) AS n_overlap
+              |FROM tr JOIN ev USING (sh)
+              |GROUP BY 1
+              |ORDER BY 1""".stripMargin)),
+
+    // X2g — duplicate-span statistics: the longest run of consecutive
+    // cross-duplicated chunks per document (exact-substring-dedup
+    // detection at chunk granularity, Lee et al. 2021).
+    Q("dup_span_stats",
+      (s, dir) => Dedup.dupSpanStats(
+          TableIO.read(s, dir, "documents"), "doc_id", "text", chunkSize = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, ${OracleSql.chunks(8)} AS arr FROM documents),
+              |ch AS (SELECT doc_id, unnest(range(0, len(arr))) AS idx, unnest(arr) AS chunk FROM base),
+              |cdf AS (SELECT chunk, count(*) AS cdf
+              |        FROM (SELECT DISTINCT doc_id, chunk FROM ch) GROUP BY 1),
+              |fl AS (SELECT ch.doc_id, ch.idx, cdf.cdf > 1 AS is_dup FROM ch JOIN cdf USING (chunk)),
+              |tot AS (SELECT doc_id, count(*) AS n_chunks,
+              |        sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_chunks FROM fl GROUP BY 1),
+              |dup AS (SELECT doc_id, idx,
+              |        idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+              |        FROM fl WHERE is_dup),
+              |runs AS (SELECT doc_id, grp, count(*) AS run_len FROM dup GROUP BY 1, 2),
+              |pd AS (SELECT doc_id, max(run_len) AS max_dup_run FROM runs GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+              |  CAST(coalesce(tot.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+              |  CAST(coalesce(pd.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+              |  CAST(coalesce(pd.max_dup_run, 0) * 8 AS BIGINT) AS max_dup_tokens
+              |FROM documents d
+              |LEFT JOIN tot ON d.doc_id = tot.doc_id
+              |LEFT JOIN pd ON d.doc_id = pd.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // X29 — blocked fuzzy nearest neighbor over part names: candidates
+    // only within a brand block, length-difference prefilter, exact
+    // Levenshtein, best match per record by (dist, match_id).
+    Q("fuzzy_match_nn",
+      (s, dir) => Linkage.nearestInBlock(
+          TableIO.read(s, dir, "part"), "p_partkey", "p_name",
+          blockCols = Seq("p_brand"), maxDist = 3)
+        .orderBy("p_partkey"),
+      Some("""WITH cand AS (
+             |  SELECT a.p_partkey, a.p_name, b.p_partkey AS match_id, b.p_name AS match_str,
+             |         levenshtein(a.p_name, b.p_name) AS dist
+             |  FROM part a JOIN part b
+             |    ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+             |   AND abs(length(a.p_name) - length(b.p_name)) <= 3),
+             |best AS (
+             |  SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY dist, match_id) AS rk
+             |  FROM cand WHERE dist <= 3)
+             |SELECT p_partkey, p_name, match_id, match_str, CAST(dist AS INT) AS dist
+             |FROM best WHERE rk = 1
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // X30 — GPT-style sequence packing at 512 tokens, grouped by lang:
+    // where each document lands in the concatenated token stream and how
+    // many sequence boundaries it straddles.
+    Q("sequence_pack",
+      (s, dir) => Curation.packSequences(
+          TableIO.read(s, dir, "documents"), "doc_id", "lang",
+          TextOps.tokenCount(col("text")), seqLen = 512L)
+        .orderBy("lang", "doc_id"),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok
+             |  FROM t)
+             |SELECT lang, doc_id, n_tokens, start_tok,
+             |  start_tok // 512 AS first_seq,
+             |  CASE WHEN n_tokens > 0
+             |       THEN (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+             |       ELSE 1 END AS n_seqs,
+             |  start_tok % 512 AS offset_in_seq
+             |FROM c
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // X31 — cross-source duplication census on the 3-token prefix key
+    // (digested to md5 so only a 32-char key ever shuffles): distinct
+    // shared content keys per source pair — the input to mixing-weight
+    // decisions.
+    Q("cross_source_overlap",
+      (s, dir) => Curation.crossSourceOverlap(
+          TableIO.read(s, dir, "documents"),
+          md5(TextOps.prefixKey(col("text"))), "source")
+        .orderBy("src_a", "src_b"),
+      Some(s"""WITH ks AS (
+              |  SELECT DISTINCT md5(${OracleSql.prefixKey(3)}) AS k, source AS s FROM documents)
+              |SELECT a.s AS src_a, b.s AS src_b, count(*) AS n_shared
+              |FROM ks a JOIN ks b ON a.k = b.k AND a.s < b.s
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -1,0 +1,132 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the round-6 pipeline operators: Bloom prefilter
+ * (no false negatives, bounded false positives, partitioning-stable),
+ * duplicate-span statistics (hand-checked corpus), blocked fuzzy NN
+ * (block cap, distance bound, symmetry of candidacy), sequence packing
+ * (exact-fill invariants), cross-source overlap census. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Bloom -------------------------------------------------------------
+
+  test("bloom has no false negatives and a bounded false-positive rate") {
+    val inserted = (0L until 2000L).map(_ * 7919L + 13L)
+    val df = inserted.toDF("h")
+    val words = Bloom.buildWords(df, "h", numBits = 1 << 14, k = 4)
+    // every inserted key must probe true
+    val misses = df.filter(!Bloom.mightContain(words, col("h"), 1 << 14, 4)).count()
+    assert(misses === 0L)
+    // disjoint probe set: FP rate must be far below 50% (expected ~4% at
+    // this load factor; 15% leaves slack for hash clumping, not bugs)
+    val probes = (0L until 4000L).map(_ * 104729L + 1L).filterNot(inserted.toSet).toDF("h")
+    val fp = probes.filter(Bloom.mightContain(words, col("h"), 1 << 14, 4)).count()
+    assert(fp.toDouble / 4000 < 0.15, s"false-positive rate ${fp / 4000.0} too high")
+  }
+
+  test("bloom words are independent of partitioning and row order") {
+    val hashes = (0L until 500L).map(i => i * 31L - 250L) // negatives included
+    val a = Bloom.buildWords(hashes.toDF("h"), "h")
+    val b = Bloom.buildWords(hashes.reverse.toDF("h").repartition(7), "h")
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("bloom rejects a non-power-of-two table and a mismatched word array") {
+    intercept[IllegalArgumentException] { Bloom.positions(lit(1L), 1000, 4) }
+    intercept[IllegalArgumentException] { Bloom.mightContain(new Array[Long](3), lit(1L)) }
+  }
+
+  // ---- dupSpanStats ------------------------------------------------------
+
+  test("dupSpanStats finds the longest cross-duplicated chunk run") {
+    // chunkSize=2: doc 1 and doc 2 share chunks (a b) and (c d) back to
+    // back -> run of 2 in both; doc 3 shares nothing; doc 4 repeats its
+    // OWN chunk twice (self-similarity, not cross-dup -> zero dup chunks).
+    val docs = Seq(
+      (1L, "a b c d x y"),     // chunks: (a b)(c d)(x y)
+      (2L, "a b c d q r"),     // chunks: (a b)(c d)(q r)
+      (3L, "k l m n"),         // chunks: (k l)(m n)
+      (4L, "z w z w")          // chunks: (z w)(z w) twice in ONE doc only
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(docs, "doc_id", "text", chunkSize = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_dup_chunks", "max_dup_run", "max_dup_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 2L, 2L, 4L),
+      (2L, 3L, 2L, 2L, 4L),
+      (3L, 2L, 0L, 0L, 0L),
+      (4L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("dupSpanStats emits every input doc, including sub-chunk ones") {
+    val docs = Seq((1L, "only one"), (2L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(docs, "doc_id", "text", chunkSize = 8)
+      .orderBy("doc_id").select("doc_id", "n_chunks").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L), (2L, 1L))) // doc 1 shorter than one chunk
+  }
+
+  // ---- nearestInBlock ----------------------------------------------------
+
+  test("nearestInBlock picks the min-distance match with deterministic ties") {
+    val df = Seq(
+      (1L, "kitten", "b1"), (2L, "sitten", "b1"), (3L, "sitting", "b1"),
+      (4L, "kitten", "b2") // other block: never a candidate for b1 rows
+    ).toDF("id", "s", "blk")
+    val out = Linkage.nearestInBlock(df, "id", "s", Seq("blk"), maxDist = 3)
+      .orderBy("id").select("id", "match_id", "dist").as[(Long, Long, Int)].collect().toSeq
+    // kitten->sitten d=1; sitten->kitten d=1 beats sitting d=2;
+    // sitting->sitten d=2 (sub i->e + del g); lone b2 row has no candidate
+    assert(out === Seq((1L, 2L, 1), (2L, 1L, 1), (3L, 2L, 2)))
+  }
+
+  test("nearestInBlock drops blocks over the cap and honors maxDist") {
+    val big = (1L to 10L).map(i => (i, s"v$i", "hot")) :+ (99L, "aa", "cold") :+ (98L, "ab", "cold")
+    val df = big.toDF("id", "s", "blk")
+    val out = Linkage.nearestInBlock(df, "id", "s", Seq("blk"), maxDist = 1, blockCap = 5)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(out === Seq(98L, 99L)) // hot block (10 rows) capped away entirely
+    val far = Seq((1L, "aaaa", "b"), (2L, "zzzz", "b")).toDF("id", "s", "blk")
+    assert(Linkage.nearestInBlock(far, "id", "s", Seq("blk"), maxDist = 2).count() === 0L)
+  }
+
+  // ---- packSequences -----------------------------------------------------
+
+  test("packSequences invariants: contiguous fill, exact spans, per-group streams") {
+    val df = graft.io.TableIO.read(spark, Sf, "documents")
+    val out = Curation.packSequences(df, "doc_id", "lang",
+        graft.ext.TextOps.tokenCount(col("text")), seqLen = 100L)
+      .orderBy("lang", "doc_id")
+      .select("lang", "doc_id", "n_tokens", "start_tok", "first_seq", "n_seqs", "offset_in_seq")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var expectStart = 0L
+      rows.foreach { case (_, _, n, start, firstSeq, nSeqs, off) =>
+        assert(start === expectStart)          // contiguous: no gaps, no overlap
+        assert(firstSeq === start / 100)
+        assert(off === start % 100)
+        val expectSpans = if (n > 0) (start + n - 1) / 100 - start / 100 + 1 else 1L
+        assert(nSeqs === expectSpans)
+        expectStart += n
+      }
+    }
+  }
+
+  // ---- crossSourceOverlap ------------------------------------------------
+
+  test("crossSourceOverlap counts distinct shared keys per source pair") {
+    val df = Seq(
+      ("k1", "sA"), ("k1", "sB"), ("k1", "sB"), // dup (key, source) rows collapse
+      ("k2", "sA"), ("k2", "sC"),
+      ("k3", "sB"), ("k3", "sC"), ("k3", "sA")
+    ).toDF("k", "src")
+    val out = Curation.crossSourceOverlap(df, col("k"), "src")
+      .orderBy("src_a", "src_b")
+      .select("src_a", "src_b", "n_shared").as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("sA", "sB", 2L), ("sA", "sC", 2L), ("sB", "sC", 1L)))
+  }
+}
