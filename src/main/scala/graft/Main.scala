@@ -25,6 +25,16 @@ import graft.jobs.JobDispatch
 object Main {
 
   def main(args: Array[String]): Unit = {
+    // wrapper execution-mode gate (entrypoint.sh:228-259; Docker default
+    // auto): a bad mode is a hard error BEFORE anything runs; manual mode
+    // parks — prints the wrapper's hint and dispatches nothing (the user
+    // drives jobs through jobs.ParkedSession, the spark-submit-cdm loop)
+    val mode = sys.env.get("CDM_EXECUTION_MODE")
+      .map(jobs.ExecutionMode.resolve).getOrElse(jobs.ExecutionMode.Auto)
+    if (mode == jobs.ExecutionMode.Manual) {
+      println("[graft] " + jobs.ExecutionMode.parkMessage(sys.env.get("CDM_JOB_NAME")))
+      return
+    }
     val jobName = args.headOption.orElse(sys.env.get("CDM_JOB_NAME")).getOrElse(
       throw new IllegalArgumentException(
         "usage: graft.Main <migrate|validate|guardrail> [cdm.properties] (or set CDM_JOB_NAME)"))
