@@ -589,13 +589,24 @@ object Dedup {
    * looks tame, because a long run concentrated in one place reads very
    * differently from the same mass scattered as boilerplate.
    *
-   * Plan: posexplode the staged chunk hashes (keeps the in-doc index),
-   * true cross-doc df via a distinct (doc, chunk) collapse + groupBy on
-   * the chunk hash, join the df back (both sides already hash-partitioned
-   * on `chunk` — one exchange each), then classic gaps-and-islands on the
-   * dup-flagged indexes: run id = idx − row_number() per doc. No text
-   * ever shuffles; every aggregation is map-side combined; the per-doc
-   * window is keyed by the id, the natural parallelism unit.
+   * Plan — SINGLE-lineage, one text scan (a join-back formulation would
+   * recompute the explode per DAG branch — at 100 TB the scan is the
+   * cost):
+   *  1. posexplode the staged chunk hashes (keeps the in-doc index);
+   *  2. cross-doc df in ONE pass over the exploded rows: inside each
+   *     `chunk` partition, mark the first row of every doc (lag), then
+   *     sum marks over the whole partition — both windows share
+   *     hashpartitioning(chunk), so the df costs one exchange and counts
+   *     DISTINCT docs (repetition inside one doc is self-similarity,
+   *     not cross-corpus duplication);
+   *  3. one exchange on the doc id carries everything else: totals as
+   *     unordered windows, gaps-and-islands via a running dup count
+   *     (idx − cumulative-dup-rank is constant exactly along a
+   *     consecutive dup run), a sentinel row per doc so zero-dup docs
+   *     keep their totals, then two groupBys that reuse the id
+   *     partitioning (grouping on (id, grp) is satisfied by hash(id) —
+   *     no further shuffle).
+   * No text ever shuffles; only (id, chunk, idx) tuples move.
    */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 8): DataFrame = {
@@ -604,22 +615,40 @@ object Dedup {
       .withColumnRenamed("pos", "__idx")
       .withColumnRenamed("col", "__chunk")
       .filter(col("__chunk").isNotNull)
-    // df counts DISTINCT documents per chunk — repetition inside one doc
-    // alone is self-similarity, not cross-corpus duplication
-    val cdf = chunks.select(col(idCol), col("__chunk")).distinct()
-      .groupBy("__chunk").agg(count(lit(1)).as("__cdf"))
-    val flagged = chunks.join(cdf, "__chunk")
-      .withColumn("__dup", col("__cdf") > 1L)
-    val totals = flagged.groupBy(idCol).agg(
-      count(lit(1)).as("n_chunks"),
-      sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
-    val runs = flagged.filter(col("__dup"))
-      .withColumn("__grp",
-        col("__idx") - row_number().over(Window.partitionBy(idCol).orderBy("__idx")))
-      .groupBy(col(idCol), col("__grp")).agg(count(lit(1)).as("__run"))
-      .groupBy(idCol).agg(max("__run").as("max_dup_run"))
-    df.select(col(idCol)).join(totals, Seq(idCol), "left_outer")
-      .join(runs, Seq(idCol), "left_outer")
+    val byChunk = Window.partitionBy("__chunk").orderBy(idCol, "__idx")
+    val chunkAll = Window.partitionBy("__chunk")
+    val prevDoc = lag(col(idCol), 1).over(byChunk)
+    val flagged = chunks
+      .withColumn("__newdoc",
+        when(prevDoc.isNull || prevDoc =!= col(idCol), 1L).otherwise(0L))
+      .withColumn("__dup", sum("__newdoc").over(chunkAll) > 1L)
+      .drop("__newdoc")
+    val byDoc = Window.partitionBy(idCol)
+    val byDocIdx = Window.partitionBy(idCol).orderBy("__idx")
+    val perDoc = flagged
+      .withColumn("n_chunks", count(lit(1)).over(byDoc))
+      .withColumn("n_dup_chunks", sum(when(col("__dup"), 1L).otherwise(0L)).over(byDoc))
+      // cumulative dup rank: for a dup row, its 1-based index among the
+      // doc's dup rows — idx minus it is constant along a consecutive run
+      .withColumn("__grp", when(col("__dup"),
+        col("__idx") - sum(when(col("__dup"), 1L).otherwise(0L)).over(
+          byDocIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      // keep dup rows + one sentinel per doc (totals survive for
+      // zero-dup docs; a dup first row simply serves as both) — window
+      // functions cannot sit in a WHERE clause, so stage the row number
+      .withColumn("__rn", row_number().over(byDocIdx))
+      .filter(col("__dup") || col("__rn") === 1)
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        count(when(col("__dup"), 1)).as("__run"),
+        first("n_chunks").as("__nc"),
+        first("n_dup_chunks").as("__nd"))
+      .groupBy(idCol)
+      .agg(
+        first("__nc").as("n_chunks"),
+        first("__nd").as("n_dup_chunks"),
+        max("__run").as("max_dup_run"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),

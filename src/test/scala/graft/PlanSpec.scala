@@ -241,4 +241,52 @@ class PlanSpec extends SparkSpec {
       s"nondeterministic salt (indeterminate-shuffle hazard):\n${p.take(2000)}")
     assert(p.contains("xxhash64"), s"content salt missing:\n${p.take(2000)}")
   }
+
+  test("bloom probe filters map-side, below the distinct's exchange") {
+    val p = plan(SparkEntry.queries("bloom_contamination")(spark, Sf))
+    // the probe (element_at into the word array) must run BEFORE the
+    // (doc, shingle) distinct shuffles — i.e. appear DEEPER in the tree
+    // than the first doc-keyed exchange — or the filter discards nothing
+    // map-side and the whole corpus shuffles anyway
+    val probeAt = p.indexOf("element_at")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(probeAt > 0 && exchangeAt > 0 && probeAt > exchangeAt,
+      s"bloom probe not below the distinct exchange (probe@$probeAt, exchange@$exchangeAt)")
+  }
+
+  test("dup-span stats is single-lineage: one text scan, two keyed exchanges") {
+    val p = plan(graft.ext.Dedup.dupSpanStats(
+      TableIO.read(spark, Sf, "documents"), "doc_id", "text"))
+    // one exchange on the chunk hash (df windows), one on the doc id
+    // (totals + islands + both groupBys reuse it); a join-back
+    // formulation would re-scan and re-explode the text per branch
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 keyed exchanges, got $exchanges:\n${p.take(3000)}")
+    val textScans = "split\\(text".r.findAllIn(p).size
+    assert(textScans == 1, s"text pipeline recomputed ($textScans scan sites)")
+  }
+
+  test("fuzzy linkage: equi-join on the block key, per-partition top-1 before the shuffle") {
+    val p = plan(SparkEntry.queries("fuzzy_match_nn")(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking degenerated to all-pairs:\n${p.take(2000)}")
+    // Spark's rank-limit pushdown caps each partition at k=1 rows per
+    // record BEFORE the exchange — the two-phase top-k shape for free
+    assert(p.contains("WindowGroupLimit"), s"no partial group limit:\n${p.take(2000)}")
+  }
+
+  test("sequence packing is one exchange on the group column") {
+    val p = plan(graft.ext.Curation.packSequences(
+      TableIO.read(spark, Sf, "documents"), "doc_id", "lang",
+      graft.ext.TextOps.tokenCount(org.apache.spark.sql.functions.col("text")), 512L))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(lang"), s"not keyed on the group column:\n${p.take(2000)}")
+  }
+
+  test("cross-source overlap joins only through the content key") {
+    val p = plan(SparkEntry.queries("cross_source_overlap")(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"source census went all-pairs:\n${p.take(2000)}")
+  }
 }
