@@ -38,6 +38,11 @@ object Bench {
     // passes no args → full run)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
+    // a typo'd name must fail fast, not silently bench a partial set
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.registry.map(_.name).toSet
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.registry.map(_.name)
       .filter(n => only.forall(_.contains(n)))
     // one warm-up of the first query amortizes JVM/codegen startup

@@ -153,18 +153,19 @@ object EnvProperties {
         val qKey = java.util.regex.Pattern.quote(confKey)
         val valued = s"(?i)^#?($qKey)($delimRegex).*$$".r
         val bare = s"(?i)^#?($qKey)$$".r
-        val idx = acc.indexWhere {
-          case valued(_, _) => true
-          case bare(_) => true
-          case _ => false
+        // sed -i rewrites EVERY matching line of the file (entrypoint.sh:174
+        // has no line address) — log4j's last-definition-wins means
+        // touching only the first (possibly commented) occurrence would
+        // leave a later active line overriding the new value
+        var matched = false
+        val rewritten = acc.map {
+          case valued(fileKey, delim) => matched = true; s"$fileKey$delim$value"
+          case bare(fileKey) => matched = true; s"$fileKey    $value"
+          case other => other
         }
-        if (idx < 0) throw new IllegalArgumentException(
+        if (!matched) throw new IllegalArgumentException(
           s"Unable to find property $confKey in the file")
-        val rewritten = acc(idx) match {
-          case valued(fileKey, delim) => s"$fileKey$delim$value"
-          case bare(fileKey) => s"$fileKey    $value"
-        }
-        acc.updated(idx, rewritten)
+        rewritten
     }
   }
 

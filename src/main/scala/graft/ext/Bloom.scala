@@ -65,7 +65,9 @@ object Bloom {
   def buildWords(df: DataFrame, hashCol: String,
       numBits: Int = DefaultBits, k: Int = DefaultHashes): Array[Long] = {
     val pos = explode(array(positions(col(hashCol), numBits, k): _*)).as("__pos")
-    val words = df.select(pos)
+    // nulls carry no membership: drop them here rather than letting a
+    // null position NPE the driver-side word assembly below
+    val words = df.filter(col(hashCol).isNotNull).select(pos)
       .select((col("__pos") / 64).cast("int").as("__word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").as("__bit"))
       .groupBy("__word").agg(expr("bit_or(__bit)").as("__bits"))

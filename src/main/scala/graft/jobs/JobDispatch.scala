@@ -67,14 +67,22 @@ object JobDispatch {
         // snapshot it so the full reconciliation join runs once, and so the
         // autocorrect write cannot reclassify rows a LATER recomputation
         // would see post-correction (report/partition-file consistency).
-        // localCheckpoint, not persist(): a persisted frame is pinned by
+        // Checkpoint, not persist(): a persisted frame is pinned by
         // the session's CacheManager forever (each dispatched validate
         // would leak storage for the session lifetime), while checkpoint
         // blocks are released by the ContextCleaner once the report frame
         // is unreachable — and the returned frame still reads the
         // materialized snapshot, never a post-correction recompute.
+        // RELIABLE checkpoint when the session has a checkpoint dir (the
+        // production posture: localCheckpoint blocks die with their
+        // executor — dynamic allocation or one decommission between
+        // classify and the autocorrect actions would kill the job);
+        // localCheckpoint only as the dir-less fallback.
+        def snapshot(df: DataFrame): DataFrame =
+          if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
         val classified =
-          if (liveTarget) graft.jobs.DiffData.classify(origin, target, pk).localCheckpoint()
+          if (liveTarget) snapshot(graft.jobs.DiffData.classify(origin, target, pk))
           else {
             val reportTable = s"${targetTable}_diff_report"
             TableIO.write(

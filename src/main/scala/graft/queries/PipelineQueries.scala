@@ -82,15 +82,24 @@ object PipelineQueries {
     // X29 — blocked fuzzy nearest neighbor over part names: candidates
     // only within a brand block, length-difference prefilter, exact
     // Levenshtein, best match per record by (dist, match_id).
+    // The oracle mirrors the block-size cap too: part scales with SF
+    // (SF·8000 rows per brand block), so a cap-free oracle would diverge
+    // from the engine the moment a bench SF pushes a block past the cap —
+    // the cap is part of the operator's semantics, not an impl detail.
     Q("fuzzy_match_nn",
       (s, dir) => Linkage.nearestInBlock(
           TableIO.read(s, dir, "part"), "p_partkey", "p_name",
-          blockCols = Seq("p_brand"), maxDist = 3)
+          blockCols = Seq("p_brand"), maxDist = 3, blockCap = 10000L)
         .orderBy("p_partkey"),
-      Some("""WITH cand AS (
+      Some("""WITH capped AS (
+             |  SELECT p_partkey, p_name, p_brand
+             |  FROM (SELECT p_partkey, p_name, p_brand,
+             |               count(*) OVER (PARTITION BY p_brand) AS bsize FROM part)
+             |  WHERE bsize <= 10000),
+             |cand AS (
              |  SELECT a.p_partkey, a.p_name, b.p_partkey AS match_id, b.p_name AS match_str,
              |         levenshtein(a.p_name, b.p_name) AS dist
-             |  FROM part a JOIN part b
+             |  FROM capped a JOIN capped b
              |    ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
              |   AND abs(length(a.p_name) - length(b.p_name)) <= 3),
              |best AS (

@@ -219,6 +219,22 @@ class EnvPropertiesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("log4j.rootcategory"))
   }
 
+  test("=-delimiter rewrite touches EVERY matching line, like the wrapper's sed") {
+    // sed -i has no line address (entrypoint.sh:174): a commented early
+    // definition AND a later active one are both rewritten. First-line-only
+    // would leave the active line overriding the new value under log4j's
+    // last-definition-wins.
+    val file = Seq(
+      "#log4j.rootCategory=INFO, console",
+      "log4j.appender.console.target = System.err",
+      "log4j.rootCategory=WARN")
+    val out = rewriteFileLines(file, Map("CDM_LOGGING_LOG4J_ROOTCATEGORY" -> "DEBUG,console"))
+    assert(out == Seq(
+      "log4j.rootCategory=DEBUG,console",
+      "log4j.appender.console.target = System.err",
+      "log4j.rootCategory=DEBUG,console"))
+  }
+
   test("whitespace mode rewrites space-delimited lines (the cdm.properties file shape)") {
     val file = Seq("spark.cdm.perfops.numParts    5000", "#spark.cdm.perfops.batchSize  5")
     val out = rewriteFileLines(file, Map(

@@ -34,6 +34,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("bloom build ignores null hashes instead of NPEing the word assembly") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("h")
+    val words = Bloom.buildWords(df, "h")
+    val nonNull = Seq(1L, 2L).toDF("h")
+    assert(nonNull.filter(!Bloom.mightContain(words, col("h"))).count() === 0L)
+    assert(words.toSeq === Bloom.buildWords(nonNull, "h").toSeq)
+  }
+
   test("bloom rejects a non-power-of-two table and a mismatched word array") {
     intercept[IllegalArgumentException] { Bloom.positions(lit(1L), 1000, 4) }
     intercept[IllegalArgumentException] { Bloom.mightContain(new Array[Long](3), lit(1L)) }

@@ -29,6 +29,37 @@ class ExecutionModeSpec extends SparkSpec {
       "Run 'spark-submit-cdm <job>' to launch a CDM job.")
   }
 
+  test("live-target validate snapshots via reliable checkpoint when a dir is set") {
+    // production posture: with a checkpoint dir configured the report
+    // snapshot must survive executor loss (localCheckpoint blocks die
+    // with their executor; df.checkpoint() writes to the dir)
+    val ckpt = tmpDir()
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      import graft.io.{CassandraTableIO, MemCqlStore}
+      val origin = tmpDir()
+      Seq((1L, "a"), (2L, "b")).toDF("pk", "v").write.parquet(s"$origin/t.parquet")
+      val schema = spark.read.parquet(s"$origin/t.parquet").schema
+      MemCqlStore.dropAll()
+      MemCqlStore.create("mem-ckpt", "t", schema, primaryKey = Seq("pk"), partitionKey = Seq("pk"))
+      MemCqlStore.insert("mem-ckpt", "t", Seq(Seq(1L, "a"), Seq(2L, "b")))
+      withConf(CassandraTableIO.FormatConf -> "graft.io.MemCqlProvider") {
+        val cfg = graft.config.CdmConfig.fromMap(Map(
+          "spark.cdm.connect.origin.path" -> origin,
+          "spark.cdm.connect.target.host" -> "mem-ckpt", // live target → snapshot path
+          "spark.cdm.schema.origin.keyspaceTable" -> "t",
+          "spark.cdm.schema.origin.primaryKey" -> "pk"))
+        val report = JobDispatch.run(spark, "validate", cfg)
+        assert(report.select("diff_class").as[String].collect().toSet == Set("VALID"))
+      }
+      // the reliable checkpoint actually landed in the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try assert(wrote.filter(java.nio.file.Files.isRegularFile(_)).count() > 0,
+        "no checkpoint files written — localCheckpoint fallback used despite a configured dir")
+      finally wrote.close()
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("parked session runs sequential jobs and re-reads config per submit") {
     val origin = tmpDir(); val target = tmpDir(); val target2 = tmpDir()
     Seq((1L, "a"), (2L, "b")).toDF("pk", "v").write.parquet(s"$origin/t.parquet")
