@@ -97,4 +97,28 @@ object Salting {
       salted.join(saltedDim, keys :+ "__salt", "inner").drop("__salt")
     }
   }
+
+  /**
+   * The DIAGNOSTIC that decides whether [[saltedEquiJoin]] (or AQE skew
+   * handling) is needed at all: the top-N join keys by row count with
+   * their exact share of the table in integer micro-units (count ·10⁶
+   * div total — no cross-engine float division). A key whose share
+   * approaches 10⁶/shufflePartitions saturates one reducer; far beyond
+   * it, one reducer IS the job's critical path.
+   *
+   * One map-side-combined groupBy over the keys, a broadcast of the
+   * single-row total, TakeOrdered over the aggregate (never a full
+   * sort) — safe to run on the full 100 TB input ahead of a join.
+   */
+  def keySkewAudit(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = df.select(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_us", expr("n * 1000000L div __total"))
+      .drop("__total")
+      .orderBy((col("n").desc +: keys.map(k => col(k).asc)): _*)
+      .limit(topN)
+  }
 }

@@ -134,6 +134,21 @@ object PipelineQueries {
              |FROM c
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // §2.9+ — join-key skew audit: the diagnostic that decides between a
+    // plain join, AQE skew handling, and ops/Salting. Exact integer
+    // micro-unit shares; TakeOrdered over the aggregate, never a full
+    // sort — safe on the full input ahead of a join.
+    Q("skew_audit",
+      (s, dir) => graft.ops.Salting.keySkewAudit(
+          TableIO.read(s, dir, "events"), Seq("user_id"), topN = 20)
+        .withColumnRenamed("user_id", "key"),
+      Some("""WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+             |t AS (SELECT count(*) AS total FROM events)
+             |SELECT key, n, n * 1000000 // total AS share_us
+             |FROM c, t
+             |ORDER BY n DESC, key
+             |LIMIT 20""".stripMargin)),
+
     // X31 — cross-source duplication census on the 3-token prefix key
     // (digested to md5 so only a 32-char key ever shuffles): distinct
     // shared content keys per source pair — the input to mixing-weight

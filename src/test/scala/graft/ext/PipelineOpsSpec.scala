@@ -124,6 +124,15 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- keySkewAudit ------------------------------------------------------
+
+  test("keySkewAudit ranks keys by count with exact micro-unit shares") {
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("k")
+    val out = graft.ops.Salting.keySkewAudit(df, Seq("k"), topN = 2)
+      .select("k", "n", "share_us").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 6L, 600000L), (2L, 3L, 300000L)))
+  }
+
   // ---- crossSourceOverlap ------------------------------------------------
 
   test("crossSourceOverlap counts distinct shared keys per source pair") {
