@@ -42,6 +42,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(words.toSeq === Bloom.buildWords(nonNull, "h").toSeq)
   }
 
+  test("bloom probe runs inside a streaming filter (decontaminate-on-ingest face)") {
+    // the probe is a pure Column conjunction, so the same bitset built
+    // batch-side drops contaminated rows on a stream with no state store
+    // and no stream-static join — the decontaminate-on-ingest shape
+    implicit val sqlCtx = spark.sqlContext
+    val banned = Seq(10L, 20L, 30L)
+    val words = Bloom.buildWords(banned.toDF("h"), "h")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    stream.addData(5L, 10L, 15L, 20L, 25L)
+    val q = stream.toDF().withColumnRenamed("value", "h")
+      .filter(!Bloom.mightContain(words, col("h")))
+      .writeStream.outputMode("append").format("memory").queryName("bloom_stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("bloom_stream_out").as[Long].collect().toSet
+    assert(!kept.contains(10L) && !kept.contains(20L)) // no false negatives ever
+    assert((kept - 5L - 15L - 25L).isEmpty)            // FPs only from the probe set
+  }
+
   test("bloom rejects a non-power-of-two table and a mismatched word array") {
     intercept[IllegalArgumentException] { Bloom.positions(lit(1L), 1000, 4) }
     intercept[IllegalArgumentException] { Bloom.mightContain(new Array[Long](3), lit(1L)) }
