@@ -523,12 +523,20 @@ object DedupQueries {
     // engines agree on the exact counts AND the estimate sat in-band.
     Q("approx_distinct",
       (s, dir) => TableIO.read(s, dir, "documents")
+        // HLL is SET-semantic (duplicates don't move the estimate), so
+        // collapse to distinct (lang, doc_id) first and aggregate once:
+        // one distinct shuffle + one plain agg, instead of the
+        // Expand + mixed distinct/imperative-aggregate plan that
+        // countDistinct-beside-HLL otherwise costs (2× the stages)
+        .select("lang", "doc_id").distinct()
         .groupBy("lang")
         .agg(
-          countDistinct(col("doc_id")).as("exact_docs"),
-          (abs(approx_count_distinct(col("doc_id"), 0.01) - countDistinct(col("doc_id")))
-            <= greatest(countDistinct(col("doc_id")) * lit(0.02), lit(5.0)))
-            .as("approx_in_band"))
+          count(lit(1)).as("exact_docs"),
+          approx_count_distinct(col("doc_id"), 0.01).as("__approx"))
+        .withColumn("approx_in_band",
+          abs(col("__approx") - col("exact_docs"))
+            <= greatest(col("exact_docs") * lit(0.02), lit(5.0)))
+        .drop("__approx")
         .orderBy("lang"),
       Some("""SELECT lang,
              |  count(DISTINCT doc_id) AS exact_docs,
