@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,17 +13,17 @@ import org.apache.spark.sql.functions._
  *  - candidate pairs come ONLY from an equi-join on a caller-chosen
  *    blocking key (brand, zip, sorted-token prefix, …) — the all-pairs
  *    O(n²) comparison never happens;
- *  - a per-block size cap (window count over the block key, the same
- *    partitioning the join needs — one exchange, reused) bounds the
+ *  - a per-block size cap (window count over the block key) bounds the
  *    quadratic blowup of a degenerate block, exactly like the LSH
  *    bucket caps in Dedup.minhashPairsBanded;
- *  - |len(a) − len(b)| ≤ maxDist prefilters candidates before the O(len²)
+ *  - |len(a) − len(b)| ≤ maxDist prefilters candidates before the
  *    Levenshtein kernel runs (length difference lower-bounds edit
- *    distance), keeping the expensive comparison off most pairs;
- *  - output is the best match PER RECORD (min distance, then lowest
- *    match id — a total order), not the pair list: bounded at one row
- *    per record regardless of block density, the shape a downstream
- *    merge step actually consumes.
+ *    distance), and the kernel itself is THRESHOLDED — it abandons a
+ *    pair the moment its running minimum exceeds maxDist;
+ *  - output is the best match PER PROBE RECORD (min distance, then
+ *    lowest match id — a total order), not the pair list: bounded at
+ *    one row per record regardless of block density, the shape a
+ *    downstream merge step actually consumes.
  *
  * Levenshtein is Spark's builtin codegen'd expression (unit-cost edit
  * distance) — cross-engine exact, integer result.
@@ -31,27 +31,31 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   /**
-   * For every row, the nearest other row (by edit distance on `strCol`)
-   * sharing its blocking key, at distance ≤ maxDist. Rows in blocks
-   * larger than `blockCap` are dropped from candidate generation (and
-   * reported nowhere) — a degenerate block (empty key, boilerplate
-   * value) would otherwise emit O(block²) comparisons; the cap is the
-   * documented recall/cost lever, like Dedup's LSH bucket caps.
+   * Link two record sets: for every probe row, the nearest `matchSide`
+   * row (by edit distance on `strCol`) sharing its blocking key, at
+   * distance ≤ maxDist. Both frames must carry `idCol`, `strCol` and
+   * `blockCols` under the same names (rename upstream — linkage is a
+   * schema-alignment consumer, not an aligner). Blocks larger than
+   * `blockCap` are dropped from EITHER side (degenerate blocks — empty
+   * key, boilerplate value — would emit O(block²) comparisons; the cap
+   * is the documented recall/cost lever).
    *
    * Output: (idCol, strCol, match_id, match_str, dist), one row per
-   * record with ≥1 in-range candidate, dist ∈ [0, maxDist].
+   * probe record with ≥1 in-range candidate, dist ∈ [0, maxDist].
+   * `excludeSameId` suppresses identical-id pairs (the self-linkage
+   * case, where every record would otherwise match itself at 0).
    */
-  def nearestInBlock(df: DataFrame, idCol: String, strCol: String,
+  def nearestAcross(probe: DataFrame, matchSide: DataFrame, idCol: String, strCol: String,
       blockCols: Seq[String], maxDist: Int, blockCap: Long = 10000L,
-      fanout: Int = 16): DataFrame = {
+      fanout: Int = 16, excludeSameId: Boolean = false): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    require(blockCap >= 2, s"blockCap must allow at least a pair, got $blockCap")
+    require(blockCap >= 1, s"blockCap must be positive, got $blockCap")
     require(blockCols.nonEmpty, "need at least one blocking column")
     require(fanout >= 1, s"fanout must be at least 1, got $fanout")
-    graft.ops.SqlTypes.requireFreeColumns(df,
-      Seq("__bsize", "__fan", "__rk", "dist", "match_id", "match_str"))
+    Seq(probe, matchSide).foreach(graft.ops.SqlTypes.requireFreeColumns(_,
+      Seq("__bsize", "__fan", "__rk", "dist", "match_id", "match_str")))
     val cols = (Seq(idCol, strCol) ++ blockCols).distinct.map(col)
-    val capped = df.select(cols: _*)
+    def capped(df: DataFrame): DataFrame = df.select(cols: _*)
       .withColumn("__bsize", count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
       .filter(col("__bsize") <= blockCap)
       .drop("__bsize")
@@ -72,25 +76,23 @@ object Linkage {
     // join on ONE core — the join's expansion is invisible to a byte
     // heuristic (measured 8× on the part-name bench). An explicit count
     // (REPARTITION_BY_NUM) is exempt from coalescing.
-    val spark = df.sparkSession
+    val spark = probe.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism * 2,
       spark.sessionState.conf.numShufflePartitions)
-    val a = capped
+    val a = capped(probe)
       .withColumn("__fan", pmod(xxhash64(col(idCol)), lit(fanout.toLong)).cast("int"))
       .repartition(parts, (blockCols :+ "__fan").map(col): _*)
     val b = blockCols.foldLeft(
-        capped.withColumnRenamed(idCol, "match_id").withColumnRenamed(strCol, "match_str")) {
+        capped(matchSide).withColumnRenamed(idCol, "match_id").withColumnRenamed(strCol, "match_str")) {
       (d, c) => d.withColumnRenamed(c, s"__b_$c")
     }.withColumn("__fan", explode(array((0 until fanout).map(lit): _*)))
-    val joinCond = blockCols.map(c => a(c) === b(s"__b_$c")).reduce(_ && _) &&
+    val equiCond = blockCols.map(c => a(c) === b(s"__b_$c")).reduce(_ && _) &&
       a("__fan") === b("__fan") &&
-      a(idCol) =!= b("match_id") &&
       abs(length(a(strCol)) - length(b("match_str"))) <= maxDist
-    // THRESHOLDED Levenshtein: the bounded kernel abandons a pair the
-    // moment its running minimum exceeds maxDist (O(maxDist·len) and
-    // usually far less, vs O(len²) unbounded — 6× on the part-name
-    // bench), returning -1 past the bound; -1 never passes the ≤ filter,
-    // so the result is identical to the unbounded form the oracle runs
+    val joinCond = if (excludeSameId) equiCond && a(idCol) =!= b("match_id") else equiCond
+    // thresholded kernel returns -1 past maxDist; -1 never passes the
+    // between filter, so the result equals the unbounded form the oracle
+    // runs (O(maxDist·len) vs O(len²) — 6× on the part-name bench)
     val cand = a.join(b, joinCond)
       .withColumn("dist", levenshtein(col(strCol), col("match_str"), maxDist))
       .filter(col("dist").between(0, maxDist))
@@ -102,4 +104,12 @@ object Linkage {
       .filter(col("__rk") === 1)
       .select(col(idCol), col(strCol), col("match_id"), col("match_str"), col("dist"))
   }
+
+  /** Self-linkage: every record's nearest OTHER record in its block —
+   * the near-duplicate detection face of [[nearestAcross]]. */
+  def nearestInBlock(df: DataFrame, idCol: String, strCol: String,
+      blockCols: Seq[String], maxDist: Int, blockCap: Long = 10000L,
+      fanout: Int = 16): DataFrame =
+    nearestAcross(df, df, idCol, strCol, blockCols, maxDist, blockCap, fanout,
+      excludeSameId = true)
 }

@@ -134,6 +134,65 @@ object PipelineQueries {
              |FROM c
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // X6+ — approx quantiles with a PROVEN rank band (the percentile
+    // face of the approx_distinct pattern): Spark's GK sketch
+    // (percentile_approx, accuracy A) guarantees rank error ≤ n/A, so
+    // the estimate must lie between the exact order statistics at
+    // ranks ceil(q·n) ∓ (n div A + 1). The query emits the exact disc
+    // percentiles (order statistics — data values, bit-exact
+    // cross-engine) plus in-band booleans; DuckDB recomputes the disc
+    // values by the same rank formula and asserts the bands literally.
+    // At 100 TB the sketch is the only viable path (fixed memory, one
+    // pass, mergeable); the band check is what makes it TRUSTABLE.
+    Q("approx_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val acc = 1000
+        val base = TableIO.read(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_quantity").as("q"))
+        // HISTOGRAM form of value-at-rank: a per-flag row_number would
+        // serialize each flag's 200k rows through one reducer (3 groups
+        // = 3 cores). Collapse to (flag, value) counts first — fully
+        // parallel, map-side combined — then the cumulative window runs
+        // over the DISTINCT values only (tiny). Order statistic r =
+        // min value whose cumulative count ≥ r. Assumes a bounded value
+        // domain (quantities/prices/counts — true of this audit face);
+        // an unbounded continuous column would bucket first.
+        val counts = base.groupBy("flag", "q").agg(count(lit(1)).as("__c"))
+          .withColumn("__cum", sum("__c").over(Window.partitionBy("flag").orderBy("q")))
+        val stats = base.groupBy("flag").agg(
+          count(lit(1)).as("n"),
+          expr(s"percentile_approx(q, array(0.5D, 0.9D), $acc)").as("ap"))
+        def rk(qq: Double) = ceil(lit(qq) * col("n")).cast("long")
+        val err = (col("n") / acc).cast("long") + lit(1L)
+        def lo(qq: Double) = greatest(lit(1L), rk(qq) - err)
+        def hi(qq: Double) = least(col("n"), rk(qq) + err)
+        def vAt(r: org.apache.spark.sql.Column, name: String) =
+          min(when(col("__cum") >= r, col("q"))).as(name)
+        counts.join(broadcast(stats), "flag")
+          .groupBy("flag")
+          .agg(
+            first("n").as("n"),
+            first("ap").as("__ap"),
+            vAt(rk(0.5), "p50_disc"), vAt(lo(0.5), "__p50_lo"), vAt(hi(0.5), "__p50_hi"),
+            vAt(rk(0.9), "p90_disc"), vAt(lo(0.9), "__p90_lo"), vAt(hi(0.9), "__p90_hi"))
+          .select(col("flag"), col("n"), col("p50_disc"), col("p90_disc"),
+            element_at(col("__ap"), 1).between(col("__p50_lo"), col("__p50_hi")).as("p50_in_band"),
+            element_at(col("__ap"), 2).between(col("__p90_lo"), col("__p90_hi")).as("p90_in_band"))
+          .orderBy("flag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag, l_quantity AS q FROM lineitem),
+             |r AS (SELECT flag, q, row_number() OVER (PARTITION BY flag ORDER BY q) AS rn FROM b),
+             |n AS (SELECT flag, count(*) AS n FROM b GROUP BY 1)
+             |SELECT r.flag, first(n.n) AS n,
+             |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN q END) AS p50_disc,
+             |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN q END) AS p90_disc,
+             |  TRUE AS p50_in_band,
+             |  TRUE AS p90_in_band
+             |FROM r JOIN n ON r.flag = n.flag
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
     // §2.9+ — join-key skew audit: the diagnostic that decides between a
     // plain join, AQE skew handling, and ops/Salting. Exact integer
     // micro-unit shares; TakeOrdered over the aggregate, never a full

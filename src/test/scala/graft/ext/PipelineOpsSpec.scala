@@ -109,6 +109,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Seq((1L, 2L, 1), (2L, 1L, 1), (3L, 2L, 2)))
   }
 
+  test("nearestAcross links two catalogs; same ids allowed unless excluded") {
+    val catalogA = Seq((1L, "acme corp", "us"), (2L, "zenith ltd", "uk")).toDF("id", "s", "blk")
+    val catalogB = Seq(
+      (1L, "acme corp.", "us"),  // same id as A's row 1 — legitimate cross-catalog match
+      (7L, "acme co", "us"), (8L, "zenith limited", "uk")).toDF("id", "s", "blk")
+    val out = Linkage.nearestAcross(catalogA, catalogB, "id", "s", Seq("blk"), maxDist = 4)
+      .orderBy("id").select("id", "match_id", "dist").as[(Long, Long, Int)].collect().toSeq
+    // A1 "acme corp" -> B1 "acme corp." d=1 (beats B7 "acme co" d=3);
+    // A2 "zenith ltd" -> B8 "zenith limited" d=4
+    assert(out === Seq((1L, 1L, 1), (2L, 8L, 4)))
+  }
+
   test("nearestInBlock drops blocks over the cap and honors maxDist") {
     val big = (1L to 10L).map(i => (i, s"v$i", "hot")) :+ (99L, "aa", "cold") :+ (98L, "ab", "cold")
     val df = big.toDF("id", "s", "blk")
