@@ -156,16 +156,21 @@ object EnvProperties {
         // sed -i rewrites EVERY matching line of the file (entrypoint.sh:174
         // has no line address) — log4j's last-definition-wins means
         // touching only the first (possibly commented) occurrence would
-        // leave a later active line overriding the new value
-        var matched = false
-        val rewritten = acc.map {
-          case valued(fileKey, delim) => matched = true; s"$fileKey$delim$value"
-          case bare(fileKey) => matched = true; s"$fileKey    $value"
-          case other => other
+        // leave a later active line overriding the new value. Match
+        // detection is a separate strict pass (a side-effecting flag
+        // inside map would stay unset on a lazy Seq and raise spuriously)
+        val matched = acc.exists {
+          case valued(_, _) => true
+          case bare(_) => true
+          case _ => false
         }
         if (!matched) throw new IllegalArgumentException(
           s"Unable to find property $confKey in the file")
-        rewritten
+        acc.map {
+          case valued(fileKey, delim) => s"$fileKey$delim$value"
+          case bare(fileKey) => s"$fileKey    $value"
+          case other => other
+        }
     }
   }
 

@@ -78,9 +78,20 @@ object JobDispatch {
         // executor — dynamic allocation or one decommission between
         // classify and the autocorrect actions would kill the job);
         // localCheckpoint only as the dir-less fallback.
+        // persist-then-checkpoint: an unpersisted reliable checkpoint
+        // runs TWO jobs (compute + a full recompute to write the files —
+        // documented Spark behavior), which would both double the
+        // classify cost and read the live target twice (a concurrent
+        // writer could then change which snapshot lands). The transient
+        // cache feeds the checkpoint writer and is dropped right after.
+        // Checkpoint FILES outlive the frame unless the operator sets
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true — the
+        // documented knob for long-lived multi-validate sessions.
         def snapshot(df: DataFrame): DataFrame =
-          if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
+          if (spark.sparkContext.getCheckpointDir.isDefined) {
+            val cached = df.persist()
+            try cached.checkpoint() finally cached.unpersist()
+          } else df.localCheckpoint()
         val classified =
           if (liveTarget) snapshot(graft.jobs.DiffData.classify(origin, target, pk))
           else {

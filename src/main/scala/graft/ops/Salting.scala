@@ -113,8 +113,12 @@ object Salting {
   def keySkewAudit(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     require(topN > 0, s"topN must be positive, got $topN")
+    SqlTypes.requireFreeColumns(df, Seq("n", "share_us", "__total"))
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-    val total = df.select(count(lit(1)).as("__total"))
+    // grand total from the already-aggregated relation, NOT a second
+    // full scan of df — the whole point of the diagnostic is that it
+    // costs one pass over the input
+    val total = counts.agg(sum("n").as("__total"))
     counts.crossJoin(broadcast(total))
       .withColumn("share_us", expr("n * 1000000L div __total"))
       .drop("__total")

@@ -528,7 +528,9 @@ object DedupQueries {
         // one distinct shuffle + one plain agg, instead of the
         // Expand + mixed distinct/imperative-aggregate plan that
         // countDistinct-beside-HLL otherwise costs (2× the stages)
-        .select("lang", "doc_id").distinct()
+        // NULL ids carry no identity: count(DISTINCT x) and the HLL both
+        // ignore NULLs, so the distinct+count(*) form must too
+        .select("lang", "doc_id").filter(col("doc_id").isNotNull).distinct()
         .groupBy("lang")
         .agg(
           count(lit(1)).as("exact_docs"),

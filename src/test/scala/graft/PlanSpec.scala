@@ -284,6 +284,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(lang"), s"not keyed on the group column:\n${p.take(2000)}")
   }
 
+  test("skew audit is one pass: the grand total reuses the counts shuffle at runtime") {
+    val df = graft.ops.Salting.keySkewAudit(
+      TableIO.read(spark, Sf, "events"), Seq("user_id"))
+    df.collect() // AQE reuses identical shuffle stages at RUNTIME, not in the static plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+      s"skew audit's total branch re-scanned the input:\n${p.take(2500)}")
+  }
+
   test("cross-source overlap joins only through the content key") {
     val p = plan(SparkEntry.queries("cross_source_overlap")(spark, Sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
