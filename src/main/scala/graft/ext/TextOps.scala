@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -212,5 +212,38 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("dot"),
         round(col("dot").cast("double") /
           (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))), 6).as("cos6"))
+  }
+
+  /**
+   * X33 — RAG-style document chunking: cut each document into
+   * `chunkTokens`-token windows advancing by `stride` (overlap =
+   * chunkTokens − stride), the retrieval-prep step between curation and
+   * embedding. The LAST window is allowed to run short rather than
+   * re-anchoring to the tail (re-anchoring duplicates content
+   * non-uniformly and breaks offset arithmetic downstream).
+   *
+   * Chunk count is PURE integer arithmetic — `1 + max(0, (n − chunk +
+   * stride − 1) div stride)` — identical under Spark's `div` and
+   * DuckDB's `//` (both truncate toward zero; the numerator is only
+   * negative when the answer is 0, which `greatest` absorbs), so the
+   * oracle mirrors it without float ceil. Shuffle-free: one staged
+   * tokenization per row, one generate — chunking 100 TB is a pure map.
+   */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0L),
+          greatest(lit(0L), expr(s"(__n - $chunkTokens + ${stride - 1}) div $stride")))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens))).as("chunk_text"))
   }
 }

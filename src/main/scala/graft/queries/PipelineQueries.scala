@@ -134,6 +134,27 @@ object PipelineQueries {
              |FROM c
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // X33 — RAG-style document chunking: 64-token windows, stride 48
+    // (16-token overlap); the last window runs short. Pure map — no
+    // shuffle; integer chunk-count arithmetic mirrored exactly.
+    Q("doc_chunking",
+      (s, dir) => TextOps.chunkDocs(
+          TableIO.read(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks,
+             |         CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |         unnest(range(0, 1 + greatest(0, (n - 64 + 47) // 48))) AS chunk_idx
+             |  FROM t)
+             |SELECT c.doc_id, c.chunk_idx,
+             |  least(64, t.n - c.chunk_idx * 48) AS n_chunk_tokens,
+             |  array_to_string(t.toks[c.chunk_idx * 48 + 1 : c.chunk_idx * 48 + 64], ' ') AS chunk_text
+             |FROM c JOIN t ON c.doc_id = t.doc_id
+             |ORDER BY c.doc_id, c.chunk_idx""".stripMargin)),
+
     // X6+ — approx quantiles with a PROVEN rank band (the percentile
     // face of the approx_distinct pattern): Spark's GK sketch
     // (percentile_approx, accuracy A) guarantees rank error ≤ n/A, so

@@ -154,6 +154,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- chunkDocs ---------------------------------------------------------
+
+  test("chunkDocs windows cover every token with the configured overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 2L, "a b")))
+    // every token index appears in some window; consecutive windows
+    // overlap by chunkTokens - stride
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocs(docs, "doc_id", "text", chunkTokens = 4, stride = 5))
+  }
+
   // ---- keySkewAudit ------------------------------------------------------
 
   test("keySkewAudit ranks keys by count with exact micro-unit shares") {
