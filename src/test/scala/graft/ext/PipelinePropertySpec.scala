@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests pinning the round-6 operators against brute-force
+ * Scala references on randomized inputs (fixed seed — deterministic). */
+class PipelinePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[List[A]]): List[A] =
+    g.apply(Gen.Parameters.default, Seed(1337L)).get
+
+  test("property: bloom never false-negatives across the long domain") {
+    val keys = sample(Gen.listOfN(800, Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(-100L, 100L)))).distinct
+    val words = Bloom.buildWords(keys.toDF("h"), "h")
+    val misses = keys.toDF("h")
+      .filter(!Bloom.mightContain(words, col("h"))).count()
+    assert(misses === 0L)
+  }
+
+  test("property: dupSpanStats matches a brute-force reference") {
+    // small vocab forces cross-doc chunk collisions
+    val vocab = Vector("a", "b", "c", "d")
+    val docsGen = Gen.listOfN(40, Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab))))
+    val docs = sample(docsGen).zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val cs = 2
+    // reference: chunk = consecutive token PAIRS (exact sequences, not
+    // hashes — a hash collision in the engine would show up as a diff)
+    val chunksOf: Map[Long, Seq[Seq[String]]] = docs.map { case (id, text) =>
+      val toks = text.split(" ").toSeq.filter(_.nonEmpty)
+      id -> (if (toks.size < cs) Seq.empty[Seq[String]]
+             else toks.take(toks.size / cs * cs).grouped(cs).toSeq)
+    }.toMap
+    val docsPerChunk: Map[Seq[String], Int] =
+      chunksOf.toSeq.flatMap { case (id, chs) => chs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (ch, xs) => ch -> xs.size }
+    val expected = docs.map { case (id, _) =>
+      val chs = chunksOf(id)
+      val dup = chs.map(docsPerChunk(_) > 1)
+      val runs = dup.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }
+      (id, chs.size.toLong, dup.count(identity).toLong,
+        (0 :: runs).max.toLong)
+    }.sortBy(_._1)
+    val got = Dedup.dupSpanStats(docs.toDF("doc_id", "text"), "doc_id", "text", cs)
+      .orderBy("doc_id").select("doc_id", "n_chunks", "n_dup_chunks", "max_dup_run")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("property: nearestInBlock matches a brute-force edit-distance reference") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = sample(Gen.listOfN(60, Gen.zip(
+      Gen.oneOf("x", "y", "z"),
+      Gen.listOfN(5, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))).zipWithIndex
+      .map { case ((blk, s), i) => (i.toLong, s, blk) }
+    val maxDist = 2
+    val expected = rows.flatMap { case (id, s, blk) =>
+      val cands = rows.filter(r => r._3 == blk && r._1 != id)
+        .map(r => (r._1, r._2, lev(s, r._2)))
+        .filter(_._3 <= maxDist)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(c => (c._3, c._1))
+        Some((id, best._1, best._3))
+      }
+    }.sortBy(_._1)
+    val got = Linkage.nearestInBlock(rows.toDF("id", "s", "blk"), "id", "s", Seq("blk"), maxDist)
+      .orderBy("id").select("id", "match_id", "dist")
+      .as[(Long, Long, Int)].collect().toSeq.map(t => (t._1, t._2, t._3))
+    assert(got === expected)
+  }
+
+  test("property: crossSourceOverlap matches a brute-force census") {
+    val pairs = sample(Gen.listOfN(200, Gen.zip(
+      Gen.chooseNum(0, 30).map(k => s"k$k"), Gen.oneOf("s1", "s2", "s3", "s4"))))
+    val expected = pairs.distinct.groupBy(_._1).toSeq
+      .flatMap { case (_, ks) =>
+        val srcs = ks.map(_._2).distinct.sorted
+        for (i <- srcs.indices; j <- i + 1 until srcs.size) yield (srcs(i), srcs(j))
+      }
+      .groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .toSeq.sortBy(p => (p._1, p._2))
+    val got = Curation.crossSourceOverlap(pairs.toDF("k", "src"), col("k"), "src")
+      .orderBy("src_a", "src_b").select("src_a", "src_b", "n_shared")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("property: packSequences is an exact contiguous fill for any token counts") {
+    val rows = sample(Gen.listOfN(80, Gen.zip(
+      Gen.oneOf("g1", "g2"), Gen.chooseNum(0L, 300L)))).zipWithIndex
+      .map { case ((g, n), i) => (g, i.toLong, n) }
+    val out = Curation.packSequences(rows.toDF("grp", "id", "nt"), "id", "grp", col("nt"), 100L)
+      .orderBy("grp", "id")
+      .select("grp", "id", "n_tokens", "start_tok", "first_seq", "n_seqs", "offset_in_seq")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      var cursor = 0L
+      rs.sortBy(_._2).foreach { case (_, _, n, start, fs, ns, off) =>
+        assert(start === cursor && fs === start / 100 && off === start % 100)
+        assert(ns === (if (n > 0) (start + n - 1) / 100 - start / 100 + 1 else 1L))
+        cursor += n
+      }
+    }
+  }
+}
