@@ -63,9 +63,12 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
-    // full per-query detail → file (the registry outgrew a stdout line)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // full per-query detail → file (the registry outgrew a stdout line).
+    // Only on FULL runs: a name-filtered dev-loop run would otherwise
+    // overwrite the committed full-registry record with a 2-query one.
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(fullLine)
     // The harness captures only the LAST ~2000 chars of stdout and parses
     // the JSON line it finds there; with 100+ registered queries the full
