@@ -656,6 +656,54 @@ object Dedup {
       .withColumn("max_dup_tokens", col("max_dup_run") * chunkSize)
   }
 
+  /**
+   * X2g-apply — span-level dedup REMOVAL: rewrite each document with its
+   * cross-duplicated chunks dropped (chunks whose hash appears in some
+   * OTHER document), keeping the sub-chunk tail verbatim — the rewrite
+   * step of exact-substring dedup (Lee et al. 2021), where
+   * [[dupSpanStats]] is the detection step.
+   *
+   * Scale shape: the flagging path is the same single-lineage chunk-df
+   * computation as dupSpanStats — only (id, chunk, idx) tuples shuffle.
+   * The rewrite then reduces each doc's verdict to a kept-index ARRAY
+   * (ints, collect_list after the flagging) and joins it back to the
+   * corpus scan: the TEXT crosses the wire exactly once, in this final
+   * id-keyed assembly join — the unavoidable minimum for a corpus
+   * rewrite. Token slices are reassembled with HOFs (no UDF, no
+   * explode-regroup of tokens).
+   */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 8): DataFrame = {
+    val chunks = withChunkHashes(df, textCol, chunkSize)
+      .select(col(idCol), posexplode_outer(col(ChunksCol)))
+      .withColumnRenamed("pos", "__idx")
+      .withColumnRenamed("col", "__chunk")
+      .filter(col("__chunk").isNotNull)
+    val byChunk = Window.partitionBy("__chunk").orderBy(idCol, "__idx")
+    val prevDoc = lag(col(idCol), 1).over(byChunk)
+    val flagged = chunks
+      .withColumn("__newdoc",
+        when(prevDoc.isNull || prevDoc =!= col(idCol), 1L).otherwise(0L))
+      .withColumn("__dup", sum("__newdoc").over(Window.partitionBy("__chunk")) > 1L)
+    // when() without otherwise yields nulls, which collect_list DROPS —
+    // so every chunked doc keeps its group row even when all chunks are
+    // dup (kept list just comes back empty, not absent)
+    val kept = flagged.groupBy(idCol).agg(
+      sort_array(collect_list(when(!col("__dup"), col("__idx")))).as("__ki"))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .join(kept, Seq(idCol), "left_outer")
+      .withColumn("__ki", coalesce(col("__ki"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("__keptArr", concat(
+        flatten(transform(col("__ki"),
+          i => slice(col("__toks"), (i * chunkSize + 1).cast("int"), lit(chunkSize)))),
+        expr(s"""slice(__toks, CAST(__n div $chunkSize * $chunkSize + 1 AS INT),
+                |      CAST(__n - __n div $chunkSize * $chunkSize AS INT))""".stripMargin)))
+      .select(col(idCol),
+        size(col("__keptArr")).cast("long").as("n_kept_tokens"),
+        concat_ws(" ", col("__keptArr")).as("kept_text"))
+  }
+
   /** X2c — n-gram Jaccard pairs: explode distinct shingles, self-join on
    * the shingle (shuffle on shingle hash — the inverted-index pattern),
    * count co-occurrences, then Jaccard = |∩| / (|A| + |B| − |∩|).

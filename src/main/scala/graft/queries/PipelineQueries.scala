@@ -79,6 +79,32 @@ object PipelineQueries {
               |LEFT JOIN pd ON d.doc_id = pd.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // X2g-apply — span-dedup rewrite: documents with cross-duplicated
+    // chunks removed, sub-chunk tail kept verbatim (the Lee et al.
+    // rewrite step; dup_span_stats is the detection step). Text crosses
+    // the wire exactly once, in the final assembly join.
+    Q("dedup_span_apply",
+      (s, dir) => Dedup.dedupSpans(
+          TableIO.read(s, dir, "documents"), "doc_id", "text", chunkSize = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+              |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+              |                  ${OracleSql.chunks(8)} AS arr FROM documents),
+              |ch AS (SELECT doc_id, unnest(range(0, len(arr))) AS idx, unnest(arr) AS chunk FROM t),
+              |cdf AS (SELECT chunk, count(*) AS cdf
+              |        FROM (SELECT DISTINCT doc_id, chunk FROM ch) GROUP BY 1),
+              |fl AS (SELECT ch.doc_id, ch.idx, cdf.cdf > 1 AS is_dup FROM ch JOIN cdf USING (chunk)),
+              |kept AS (SELECT doc_id,
+              |         array_agg(idx ORDER BY idx) FILTER (WHERE NOT is_dup) AS ki
+              |         FROM fl GROUP BY 1)
+              |SELECT t.doc_id,
+              |  CAST(len(flatten(list_transform(coalesce(kept.ki, []), i -> t.toks[i*8+1 : i*8+8])))
+              |       + (t.n - t.n // 8 * 8) AS BIGINT) AS n_kept_tokens,
+              |  coalesce(array_to_string(flatten(list_transform(coalesce(kept.ki, []), i -> t.toks[i*8+1 : i*8+8]))
+              |                  || t.toks[t.n // 8 * 8 + 1 : t.n], ' '), '') AS kept_text
+              |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
+
     // X29 — blocked fuzzy nearest neighbor over part names: candidates
     // only within a brand block, length-difference prefilter, exact
     // Levenshtein, best match per record by (dist, match_id).

@@ -95,6 +95,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Seq((1L, 0L), (2L, 1L))) // doc 1 shorter than one chunk
   }
 
+  test("dedupSpans removes exactly the cross-duplicated chunks, keeps tails") {
+    val docs = Seq(
+      (1L, "a b c d x y z"),   // chunks (a b)(c d)(x y); tail: z
+      (2L, "a b c d q r"),     // shares (a b)(c d) with doc 1
+      (3L, "k l m")            // sub-chunk-free: (k l) unique; tail m
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", chunkSize = 2)
+      .orderBy("doc_id").select("doc_id", "n_kept_tokens", "kept_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, "x y z"),       // (a b)(c d) dropped, (x y) + tail z kept
+      (2L, 2L, "q r"),         // (q r) kept, no tail
+      (3L, 3L, "k l m")))      // nothing shared
+    // a doc losing EVERY chunk keeps only its tail (possibly empty)
+    val all = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val gone = Dedup.dedupSpans(all, "doc_id", "text", chunkSize = 2)
+      .orderBy("doc_id").select("n_kept_tokens", "kept_text")
+      .as[(Long, String)].collect().toSeq
+    assert(gone === Seq((0L, ""), (0L, "")))
+  }
+
   // ---- nearestInBlock ----------------------------------------------------
 
   test("nearestInBlock picks the min-distance match with deterministic ties") {
