@@ -77,20 +77,39 @@ object Bloom {
     arr
   }
 
+  /** Past this many FILTER BYTES the probe switches from an embedded
+   * array literal to a broadcast variable: an expression-tree literal is
+   * copied into every serialized plan fragment, plan string and codegen
+   * pass, so a MiB-scale literal taxes the DRIVER on every optimizer
+   * traversal — while a broadcast ships once per executor and the
+   * expression tree carries only the handle. */
+  val BroadcastThresholdBytes: Long = 64L * 1024
+
   /** Shuffle-free membership probe: true iff every probe bit is set.
-   * `words` is embedded as an array literal — for an 8 KiB filter that is
-   * exactly the task-closure shipping a broadcast variable would do,
-   * without leaving the Column algebra (codegen keeps the whole probe
-   * inside the scan stage). */
+   * Two equivalent implementations chosen by filter size (see
+   * [[BroadcastThresholdBytes]]): at/below the threshold `words` embeds
+   * as an array literal — for an 8 KiB filter that is exactly the
+   * task-closure shipping a broadcast variable would do, without leaving
+   * the Column algebra; above it the words go through a real broadcast
+   * variable read by the codegen'd [[org.apache.spark.sql.graft.BloomProbeExpr]]
+   * (same bit semantics, property-tested equivalent). Each call above
+   * the threshold broadcasts once — build the Column once and reuse it
+   * rather than re-calling per probe site. */
   def mightContain(words: Array[Long], h: Column,
       numBits: Int = DefaultBits, k: Int = DefaultHashes): Column = {
     require(words.length == numBits / 64,
       s"word array length ${words.length} != numBits/64 = ${numBits / 64}")
-    val wordsLit = typedLit(words.toSeq)
-    positions(h, numBits, k).map { p =>
-      val word = element_at(wordsLit, (p / 64).cast("int") + 1)
-      val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
-      word.bitwiseAND(mask) =!= 0L
-    }.reduce(_ && _)
+    if (words.length.toLong * 8 > BroadcastThresholdBytes) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val bcast = spark.sparkContext.broadcast(words)
+      org.apache.spark.sql.graft.BloomProbeExpr.probe(bcast, h, numBits, k)
+    } else {
+      val wordsLit = typedLit(words.toSeq)
+      positions(h, numBits, k).map { p =>
+        val word = element_at(wordsLit, (p / 64).cast("int") + 1)
+        val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+        word.bitwiseAND(mask) =!= 0L
+      }.reduce(_ && _)
+    }
   }
 }

@@ -42,6 +42,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(words.toSeq === Bloom.buildWords(nonNull, "h").toSeq)
   }
 
+  test("broadcast probe path agrees with the literal path verdict-for-verdict") {
+    val inserted = (0L until 1500L).map(_ * 6007L - 4500000L) // negatives included
+    val words = Bloom.buildWords(inserted.toDF("h"), "h", numBits = 1 << 14, k = 4)
+    val probes = (-3000L until 3000L).map(_ * 911L).toDF("h")
+    val bcast = spark.sparkContext.broadcast(words)
+    val both = probes.select(col("h"),
+      Bloom.mightContain(words, col("h"), 1 << 14, 4).as("lit_path"),
+      org.apache.spark.sql.graft.BloomProbeExpr.probe(bcast, col("h"), 1 << 14, 4).as("bc_path"))
+    assert(both.filter(col("lit_path") =!= col("bc_path")).count() === 0L)
+  }
+
+  test("a MiB-scale filter probes through a broadcast without plan-size blowup") {
+    val numBits = 1 << 23 // 2^23 bits = 1 MiB of words, past the 64 KiB threshold
+    val inserted = (0L until 5000L).map(_ * 7919L + 13L)
+    val words = Bloom.buildWords(inserted.toDF("h"), "h", numBits, 4)
+    assert(words.length * 8 > Bloom.BroadcastThresholdBytes)
+    val df = inserted.toDF("h").filter(!Bloom.mightContain(words, col("h"), numBits, 4))
+    // no false negatives through the broadcast path
+    assert(df.count() === 0L)
+    // the filter must NOT be embedded in the plan: a typedLit of 2^17
+    // longs would print megabytes; the broadcast handle prints a name
+    val planStr = inserted.toDF("h")
+      .filter(Bloom.mightContain(words, col("h"), numBits, 4))
+      .queryExecution.executedPlan.toString
+    assert(planStr.length < 100 * 1024,
+      s"plan string is ${planStr.length} chars — filter words embedded in the plan?")
+  }
+
   test("bloom probe runs inside a streaming filter (decontaminate-on-ingest face)") {
     // the probe is a pure Column conjunction, so the same bitset built
     // batch-side drops contaminated rows on a stream with no state store
@@ -152,6 +180,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Linkage.nearestInBlock(far, "id", "s", Seq("blk"), maxDist = 2).count() === 0L)
   }
 
+  test("blockCapAudit reports exactly what nearestAcross will drop") {
+    // block sizes: a=3, b=1 on the probe side; match side gets a 4th 'a'
+    val probe = Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "a"), (4L, "w", "b"))
+      .toDF("id", "s", "blk")
+    val matchSide = probe.unionAll(Seq((5L, "v", "a")).toDF("id", "s", "blk"))
+    val audit = Linkage.blockCapAudit(probe, matchSide, Seq("blk"), blockCap = 3L)
+      .orderBy("side")
+      .select("side", "blocks", "n_rows", "dropped_blocks", "dropped_rows", "largest_block")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // match side: block a has 4 rows > cap 3 → dropped; probe side: none
+    assert(audit === Array(
+      ("match", 2L, 5L, 1L, 4L, 4L),
+      ("probe", 2L, 4L, 0L, 0L, 3L)))
+    // the dropped_rows number must agree with what the linkage actually
+    // excludes: ids 1,2,3 probe against match block a (capped out) find
+    // nothing through it
+    val linked = Linkage.nearestAcross(probe, matchSide, "id", "s", Seq("blk"),
+      maxDist = 3, blockCap = 3L)
+    assert(linked.filter(col("id").isin(1L, 2L, 3L)).count() === 0L)
+  }
+
   // ---- packSequences -----------------------------------------------------
 
   test("packSequences invariants: contiguous fill, exact spans, per-group streams") {
@@ -172,6 +221,25 @@ class PipelineOpsSpec extends SparkSpec {
         assert(nSeqs === expectSpans)
         expectStart += n
       }
+    }
+  }
+
+  test("packSequences: one giant group splits across chunks and still fills exactly") {
+    // a single group at 10k rows with chunkParts=5: the range partitioner
+    // must split the group's order into multiple contiguous chunks, and
+    // the two-level cumsum must equal the brute-force running sum
+    val n = 10000
+    val df = (0 until n).map(i => ("solo", i.toLong, (i % 37).toLong)).toDF("lang", "doc_id", "nt")
+    val out = Curation.packSequences(df, "doc_id", "lang", col("nt"), seqLen = 512L, chunkParts = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_tok", "first_seq", "n_seqs", "offset_in_seq")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length === n)
+    var cursor = 0L
+    out.foreach { case (_, nt, start, fs, ns, off) =>
+      assert(start === cursor && fs === start / 512 && off === start % 512)
+      assert(ns === (if (nt > 0) (start + nt - 1) / 512 - start / 512 + 1 else 1L))
+      cursor += nt
     }
   }
 
