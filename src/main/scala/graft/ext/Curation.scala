@@ -192,20 +192,51 @@ object Curation {
    * this is the exact-fill form where documents SPAN sequences, the way a
    * causal-LM dataloader actually packs).
    *
-   * One running-sum window per group — the shuffle is keyed on
-   * `groupCol` (shard/language), the same unit a 100 TB run parallelizes
-   * writing by, so groups pack independently on their own executors; no
-   * global sort, no collect. All arithmetic is exact int64: start offset
-   * = cumsum − n, sequence ids by integer div.
+   * The running sum is a TWO-LEVEL cumsum, not one window per group: a
+   * single `Window.partitionBy(groupCol)` serializes each group through
+   * one partition, and a skewed shard (one language at 40% of the
+   * corpus) is exactly the failure a 100 TB run hits. Instead the rows
+   * are range-partitioned on (group, id) — so each group's id order
+   * splits into contiguous, SIZE-BALANCED chunks regardless of group
+   * skew — then (1) a local cumsum runs per (group, chunk) in parallel,
+   * (2) per-chunk totals (≤ one row per chunk per group — tiny) get a
+   * chunk-level cumsum, and (3) the chunk offsets broadcast-join back:
+   * start = chunk offset + local cumsum − n. Any monotone contiguous
+   * chunking yields the identical global cumsum (property-tested against
+   * the single-window form), so the range sampler's boundary choice
+   * never shows in the output. All arithmetic is exact int64; no global
+   * sort, no collect.
    */
   def packSequences(df: DataFrame, idCol: String, groupCol: String,
-      nTokens: Column, seqLen: Long): DataFrame = {
+      nTokens: Column, seqLen: Long, chunkParts: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    requireFreeColumns(df, Seq("n_tokens", "start_tok", "first_seq", "offset_in_seq", "n_seqs"))
-    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    requireFreeColumns(df, Seq("n_tokens", "start_tok", "first_seq", "offset_in_seq",
+      "n_seqs", "__chunk", "__local", "__coff"))
+    val spark = df.sparkSession
+    val parts = if (chunkParts > 0) chunkParts
+      else math.max(spark.sparkContext.defaultParallelism * 2,
+        spark.sessionState.conf.numShufflePartitions)
+    // chunk = physical range partition: contiguous in (group, id) order by
+    // construction, balanced by row count by the range partitioner. The
+    // id is materialized through a projection so downstream grouping
+    // references a plain attribute, not the nondeterministic expression.
+    val chunked = df.select(col(groupCol), col(idCol), nTokens.cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col(groupCol), col(idCol))
+      .withColumn("__chunk", spark_partition_id())
+    val wLocal = Window.partitionBy(groupCol, "__chunk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(groupCol), col(idCol), nTokens.cast("long").as("n_tokens"))
-      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+    val local = chunked.withColumn("__local", sum("n_tokens").over(wLocal))
+    // per-chunk totals: at most `parts` + |groups| rows — the chunk-level
+    // cumsum window runs over a table that fits one partition no matter
+    // how large or skewed the input is
+    val wChunk = Window.partitionBy(groupCol).orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunked.groupBy(groupCol, "__chunk")
+      .agg(sum("n_tokens").as("__ct"))
+      .withColumn("__coff", coalesce(sum("__ct").over(wChunk), lit(0L)))
+      .drop("__ct")
+    local.join(broadcast(offsets), Seq(groupCol, "__chunk"))
+      .withColumn("start_tok", col("__coff") + col("__local") - col("n_tokens"))
       .withColumn("first_seq", expr(s"start_tok div $seqLen"))
       // an empty document occupies no tokens: it "lands" at its start
       // boundary and spans exactly one sequence by convention
@@ -214,6 +245,7 @@ object Curation {
           expr(s"(start_tok + n_tokens - 1) div $seqLen") - col("first_seq") + 1L)
           .otherwise(1L))
       .withColumn("offset_in_seq", expr(s"start_tok % $seqLen"))
+      .drop("__chunk", "__local", "__coff")
   }
 
   /**

@@ -307,13 +307,17 @@ class PlanSpec extends SparkSpec {
       s"comparison join executed on $parts partitions (pinned $pinned) — AQE coalesce pathology:\n${finalPlan.toString.take(2000)}")
   }
 
-  test("sequence packing is one exchange on the group column") {
+  test("sequence packing chunks the group stream: no full-row window keyed on the group alone") {
     val p = plan(graft.ext.Curation.packSequences(
       TableIO.read(spark, Sf, "documents"), "doc_id", "lang",
       graft.ext.TextOps.tokenCount(org.apache.spark.sql.functions.col("text")), 512L))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p.take(2000)}")
-    assert(p.contains("hashpartitioning(lang"), s"not keyed on the group column:\n${p.take(2000)}")
+    // two-level cumsum: contiguous chunks come from a range exchange on
+    // (group, id), the heavy window is keyed on (group, chunk) so a
+    // skewed group parallelizes, and chunk offsets join back broadcast
+    assert(p.contains("rangepartitioning(lang"), s"no range chunking:\n${p.take(2500)}")
+    assert("windowspecdefinition\\(lang#\\d+, __chunk".r.findFirstIn(p).isDefined,
+      s"row-stream window not keyed on (group, chunk):\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"), s"chunk offsets not broadcast back:\n${p.take(2500)}")
   }
 
   test("skew audit is one pass: the grand total reuses the counts shuffle at runtime") {
