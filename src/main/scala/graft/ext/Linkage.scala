@@ -105,6 +105,36 @@ object Linkage {
       .select(col(idCol), col(strCol), col("match_id"), col("match_str"), col("dist"))
   }
 
+  /**
+   * The observability companion of the `blockCap` recall lever: per side,
+   * how many blocks — and how many ROWS — [[nearestAcross]] will silently
+   * drop at a given cap. A degenerate blocking key (empty string,
+   * boilerplate value) quietly removes its whole block from linkage
+   * eligibility; this audit makes that recall cost a number the caller
+   * checks BEFORE committing to a cap, the same role
+   * `Salting.keySkewAudit` plays for join salting.
+   *
+   * Output: one row per side (`side`, `blocks`, `n_rows`,
+   * `dropped_blocks`, `dropped_rows`, `largest_block`). Cost: one
+   * map-side-combined groupBy per side over the block key — safe at full
+   * input scale, no collect.
+   */
+  def blockCapAudit(probe: DataFrame, matchSide: DataFrame,
+      blockCols: Seq[String], blockCap: Long): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(blockCap >= 1, s"blockCap must be positive, got $blockCap")
+    def side(df: DataFrame, name: String): DataFrame =
+      df.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(
+          lit(name).as("side"),
+          count(lit(1)).as("blocks"),
+          sum("__n").as("n_rows"),
+          sum(when(col("__n") > blockCap, 1L).otherwise(0L)).as("dropped_blocks"),
+          sum(when(col("__n") > blockCap, col("__n")).otherwise(0L)).as("dropped_rows"),
+          max("__n").as("largest_block"))
+    side(probe, "probe").unionAll(side(matchSide, "match"))
+  }
+
   /** Self-linkage: every record's nearest OTHER record in its block —
    * the near-duplicate detection face of [[nearestAcross]]. */
   def nearestInBlock(df: DataFrame, idCol: String, strCol: String,

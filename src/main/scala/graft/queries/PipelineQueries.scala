@@ -135,6 +135,27 @@ object PipelineQueries {
              |FROM best WHERE rk = 1
              |ORDER BY p_partkey""".stripMargin)),
 
+    // X29 companion — the blockCap recall audit: how many blocks/rows a
+    // cap of 50 would silently drop from each linkage side. The cap is
+    // set LOW here on purpose so the dropped counts are non-trivial.
+    Q("linkage_block_audit",
+      (s, dir) => {
+        val part = TableIO.read(s, dir, "part")
+        Linkage.blockCapAudit(part, part, Seq("p_brand"), blockCap = 50L)
+          .orderBy("side")
+      },
+      Some("""WITH bs AS (
+             |  SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand),
+             |one AS (
+             |  SELECT count(*) AS blocks, CAST(sum(n) AS BIGINT) AS n_rows,
+             |         CAST(sum(CASE WHEN n > 50 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_blocks,
+             |         CAST(sum(CASE WHEN n > 50 THEN n ELSE 0 END) AS BIGINT) AS dropped_rows,
+             |         CAST(max(n) AS BIGINT) AS largest_block
+             |  FROM bs)
+             |SELECT side, blocks, n_rows, dropped_blocks, dropped_rows, largest_block
+             |FROM (SELECT 'probe' AS side, * FROM one UNION ALL SELECT 'match' AS side, * FROM one)
+             |ORDER BY side""".stripMargin)),
+
     // X30 — GPT-style sequence packing at 512 tokens, grouped by lang:
     // where each document lands in the concatenated token stream and how
     // many sequence boundaries it straddles.
