@@ -50,4 +50,46 @@ class CassandraTableIOSpec extends AnyFunSuite {
     val df = TableIO.read(spark, ClusterConfig(path = "/root/testdata/sf0.001"), "region")
     assert(df.count() == 5)
   }
+
+  /** Live-connector smoke: runs ONLY when the spark-cassandra-connector
+   * is on the classpath (it is not in this zero-egress sandbox — the
+   * test then cancels, not fails). With the jars present it proves the
+   * two things testable without a live cluster: (1) Spark resolves the
+   * `org.apache.spark.sql.cassandra` DataSource [[CassandraTableIO.read]]
+   * names, and (2) every option emitted by `connectorOptions` passes the
+   * connector's own `ConfigCheck` validator — the guard against a typo'd
+   * option silently ignored at a real cluster (the reference wires these
+   * through spark-submit properties, entrypoint.sh:274-283). */
+  test("connector smoke (skips without spark-cassandra-connector jars)") {
+    val connectorPresent =
+      try { Class.forName("com.datastax.spark.connector.util.ConfigCheck$"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(connectorPresent, "spark-cassandra-connector not on classpath")
+
+    // (1) the DataSource name used by CassandraTableIO.read resolves
+    val lookup = org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource(CassandraTableIO.Format, graft.TestSpark.spark.sessionState.conf)
+    assert(lookup != null, s"DataSource ${CassandraTableIO.Format} did not resolve")
+
+    // (2) the full option surface validates against the connector's own
+    // known-property check (reflective: the class only exists with jars)
+    val c = ClusterConfig(
+      path = "", host = Some("127.0.0.1"), port = Some(9042),
+      username = Some("u"), password = Some("p"),
+      tls = TlsConfig(enabled = true, trustStorePath = Some("/ts.jks"),
+        trustStorePassword = Some("tsp"), trustStoreType = "JKS",
+        keyStorePath = Some("/ks.jks"), keyStorePassword = Some("ksp"),
+        enabledAlgorithms = Some("TLS_RSA_WITH_AES_256_CBC_SHA")))
+    val perf = CdmConfig.fromMap(Map.empty).perf
+    val sparkConf = new org.apache.spark.SparkConf(false)
+    CassandraTableIO.connectorOptions(c, Some(perf)).foreach { case (k, v) =>
+      sparkConf.set(k, v)
+    }
+    val module = Class.forName("com.datastax.spark.connector.util.ConfigCheck$")
+    val instance = module.getField("MODULE$").get(null)
+    val check = module.getMethods.find(_.getName == "checkConfig")
+      .getOrElse(fail("ConfigCheck.checkConfig not found"))
+    // throws ConnectorConfigurationException on any unknown property
+    check.invoke(instance, sparkConf)
+  }
 }
