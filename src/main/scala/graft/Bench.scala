@@ -59,15 +59,18 @@ object Bench {
     // reports -1 — a flaky failure must be visible, not masked by its one
     // good run.
     // The FIRST timed run of a query pays its codegen/JIT compile (~2× the
-    // steady-state time) — that is warm-up, not bimodality, so the spread
-    // check and the reported max exclude sample 0 once a third sample
-    // exists. Only steady-state disagreement (runs 2..n) counts as noise.
+    // steady-state time) — that is warm-up, not bimodality. So the re-run
+    // trigger is "the LATEST sample could not reproduce the best one"
+    // (last > 1.5× min): the normal JIT shape t1 > t2 never re-runs (the
+    // 2-timed-run fast path stays real for the stable majority), while a
+    // contention window hitting a later sample does. The reported spread
+    // excludes sample 0 once a third sample exists — only steady-state
+    // disagreement (runs 2..n) is reported as noise.
     case class Timing(min: Double, max: Double, n: Int)
-    def noisy(s: Seq[Double]): Boolean = s.max / math.max(s.min, 1e-9) > 1.5
     val results: Seq[(String, Timing)] = names.map { n =>
       var ts = Vector(runOnce(n), runOnce(n))
       def steady = if (ts.size >= 3) ts.drop(1) else ts
-      while (!ts.exists(_ < 0) && ts.size < 4 && noisy(steady))
+      while (!ts.exists(_ < 0) && ts.size < 4 && ts.last > 1.5 * ts.min)
         ts = ts :+ runOnce(n)
       n -> (if (ts.exists(_ < 0)) Timing(-1.0, -1.0, ts.size)
             else Timing(ts.min, steady.max, ts.size))
@@ -105,8 +108,11 @@ object Bench {
     // later (shorter-named, faster) entries would misrepresent the slow
     // end of the distribution — the compact map is a slowest-PREFIX
     var full = false
+    // worst-case budget arithmetic (the line must stay under the ~1800
+    // chars the capture window leaves after sbt's trailer): kept 900 +
+    // spread ≤8·42 + failed ≤12·28 + fixed overhead ~190 ≈ 1760
     entries.foreach { e =>
-      if (!full && kept.length + e.length + 1 <= 1100) {
+      if (!full && kept.length + e.length + 1 <= 900) {
         if (shown > 0) kept.append(','); kept.append(e); shown += 1
       } else full = true
     }
@@ -119,7 +125,7 @@ object Bench {
       .mkString("{", ",", "}")
     // failed list capped too: a mass failure (every query down) must not
     // overflow the same capture window the compact line exists to fit
-    val failedCompact = failed.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedCompact = failed.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{$kept},""" +
       s""""queries_total":${results.size},"queries_shown":$shown,""" +
       s""""spread":$noisyCompact,""" +

@@ -97,6 +97,9 @@ object Bloom {
    * rather than re-calling per probe site. */
   def mightContain(words: Array[Long], h: Column,
       numBits: Int = DefaultBits, k: Int = DefaultHashes): Column = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two, got $numBits") // both paths: the odd
+      // stride is coprime (hence full-cycle) only against a power-of-two m
     require(words.length == numBits / 64,
       s"word array length ${words.length} != numBits/64 = ${numBits / 64}")
     if (words.length.toLong * 8 > BroadcastThresholdBytes) {

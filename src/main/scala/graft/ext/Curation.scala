@@ -211,17 +211,24 @@ object Curation {
       nTokens: Column, seqLen: Long, chunkParts: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     requireFreeColumns(df, Seq("n_tokens", "start_tok", "first_seq", "offset_in_seq",
-      "n_seqs", "__chunk", "__local", "__coff"))
+      "n_seqs", "__chunk", "__local", "__coff", "__og", "__oc"))
     val spark = df.sparkSession
     val parts = if (chunkParts > 0) chunkParts
       else math.max(spark.sparkContext.defaultParallelism * 2,
         spark.sessionState.conf.numShufflePartitions)
     // chunk = physical range partition: contiguous in (group, id) order by
     // construction, balanced by row count by the range partitioner. The
-    // id is materialized through a projection so downstream grouping
-    // references a plain attribute, not the nondeterministic expression.
+    // lazy localCheckpoint pins ONE materialization that both consumers
+    // below share by RDD identity: the range partitioner's boundaries
+    // come from a seeded SAMPLE, so without the pin the local-cumsum and
+    // chunk-offset branches could (if exchange reuse ever failed to kick
+    // in) re-execute the exchange with different boundaries and combine
+    // a row's local sum with the wrong chunk's offset. The id is then
+    // materialized through a projection so downstream grouping references
+    // a plain attribute, not the nondeterministic expression.
     val chunked = df.select(col(groupCol), col(idCol), nTokens.cast("long").as("n_tokens"))
       .repartitionByRange(parts, col(groupCol), col(idCol))
+      .localCheckpoint(false)
       .withColumn("__chunk", spark_partition_id())
     val wLocal = Window.partitionBy(groupCol, "__chunk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -235,7 +242,13 @@ object Curation {
       .agg(sum("n_tokens").as("__ct"))
       .withColumn("__coff", coalesce(sum("__ct").over(wChunk), lit(0L)))
       .drop("__ct")
-    local.join(broadcast(offsets), Seq(groupCol, "__chunk"))
+      .withColumnRenamed(groupCol, "__og").withColumnRenamed("__chunk", "__oc")
+    // NULL-SAFE group equality: a NULL group is a legitimate window
+    // partition (the old single-window form packed it), so a plain
+    // using-join would silently drop every NULL-group row here
+    local.join(broadcast(offsets),
+        local(groupCol) <=> offsets("__og") && local("__chunk") === offsets("__oc"))
+      .drop("__og", "__oc")
       .withColumn("start_tok", col("__coff") + col("__local") - col("n_tokens"))
       .withColumn("first_seq", expr(s"start_tok div $seqLen"))
       // an empty document occupies no tokens: it "lands" at its start

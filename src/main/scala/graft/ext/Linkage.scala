@@ -128,10 +128,12 @@ object Linkage {
         .agg(
           lit(name).as("side"),
           count(lit(1)).as("blocks"),
-          sum("__n").as("n_rows"),
-          sum(when(col("__n") > blockCap, 1L).otherwise(0L)).as("dropped_blocks"),
-          sum(when(col("__n") > blockCap, col("__n")).otherwise(0L)).as("dropped_rows"),
-          max("__n").as("largest_block"))
+          // coalesce: sum/max over an EMPTY side are NULL, but the audit
+          // contract is counts — an empty probe set has zero of everything
+          coalesce(sum("__n"), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("__n") > blockCap, 1L).otherwise(0L)), lit(0L)).as("dropped_blocks"),
+          coalesce(sum(when(col("__n") > blockCap, col("__n")).otherwise(0L)), lit(0L)).as("dropped_rows"),
+          coalesce(max("__n"), lit(0L)).as("largest_block"))
     side(probe, "probe").unionAll(side(matchSide, "match"))
   }
 

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -28,8 +28,11 @@ import org.apache.spark.sql.types._
  */
 case class BloomProbeExpr(child: Expression, words: Broadcast[Array[Long]],
     numBits: Int, k: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  // ImplicitCast, not the strict ExpectsInputTypes: the literal path's
+  // pmod(h, lit) promotes an int hash column implicitly, and behavior
+  // must not flip on filter size
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_probe"

@@ -243,6 +243,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences keeps NULL-group rows as their own stream") {
+    val df = Seq((Some("en"), 1L, 10L), (None, 2L, 20L), (None, 3L, 30L), (Some("en"), 4L, 40L))
+      .toDF("lang", "doc_id", "nt")
+    val out = Curation.packSequences(df, "doc_id", "lang", col("nt"), seqLen = 16L)
+      .orderBy("doc_id")
+      .select("doc_id", "start_tok").as[(Long, Long)].collect()
+    // NULL is a legitimate group: docs 2,3 pack their own stream (0, 20)
+    assert(out === Array((1L, 0L), (2L, 0L), (3L, 20L), (4L, 10L)))
+  }
+
+  test("blockCapAudit on an empty side reports zeros, not NULLs") {
+    val probe = Seq((1L, "x", "a")).toDF("id", "s", "blk")
+    val empty = probe.filter(col("id") < 0)
+    val audit = Linkage.blockCapAudit(empty, probe, Seq("blk"), blockCap = 10L)
+      .orderBy("side")
+      .select("side", "blocks", "n_rows", "dropped_blocks", "dropped_rows", "largest_block")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(audit === Array(("match", 1L, 1L, 0L, 0L, 1L), ("probe", 0L, 0L, 0L, 0L, 0L)))
+  }
+
   // ---- chunkDocs ---------------------------------------------------------
 
   test("chunkDocs windows cover every token with the configured overlap") {
