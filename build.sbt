@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 25g matches the reference envelope (CDM_DRIVER_MEMORY default,
+  // BASELINE.md): at 8g a full 140-query local[32] bench run accumulates
+  // enough heap pressure that late queries GC-thrash — sequence_pack
+  // measured 13.7 s in-run vs 1.7 s isolated on an idle 125 GiB machine.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "25g")}",
 )

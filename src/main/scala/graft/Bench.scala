@@ -70,7 +70,15 @@ object Bench {
     val results: Seq[(String, Timing)] = names.map { n =>
       var ts = Vector(runOnce(n), runOnce(n))
       def steady = if (ts.size >= 3) ts.drop(1) else ts
-      while (!ts.exists(_ < 0) && ts.size < 4 && ts.last > 1.5 * ts.min)
+      // Second trigger: min still > 2 s. The two-sample fast path assumes
+      // steady state by run 2, but a query whose generated code is hot
+      // enough to need C2 compilation reaches it at run 3-4
+      // (fuzzy_match_nn measured 5.4, 4.5, 1.6, 1.6 — a 2-sample min
+      // records 4.5 s for a 1.6 s query, and the 1.5×-spread trigger
+      // can't see it because the two slow samples agree). Expensive
+      // queries dominate the total, so they get the extra samples;
+      // sub-2 s queries keep the cheap 2-sample path.
+      while (!ts.exists(_ < 0) && ts.size < 4 && (ts.last > 1.5 * ts.min || ts.min > 2.0))
         ts = ts :+ runOnce(n)
       n -> (if (ts.exists(_ < 0)) Timing(-1.0, -1.0, ts.size)
             else Timing(ts.min, steady.max, ts.size))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+import graft.io.TableIO
+
+/** Dev-only A/B harness: time alternative formulations of a query shape
+ * against each other under the bench protocol (noop sink, min of N).
+ * Not part of the registered surface — `graft.Bench` is the record. */
+object BenchAB {
+
+  def time(label: String, n: Int)(mk: => DataFrame): Double = {
+    val ts = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      mk.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = ts.min
+    println(f"[ab] $label%-28s min=$best%7.3f  all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = spark
+
+    // text_repetition: OLD two-branch join-back form
+    def trOld: DataFrame = {
+      val docs = TableIO.read(s, sfDir, "documents")
+        .withColumn("__toks", TextOps.tokens(col("text")))
+      val perDoc = docs.select(col("doc_id"),
+        TextOps.dupWordFrac(col("__toks")).as("dup_word_frac"))
+      val top = docs
+        .select(col("doc_id"), explode_outer(TextOps.bigrams(col("__toks"))).as("bigram"))
+        .filter(col("bigram").isNotNull)
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+        .withColumn("top_bigram_frac",
+          round(col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 6))
+      perDoc.join(top, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+          col("dup_word_frac"))
+        .orderBy("doc_id")
+    }
+
+    // text_repetition: NEW single-lineage form (current registration)
+    def trNew: DataFrame = SparkEntry.queries("text_repetition")(s, sfDir)
+
+    val which = if (args.nonEmpty) args(0).split(",").toSet else Set("tr")
+    if (which("tr")) {
+      time("text_repetition OLD", 3)(trOld)
+      time("text_repetition NEW", 3)(trNew)
+    }
+    if (which("sp")) {
+      time("sequence_pack", 3)(SparkEntry.queries("sequence_pack")(s, sfDir))
+    }
+    if (which("fz")) {
+      time("fuzzy_match_nn", 4)(SparkEntry.queries("fuzzy_match_nn")(s, sfDir))
+    }
+    spark.stop()
+  }
+}

@@ -218,17 +218,21 @@ object Curation {
         spark.sessionState.conf.numShufflePartitions)
     // chunk = physical range partition: contiguous in (group, id) order by
     // construction, balanced by row count by the range partitioner. The
-    // lazy localCheckpoint pins ONE materialization that both consumers
-    // below share by RDD identity: the range partitioner's boundaries
-    // come from a seeded SAMPLE, so without the pin the local-cumsum and
-    // chunk-offset branches could (if exchange reuse ever failed to kick
-    // in) re-execute the exchange with different boundaries and combine
-    // a row's local sum with the wrong chunk's offset. The id is then
-    // materialized through a projection so downstream grouping references
-    // a plain attribute, not the nondeterministic expression.
+    // lazy localCheckpoint pins ONE materialization that every consumer
+    // below shares by RDD identity: the range partitioner's boundaries
+    // come from a seeded sample of its INPUT, so with the input pinned
+    // (and the sampler's per-partition seed a function of that fixed
+    // partitioning) the boundaries are deterministic even if the exchange
+    // re-executes — the local-cumsum and chunk-offset branches can never
+    // disagree on which chunk a row landed in. Pinning BEFORE the range
+    // exchange (not after) also means the token-count projection runs
+    // exactly once: the partitioner's sampling pass and the exchange both
+    // read the materialized 3-column RDD instead of re-tokenizing the
+    // text (measured: sampling re-ran the tokenize and doubled the
+    // query's scan cost when the checkpoint sat above the exchange).
     val chunked = df.select(col(groupCol), col(idCol), nTokens.cast("long").as("n_tokens"))
-      .repartitionByRange(parts, col(groupCol), col(idCol))
       .localCheckpoint(false)
+      .repartitionByRange(parts, col(groupCol), col(idCol))
       .withColumn("__chunk", spark_partition_id())
     val wLocal = Window.partitionBy(groupCol, "__chunk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

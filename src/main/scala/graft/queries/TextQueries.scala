@@ -317,27 +317,32 @@ object TextQueries {
         // would re-split the whole text per bigram (quadratic per doc)
         val docs = TableIO.read(s, dir, "documents")
           .withColumn("__toks", TextOps.tokens(col("text")))
-        // SINGLE LINEAGE: the per-doc scalar (dup_word_frac) rides through
-        // both aggregates as first() instead of a second text scan joined
-        // back — the former two-branch form split the expensive tokenize
-        // across two scans and paid a doc_id shuffle join to reunite them.
-        // explode_outer keeps bigram-less docs alive (null bigram row),
-        // excluded from the counts by the null-guarded aggregates.
-        docs
-          .select(col("doc_id"), TextOps.dupWordFrac(col("__toks")).as("__dwf"),
-            explode_outer(TextOps.bigrams(col("__toks"))).as("bigram"))
-          .groupBy("doc_id", "bigram")
-          .agg(count(lit(1)).as("c"), first("__dwf").as("__dwf"))
+        // TWO BRANCHES, rejoined on doc_id — measured 2.3× FASTER than the
+        // "single lineage" form that rides dup_word_frac through both
+        // aggregates as first() (1.29 s vs 2.96 s at sf0.1, BenchAB):
+        // carrying the per-doc scalar into the (doc_id, bigram) partial
+        // aggregate widens every hash-map entry and shuffle row of the
+        // ~n_bigrams-cardinality stage, which costs more than the extra
+        // 60k-row scan + broadcast-sized join it saves. The per-doc branch
+        // is cheap (one projection); the join is doc_id-keyed and small.
+        val perDoc = docs.select(col("doc_id"),
+          TextOps.dupWordFrac(col("__toks")).as("dup_word_frac"))
+        // explode_outer + null filter: see Dedup.ngramJaccardPairs on the
+        // InferFiltersFromGenerate re-inlining pathology
+        val top = docs
+          .select(col("doc_id"), explode_outer(TextOps.bigrams(col("__toks"))).as("bigram"))
+          .filter(col("bigram").isNotNull)
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
-          .agg(
-            sum(when(col("bigram").isNotNull, col("c")).otherwise(0L)).as("n_bigrams"),
-            max(when(col("bigram").isNotNull, col("c")).otherwise(0L)).as("top_bigram_n"),
-            first("__dwf").as("dup_word_frac"))
+          .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
           .withColumn("top_bigram_frac",
-            when(col("n_bigrams") > 0,
-              round(col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 6))
-              .otherwise(0.0))
-          .select("doc_id", "n_bigrams", "top_bigram_n", "top_bigram_frac", "dup_word_frac")
+            round(col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 6))
+        perDoc.join(top, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+            coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+            col("dup_word_frac"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
