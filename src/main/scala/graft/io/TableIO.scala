@@ -24,25 +24,39 @@ object TableIO {
 
   /** Read one origin/target table. `dir` = cluster stand-in directory.
    *
-   * The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-   * Spark 4 only reads as a nanosecond long under
-   * `spark.sql.legacy.parquet.nanosAsLong` (set by Verify/Bench/test
-   * sessions). Spark's native timestamp is µs, so `ts` is normalized to a
-   * µs TimestampType here — the fixture's instants are µs-aligned
-   * (FIXTURES.md), so no precision is lost and the DuckDB oracle sees the
-   * identical instants. */
-  /** Tables whose `ts` column is known to be parquet TIMESTAMP(NANOS)
-   * (surfacing as a nanosecond long under nanosAsLong). The normalization
-   * is keyed on this explicit allowlist, NOT on any long column named
-   * `ts` — a future table whose long `ts` is already µs, or a plain
-   * counter, must not be silently rewritten by a name-based heuristic. */
-  private val NanosTsTables: Set[String] = Set("events")
+   * The events fixture's `ts` column has drifted across driver regens —
+   * parquet TIMESTAMP(NANOS) (surfacing as a nanosecond LONG under
+   * `spark.sql.legacy.parquet.nanosAsLong`), then parquet `timestamp[us]`
+   * with no timezone (surfacing as TIMESTAMP_NTZ). The engine's contract
+   * is a µs instant-typed TimestampType (every consumer calls
+   * `unix_micros(ts)` / `window(ts, …)`), so this seam normalizes ALL
+   * known physical shapes to that one logical type:
+   *   - LongType (legacy nanos) → `timestamp_micros(ts div 1000)`
+   *   - TimestampNTZType (current fixtures) → cast to TimestampType; every
+   *     session pins `spark.sql.session.timeZone=UTC`, so the NTZ wall
+   *     clock IS the UTC instant and the cast is value-identical to what
+   *     the DuckDB oracle reads from the same file
+   *   - TimestampType → already the contract, passthrough
+   * Normalizing here, once, keeps the other three shapes out of every
+   * operator; FixtureContractSpec pins the post-read schema so the next
+   * fixture drift fails one named test instead of 11 scattered queries. */
+  /** Tables whose `ts` column carries event-time instants and is subject
+   * to the normalization above. Keyed on an explicit allowlist, NOT on
+   * any column named `ts` — a future table whose long `ts` is already µs,
+   * or a plain counter, must not be silently rewritten by a name-based
+   * heuristic. */
+  private val EventTsTables: Set[String] = Set("events")
 
   def read(spark: SparkSession, dir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$table.parquet")
-    val nanosTs = NanosTsTables.contains(table) &&
-      df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-    if (nanosTs) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+    if (!EventTsTables.contains(table)) df
+    else df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Backend dispatch: a cluster with a live contact point (host or SCB)
