@@ -30,6 +30,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as a RED row, never a silent
+    // absence: round 7's fixture drift broke 11 queries and the only
+    // symptom was 11 rows missing from CORRECTNESS (stderr scrolled by).
+    // Every failure is recorded here and dumped as _errors.json so the
+    // driver — and any human reading the dump dir — sees an explicit
+    // name → exception manifest. Written ALWAYS ({} when clean) so its
+    // absence itself signals "Verify never finished".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -50,6 +58,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -67,6 +76,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
+    // Exit stays 0 even on per-query failures: the driver must still score
+    // the queries that DID dump; the manifest (not the exit code) is the
+    // per-query failure channel.
     spark.stop()
   }
 }

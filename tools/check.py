@@ -17,6 +17,14 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Verify writes _errors.json (query -> exception) for every query that
+    # threw instead of dumping — score those as explicit FAILs so a
+    # throwing query can never vanish from the tally (round-7 lesson).
+    err_path = os.path.join(out_dir, "_errors.json")
+    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: threw at Verify time: {msg}")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
