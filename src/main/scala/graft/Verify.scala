@@ -21,8 +21,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); read as long, normalized to
-      // µs TimestampType in TableIO.read.
+      // legacy-fixture compat: current fixtures store events.ts as µs NTZ
+      // (normalized in TableIO.read); this flag only matters if an old
+      // TIMESTAMP(NANOS) fixture is read, surfacing ts as a long for the
+      // same seam's nanos branch.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // canonical registration of the custom TopKPerKey operator stack
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.plans.GraftExtensions")
