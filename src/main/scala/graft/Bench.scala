@@ -45,6 +45,31 @@ object Bench {
     }
     val names = SparkEntry.registry.map(_.name)
       .filter(n => only.forall(_.contains(n)))
+    // Prior-round per-query mins from the committed BENCH_FULL.json (the
+    // file is overwritten at the END of this run, so what we read here is
+    // the previous full record). Used as a regression-triage trigger: a
+    // query whose min moved >2× vs its committed min gets extra samples,
+    // so a contention spike at sample time cannot masquerade as a real
+    // regression in the round artifact. -1.0 failure sentinels and a
+    // missing/renamed query simply don't trigger (no prior signal).
+    val prior: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // comparable only at the same scale factor: a dev-loop run at
+        // sf0.001 against a committed sf0.1 record would trigger on every
+        // query (all "2× faster") and just waste samples
+        val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(s).exists(_.group(1) == sfDir)
+        if (!sameSf) Map.empty[String, Double]
+        else {
+          val qObj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+          """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(qObj)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    }
     // one warm-up of the first query amortizes JVM/codegen startup
     names.headOption.foreach(runOnce)
     // Per query: two timed runs minimum, keep the min (steady-state
@@ -78,7 +103,17 @@ object Bench {
       // can't see it because the two slow samples agree). Expensive
       // queries dominate the total, so they get the extra samples;
       // sub-2 s queries keep the cheap 2-sample path.
-      while (!ts.exists(_ < 0) && ts.size < 4 && (ts.last > 1.5 * ts.min || ts.min > 2.0))
+      // Third trigger: the current min moved >2× vs the previous round's
+      // committed min (either direction — slower means possible
+      // regression, faster means the PRIOR record was contended; both
+      // deserve confirmation samples). Allows one sample beyond the
+      // noise cap so the triage is a real extra pass even when the
+      // spread trigger already spent the budget.
+      val pr = prior.get(n).filter(_ > 0)
+      def moved2x = pr.exists(p => ts.min > 2 * p || ts.min < p / 2)
+      while (!ts.exists(_ < 0) &&
+             ((ts.size < 4 && (ts.last > 1.5 * ts.min || ts.min > 2.0)) ||
+              (ts.size < 5 && moved2x)))
         ts = ts :+ runOnce(n)
       n -> (if (ts.exists(_ < 0)) Timing(-1.0, -1.0, ts.size)
             else Timing(ts.min, steady.max, ts.size))
