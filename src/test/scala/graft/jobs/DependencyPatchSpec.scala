@@ -1,0 +1,96 @@
+package graft.jobs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Feeds a synthetic jar manifest through the patch plan and the
+ * jar_check-style integrity gate — the rewrite engine the reference's
+ * dependency patcher runs against a container image's jar directory
+ * (reference update-dependencies.py; examples below are the ones its own
+ * filename-pattern comment documents). */
+class DependencyPatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val installed = Seq(
+    "netty-all-4.2.6.Final.jar",
+    "netty-codec-native-quic-4.2.6.Final-linux-aarch_64.jar",
+    "netty-unrelated-1.0.0.jar",      // family matches, version doesn't
+    "not-netty-4.2.6.Final.jar",      // version matches, family doesn't
+    "log4j-core-2.24.0.jar",
+    "README.txt"                      // not a jar at all
+  ).toDF("filename")
+
+  private val patches = Seq(
+    ("netty", "io/netty", "4.2.6.Final", "4.2.7.Final"),
+    ("log4j", "org/apache/logging/log4j", "2.24.0", "2.25.1")
+  ).toDF("name", "group", "old_version", "new_version")
+
+  test("plan matches the reference's filename pattern and builds coordinates") {
+    val p = DependencyPatch.plan(installed, patches)
+      .select("filename", "new_filename", "lib_name", "maven_url")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+
+    assert(p.keySet == Set(
+      "netty-all-4.2.6.Final.jar",
+      "netty-codec-native-quic-4.2.6.Final-linux-aarch_64.jar",
+      "log4j-core-2.24.0.jar"))
+    assert(p("netty-all-4.2.6.Final.jar") ==
+      (("netty-all-4.2.7.Final.jar", "netty-all",
+        "https://repo1.maven.org/maven2/io/netty/netty-all/4.2.7.Final/netty-all-4.2.7.Final.jar")))
+    // arch-suffixed jar: version token replaced mid-name, artifactId keeps
+    // the component tokens, URL filename keeps the arch suffix
+    assert(p("netty-codec-native-quic-4.2.6.Final-linux-aarch_64.jar") ==
+      (("netty-codec-native-quic-4.2.7.Final-linux-aarch_64.jar", "netty-codec-native-quic",
+        "https://repo1.maven.org/maven2/io/netty/netty-codec-native-quic/4.2.7.Final/" +
+          "netty-codec-native-quic-4.2.7.Final-linux-aarch_64.jar")))
+  }
+
+  test("applyPlan produces the post-patch manifest: old gone, new present, rest untouched") {
+    val after = DependencyPatch.applyPlan(installed, patches)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(after == Map(
+      "netty-all-4.2.7.Final.jar" -> true,
+      "netty-codec-native-quic-4.2.7.Final-linux-aarch_64.jar" -> true,
+      "netty-unrelated-1.0.0.jar" -> false,
+      "not-netty-4.2.6.Final.jar" -> false,
+      "log4j-core-2.25.1.jar" -> true,
+      "README.txt" -> false))
+  }
+
+  test("first patch wins when two entries match the same jar") {
+    val dup = Seq(
+      ("netty", "io/netty", "4.2.6.Final", "4.2.7.Final"),
+      ("netty", "io/netty", "4.2.6.Final", "9.9.9")
+    ).toDF("name", "group", "old_version", "new_version")
+    val names = DependencyPatch.plan(installed, dup)
+      .filter($"filename" === "netty-all-4.2.6.Final.jar")
+      .select("new_filename").as[String].collect().toSeq
+    assert(names == Seq("netty-all-4.2.7.Final.jar"))
+  }
+
+  test("integrity gate reports the first failing check per jar, in reference order") {
+    val observed = Seq(
+      // filename, exists, size, is_zip, has_manifest, expected_size
+      ("ok.jar", true, 100L, true, true, Some(100L)),
+      ("gone.jar", false, 0L, false, false, Some(50L)),       // missing beats empty/bad_zip
+      ("zero.jar", true, 0L, false, false, None),             // empty beats bad_zip
+      ("corrupt.jar", true, 10L, false, false, None),
+      ("stripped.jar", true, 10L, true, false, None),
+      ("truncated-copy.jar", true, 90L, true, true, Some(100L))
+    ).toDF("filename", "exists", "size_bytes", "is_zip", "has_manifest", "expected_size")
+    val v = DependencyPatch.verifyIntegrity(observed)
+      .select("filename", "reason").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v == Map(
+      "gone.jar" -> "missing",
+      "zero.jar" -> "empty",
+      "corrupt.jar" -> "bad_zip",
+      "stripped.jar" -> "no_manifest",
+      "truncated-copy.jar" -> "size_mismatch"))
+  }
+
+  test("the patch plan stays declarative (no UDF, no cartesian product)") {
+    val plan = DependencyPatch.plan(installed, patches).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"patcher must be builtin-column arithmetic:\n${plan.take(2000)}")
+  }
+}
