@@ -171,6 +171,63 @@ object StreamingOps {
         })
   }
 
+  /** Input/output rows for the streaming as-of join. `side` tags the
+   * union: 0 = right (reference) stream, 1 = left (probe) stream. */
+  final case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int)
+  final case class AsofMatch(key: Long, ts: java.sql.Timestamp, asof_ts: Option[java.sql.Timestamp])
+  /** Per-key state: events not yet finalized by the watermark (µs, side)
+   * and the greatest finalized right timestamp so far. */
+  final case class AsofBuffer(pendingUs: Seq[(Long, Int)], lastRightUs: Option[Long])
+
+  /**
+   * Streaming backward as-of join — the incremental face of
+   * [[TemporalJoins.asofBackward]]: for every left event, the greatest
+   * right `ts` <= its `ts` within the key, over two unbounded streams.
+   *
+   * The batch form is a union-tag window over unbounded-preceding rows —
+   * inexpressible as an incremental window aggregate, so this is the
+   * `flatMapGroupsWithState` slot. Per key the state holds (a) events the
+   * watermark has not yet finalized — disorder inside the delay cannot
+   * change their relative order once the watermark passes them — and
+   * (b) ONE µs long: the greatest finalized right timestamp. Each batch
+   * (or event-time timeout, so progress needs no new data on the key)
+   * finalizes pending events at or below the watermark in (ts, side)
+   * order — right before left at equal ts, the batch form's inclusive
+   * tie rule — emitting matched left rows and folding rights into the
+   * scalar. State is O(events inside the watermark delay) per key while
+   * active and exactly one scalar at rest: the buffer drains on the
+   * watermark, it does not accumulate the stream.
+   */
+  def streamingAsofBackward(events: org.apache.spark.sql.Dataset[AsofEvent],
+      watermarkDelay: String): org.apache.spark.sql.Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, batch: Iterator[AsofEvent], state: GroupState[AsofBuffer]) => {
+          val st = state.getOption.getOrElse(AsofBuffer(Nil, None))
+          val pending = st.pendingUs ++
+            batch.map(e => (e.ts.getTime * 1000L, e.side))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pending.partition(_._1 <= wmUs)
+          var lastRight = st.lastRightUs
+          val out = Seq.newBuilder[AsofMatch]
+          ready.sorted.foreach { case (us, side) =>
+            if (side == 0) lastRight = Some(lastRight.fold(us)(math.max(_, us)))
+            else out += AsofMatch(key, new java.sql.Timestamp(us / 1000L),
+              lastRight.map(r => new java.sql.Timestamp(r / 1000L)))
+          }
+          state.update(AsofBuffer(rest, lastRight))
+          // wake on watermark progress past the oldest pending event —
+          // rest is strictly above the current watermark, so the target
+          // is legal (must be > watermark). A key with an empty buffer
+          // rests at one scalar and needs no timeout.
+          if (rest.nonEmpty) state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+          out.result().iterator
+        })
+  }
+
   /**
    * Custom keyed state beyond what `session_window` expresses — the
    * `flatMapGroupsWithState` face of §2.10: a per-user running aggregate

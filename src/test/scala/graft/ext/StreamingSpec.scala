@@ -172,6 +172,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches the batch asofBackward, including ties, late data, and no-match") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val source = MemoryStream[StreamingOps.AsofEvent]
+    val out = StreamingOps.streamingAsofBackward(source.toDS(), watermarkDelay = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("asof_state").start()
+    val R = 0; val L = 1
+    try {
+      // batch 1: rights and lefts for key 1, including an equal-ts tie
+      // (left 10:00 must match right 10:00 — inclusive) and a left with
+      // no preceding right (09:00 -> null)
+      source.addData(
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:00:00"), R),
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:00:00"), L),
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:30:00"), R),
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:45:00"), L),
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 09:00:00"), L))
+      q.processAllAvailable()
+      // batch 2: an out-of-order left INSIDE the watermark delay arrives
+      // after later events already did — must still match right 10:00,
+      // not 10:30. A far key advances the watermark.
+      source.addData(
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:15:00"), L),
+        StreamingOps.AsofEvent(99L, ts("2024-01-01 13:00:00"), R))
+      q.processAllAvailable()
+      // batch 3: watermark (13:00 - 1h) passes every key-1 event; the
+      // key-1 buffer drains via event-time timeout with no key-1 data
+      source.addData(StreamingOps.AsofEvent(99L, ts("2024-01-01 14:00:00"), R))
+      q.processAllAvailable()
+
+      val got = spark.table("asof_state").as[StreamingOps.AsofMatch].collect()
+        .filter(_.key == 1L).map(m => (m.ts, m.asof_ts)).toSet
+      val expected = Set[(Timestamp, Option[Timestamp])](
+        (ts("2024-01-01 09:00:00"), None),
+        (ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:00:00"))),
+        (ts("2024-01-01 10:15:00"), Some(ts("2024-01-01 10:00:00"))),
+        (ts("2024-01-01 10:45:00"), Some(ts("2024-01-01 10:30:00"))))
+      assert(got == expected, s"streaming asof emitted $got")
+
+      // batch duality: the batch operator over the same key-1 frames
+      val lefts = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:45:00"),
+        ts("2024-01-01 09:00:00"), ts("2024-01-01 10:15:00"))
+        .map(t => (1L, t)).toDF("key", "ts")
+      val rights = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"))
+        .map(t => (1L, t)).toDF("key", "ts")
+      val batch = TemporalJoins.asofBackward(lefts, rights, Seq("key"), "ts", "asof_ts")
+        .select("ts", "asof_ts").as[(Timestamp, Option[Timestamp])].collect().toSet
+      assert(batch == expected, s"batch asofBackward disagrees: $batch")
+    } finally q.stop()
+  }
+
   test("sessionized assigns gap-separated events to distinct sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
