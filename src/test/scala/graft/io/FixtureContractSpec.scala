@@ -64,6 +64,42 @@ class FixtureContractSpec extends SparkSpec {
       s"fixture drift: embeddings.embedding dimension(s) ${dims.mkString(",")}, contract expects exactly 64")
   }
 
+  test("TableIO.read normalizes every known physical ts shape to identical instants") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one instant, three physical encodings — the seam must map all three
+    // to the same TimestampType value under the UTC session pin
+    val usEpoch = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
+    def readBack(dir: String): (DataType, Long) = {
+      val df = TableIO.read(spark, dir, "events")
+      (df.schema("ts").dataType,
+        df.select(unix_micros(col("ts"))).as[Long].head())
+    }
+
+    val instantDir = tmpDir()
+    Seq(1L).toDF("event_id").select(col("event_id"),
+      timestamp_micros(lit(usEpoch)).as("ts"))
+      .write.parquet(s"$instantDir/events.parquet")
+
+    val ntzDir = tmpDir()
+    Seq(1L).toDF("event_id").select(col("event_id"),
+      timestamp_micros(lit(usEpoch)).cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$ntzDir/events.parquet")
+
+    // legacy TIMESTAMP(NANOS) surfaces as a ns LongType under nanosAsLong
+    val nanosDir = tmpDir()
+    Seq(1L).toDF("event_id").select(col("event_id"),
+      lit(usEpoch * 1000L).as("ts"))
+      .write.parquet(s"$nanosDir/events.parquet")
+
+    Seq("instant" -> instantDir, "ntz" -> ntzDir, "nanos-long" -> nanosDir)
+      .foreach { case (shape, dir) =>
+        val (dt, us) = readBack(dir)
+        assert(dt == TimestampType, s"$shape shape surfaced as $dt, not TimestampType")
+        assert(us == usEpoch, s"$shape shape read µs $us, expected $usEpoch")
+      }
+  }
+
   test("dimension tables match the contract") {
     assertCols("customer", "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
       "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType)
