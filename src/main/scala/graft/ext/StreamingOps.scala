@@ -228,6 +228,73 @@ object StreamingOps {
         })
   }
 
+  /** Per-key state for the FORWARD streaming as-of: watermark-pending
+   * events plus finalized left rows still waiting for a future right. */
+  final case class AsofFwdBuffer(pendingUs: Seq[(Long, Int)], waitingLeftUs: Seq[Long])
+
+  /**
+   * Streaming forward as-of join — the incremental face of
+   * [[TemporalJoins.asofForward]]: for every left event, the EARLIEST
+   * right `ts` >= its `ts` within the key.
+   *
+   * The forward direction has a state problem the backward one doesn't:
+   * a left row's match lies in the FUTURE, so an unmatched left would
+   * wait in state forever on a key whose right stream went quiet. The
+   * `horizonMinutes` bound fixes that — a left with no right inside
+   * `[ts, ts + horizon]` emits with `asof_ts = None` once the watermark
+   * proves no such right can arrive, exactly the bounded-wait contract a
+   * stream-stream interval join imposes for the same reason. State is
+   * therefore O(delay) pending + O(horizon) waiting lefts per key, never
+   * the stream.
+   *
+   * Tie and match discipline mirror the batch operator: a right at the
+   * left's own timestamp matches (inclusive), and because finalized
+   * events process in timestamp order, the first right processed after a
+   * left IS its earliest future right — every waiting left matches the
+   * next finalized right and drains.
+   */
+  def streamingAsofForward(events: org.apache.spark.sql.Dataset[AsofEvent],
+      watermarkDelay: String, horizonMinutes: Int): org.apache.spark.sql.Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val horizonUs = horizonMinutes.toLong * 60L * 1000000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, batch: Iterator[AsofEvent], state: GroupState[AsofFwdBuffer]) => {
+          val st = state.getOption.getOrElse(AsofFwdBuffer(Nil, Nil))
+          val pending = st.pendingUs ++
+            batch.map(e => (e.ts.getTime * 1000L, e.side))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pending.partition(_._1 <= wmUs)
+          var waiting = st.waitingLeftUs
+          val out = Seq.newBuilder[AsofMatch]
+          // left BEFORE right at equal ts, so an equal-ts right sees the
+          // left already waiting and matches it (inclusive semantics)
+          ready.sortBy { case (us, side) => (us, -side) }.foreach { case (us, side) =>
+            if (side == 1) waiting = waiting :+ us
+            else if (waiting.nonEmpty) { // first finalized right ≥ every waiting left
+              waiting.foreach { l =>
+                out += AsofMatch(key, new java.sql.Timestamp(l / 1000L),
+                  Some(new java.sql.Timestamp(us / 1000L)))
+              }
+              waiting = Nil
+            }
+          }
+          // horizon expiry: the watermark proves no right can arrive at
+          // or before waiting-left + horizon anymore -> no-match is final
+          val (expired, stillWaiting) = waiting.partition(_ + horizonUs <= wmUs)
+          expired.foreach(l => out += AsofMatch(key, new java.sql.Timestamp(l / 1000L), None))
+          state.update(AsofFwdBuffer(rest, stillWaiting))
+          // wake at whichever boundary comes first: the oldest pending
+          // event finalizing, or the oldest waiting left expiring. Both
+          // targets are strictly above the current watermark.
+          val wake = (rest.map(_._1 + 1000L) ++ stillWaiting.map(_ + horizonUs)).minOption
+          wake.foreach(us => state.setTimeoutTimestamp(us / 1000L))
+          out.result().iterator
+        })
+  }
+
   /**
    * Custom keyed state beyond what `session_window` expresses — the
    * `flatMapGroupsWithState` face of §2.10: a per-user running aggregate

@@ -223,6 +223,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming forward as-of matches batch asofForward; lefts expire to no-match at the horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val source = MemoryStream[StreamingOps.AsofEvent]
+    val out = StreamingOps.streamingAsofForward(source.toDS(),
+      watermarkDelay = "30 minutes", horizonMinutes = 60)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("asoff_state").start()
+    val R = 0; val L = 1
+    try {
+      // key 1: left 10:00 ties a right at 10:00 (inclusive); left 10:05
+      // waits for the NEXT right (10:30, arriving a batch later); left
+      // 11:50 never sees a right inside its 60-minute horizon -> must
+      // emit None once the watermark proves it. Batch boundaries keep
+      // every arrival inside the 30-minute watermark delay — later than
+      // that and the engine itself drops the row as late data.
+      source.addData(
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:00:00"), L),
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:00:00"), R),
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:05:00"), L))
+      q.processAllAvailable()
+      source.addData(
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:30:00"), R),
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 11:50:00"), L))
+      q.processAllAvailable()
+      // advance the watermark to 13:00 (> 11:50 + 60min horizon), then
+      // once more so the key-1 event-time timeout actually runs
+      source.addData(StreamingOps.AsofEvent(99L, ts("2024-01-01 13:30:00"), R))
+      q.processAllAvailable()
+      source.addData(StreamingOps.AsofEvent(99L, ts("2024-01-01 14:00:00"), R))
+      q.processAllAvailable()
+
+      val got = spark.table("asoff_state").as[StreamingOps.AsofMatch].collect()
+        .filter(_.key == 1L).map(m => (m.ts, m.asof_ts)).toSet
+      val expected = Set[(Timestamp, Option[Timestamp])](
+        (ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:00:00"))),
+        (ts("2024-01-01 10:05:00"), Some(ts("2024-01-01 10:30:00"))),
+        (ts("2024-01-01 11:50:00"), None))
+      assert(got == expected, s"streaming forward asof emitted $got")
+
+      // batch duality on the same key-1 frames (no right ever follows
+      // 11:50, so the unbounded batch operator also gives null there)
+      val lefts = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"),
+        ts("2024-01-01 11:50:00")).map(t => (1L, t)).toDF("key", "ts")
+      val rights = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"))
+        .map(t => (1L, t)).toDF("key", "ts")
+      val batch = TemporalJoins.asofForward(lefts, rights, Seq("key"), "ts", "asof_ts")
+        .select("ts", "asof_ts").as[(Timestamp, Option[Timestamp])].collect().toSet
+      assert(batch == expected, s"batch asofForward disagrees: $batch")
+    } finally q.stop()
+  }
+
   test("sessionized assigns gap-separated events to distinct sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
