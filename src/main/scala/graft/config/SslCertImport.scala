@@ -1,0 +1,89 @@
+package graft.config
+
+import java.io.{FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+import java.security.KeyStore
+import java.security.cert.CertificateFactory
+
+/**
+ * Truststore certificate import — the runtime half of the reference's
+ * `import_ssl_certificates` (`/root/reference/entrypoint.sh:188-221`),
+ * the last entrypoint function that previously had no analog here
+ * ([[TlsConfig]] models only the property → connector-option mapping).
+ *
+ * The reference reads a JSON settings file (env
+ * `CMD_SSL_STORE_SETTINGS_JSON`) mapping cert-set names to
+ * `{alias, file, keystore, storepass}` and shells out to
+ * `keytool -import -trustcacerts -noprompt` per entry. Here the same
+ * semantics run on the pure JDK `KeyStore`/`CertificateFactory` API —
+ * no subprocess, same observable result (keytool is itself a thin CLI
+ * over these classes):
+ *   - the keystore file is created if absent, loaded if present;
+ *   - the X.509 certificate is added under the alias as a trusted entry;
+ *   - an alias that already exists is an error, matching
+ *     `keytool -noprompt` ("alias already exists" → nonzero exit);
+ *   - entries import in sorted cert-set-name order (`jq -r 'keys[]'`
+ *     sorts object keys).
+ *
+ * Driver-side configuration plumbing by nature — runs once per job
+ * launch before any executor work, never on the data path.
+ */
+object SslCertImport {
+
+  final case class CertImport(certSet: String, alias: String, file: String,
+      keystore: String, storepass: String)
+
+  /** Parse the settings JSON: top-level object of cert-set objects, each
+   * carrying the four keytool fields; cert sets in sorted-name order. */
+  def parseSettings(json: String): Seq[CertImport] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root != null && root.isObject, "SSL store settings must be a JSON object")
+    import scala.jdk.CollectionConverters._
+    root.fields().asScala.toSeq.map(e => e.getKey -> e.getValue)
+      .sortBy(_._1)
+      .map { case (name, node) =>
+        def field(f: String): String = {
+          val v = node.get(f)
+          require(v != null && !v.isNull, s"cert set '$name' is missing '$f'")
+          v.asText()
+        }
+        CertImport(name, field("alias"), field("file"), field("keystore"), field("storepass"))
+      }
+  }
+
+  /** Import one certificate — create-or-load the keystore, refuse a
+   * duplicate alias, add the trusted entry, write back. PKCS12 (the
+   * modern keytool default store type). */
+  def importCert(ci: CertImport): Unit = {
+    require(Files.exists(Paths.get(ci.file)), s"certificate file not found: ${ci.file}")
+    val ks = KeyStore.getInstance("PKCS12")
+    val pass = ci.storepass.toCharArray
+    if (Files.exists(Paths.get(ci.keystore))) {
+      val in = new FileInputStream(ci.keystore)
+      try ks.load(in, pass) finally in.close()
+    } else ks.load(null, pass)
+    require(!ks.containsAlias(ci.alias),
+      s"Certificate not imported, alias <${ci.alias}> already exists")
+    val certIn = new FileInputStream(ci.file)
+    val cert = try CertificateFactory.getInstance("X.509").generateCertificate(certIn)
+      finally certIn.close()
+    ks.setCertificateEntry(ci.alias, cert)
+    val out = new FileOutputStream(ci.keystore)
+    try ks.store(out, pass) finally out.close()
+  }
+
+  /** The full entrypoint behavior: no settings → no-op; a settings path
+   * that doesn't exist → error (the reference's `error_exit`); otherwise
+   * import every cert set and return the aliases imported, in order. */
+  def importAll(settingsPath: Option[String]): Seq[String] = settingsPath match {
+    case None | Some("") => Nil
+    case Some(p) =>
+      require(Files.exists(Paths.get(p)),
+        s"Unable to find SSL store settings file $p specified in CMD_SSL_STORE_SETTINGS_JSON")
+      val imports = parseSettings(new String(Files.readAllBytes(Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      imports.foreach(importCert)
+      imports.map(_.alias)
+  }
+}
