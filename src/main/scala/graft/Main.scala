@@ -39,6 +39,11 @@ object Main {
       throw new IllegalArgumentException(
         "usage: graft.Main <migrate|validate|guardrail> [cdm.properties] (or set CDM_JOB_NAME)"))
     JobDispatch.resolve(jobName) // fail fast on a bad name, before any Spark work
+    // wrapper launch order (entrypoint.sh:225-270): certificates import
+    // BEFORE the job starts, driven by CMD_SSL_STORE_SETTINGS_JSON; absent
+    // env is a no-op, a bad settings path is a pre-Spark hard error
+    graft.config.SslCertImport.importAll(sys.env.get("CMD_SSL_STORE_SETTINGS_JSON"))
+      .foreach(a => println(s"[graft] imported SSL certificate alias $a"))
     val spark = SparkSession.builder().appName(s"graft-$jobName").getOrCreate()
     val cfg = resolveConfig(spark, args.lift(1), sys.env)
     val report = JobDispatch.run(spark, jobName, cfg)
