@@ -159,6 +159,41 @@ object Curation {
   }
 
   /**
+   * DSIR resampling — the second half of the published method
+   * (arXiv:2302.03169 §2: compute importance weights, then SAMPLE the
+   * raw corpus with probability proportional to them). Input is
+   * [[importanceWeights]] output (`idCol`, `n_tokens`, `score_us`).
+   *
+   * Acceptance is `min(w̄, cap) / cap` where w̄ = score_us div n_tokens
+   * (per-token average weight in µ-units) and `capUs` is the weight at
+   * which acceptance saturates at 1 — the proportional-sampling knob
+   * expressed in the same exact integer fixed point as the weights.
+   * The per-doc uniform draw is a Knuth-style mixed hash of the id
+   * (xxhash prime3 multiplier — distinct from both the token-ring and
+   * token-percent mixers, so composing this sampler with them never
+   * correlates), reduced to ppm by taking the HIGH bits, exactly the
+   * [[graft.io.TableIO.tokenPercentBucket]] lattice-avoidance argument.
+   * Fully deterministic → both engines and any partitioning agree on the
+   * exact kept set; every row is returned with its `kept` verdict so the
+   * sampling rate itself is auditable downstream.
+   *
+   * Scale: pure per-row column arithmetic over the weight table — no
+   * shuffle, no text, nothing driver-side.
+   */
+  def dsirResample(weights: DataFrame, idCol: String, capUs: Long): DataFrame = {
+    require(capUs > 0 && capUs <= 1000000000000L,
+      s"capUs must be in (0, 1e12] (int64 headroom for capUs * 1e6): $capUs")
+    val M = 1L << 31
+    weights
+      .withColumn("w_avg_us",
+        when(col("n_tokens") > 0L, expr("score_us div n_tokens")).otherwise(0L))
+      .withColumn("accept_ppm", expr(s"(least(w_avg_us, ${capUs}L) * 1000000L) div ${capUs}L"))
+      .withColumn("u_ppm",
+        shiftright(pmod(pmod(col(idCol).cast("long"), lit(M)) * lit(3266489917L), lit(M)) * lit(1000000L), 31))
+      .withColumn("kept", (col("u_ppm") < col("accept_ppm")).cast("int"))
+  }
+
+  /**
    * Fixed-width histogram of a numeric column (negatives included):
    * bucket `floor(v / width)`, per-bucket count and min/max envelope. One
    * map-side-combined groupBy — the corpus length-distribution audit

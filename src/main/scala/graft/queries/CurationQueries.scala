@@ -317,6 +317,59 @@ object CurationQueries {
               |       CAST(CASE WHEN coalesce(s.score_us, 0) > coalesce(s.n_tokens, 0) * 1000000
               |            THEN 1 ELSE 0 END AS INTEGER) AS target_like
               |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+              |ORDER BY 1""".stripMargin)),
+
+    // DSIR stage 2 (arXiv:2302.03169): resample the corpus with
+    // probability proportional to the stage-1 importance weight —
+    // acceptance min(w̄, cap)/cap against a deterministic per-doc uniform
+    // draw (high bits of a mixed id hash, in ppm). cap = 2e6 µ-units:
+    // a corpus-average doc (w̄ = 1e6) keeps at 50%, twice-average or
+    // better always keeps. Every row returns with its kept verdict so
+    // the realized rate is auditable.
+    Q("dsir_resample",
+      (s, dir) => Curation.dsirResample(
+          Curation.importanceWeights(
+            TableIO.read(s, dir, "documents"), "doc_id", "text",
+            isTarget = col("source") === "src0", buckets = 64),
+          "doc_id", capUs = 2000000L)
+        .select("doc_id", "w_avg_us", "accept_ppm", "u_ppm", "kept")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, source = 'src0' AS is_t,
+              |         ${OracleSql.tokenHash("t")} % 64 AS b
+              |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t FROM documents)),
+              |counts AS (
+              |  SELECT b, count(*) AS n_raw,
+              |         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+              |  FROM tok GROUP BY 1),
+              |tot AS (
+              |  SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+              |         CAST(sum(n_target) AS BIGINT) AS t_target
+              |  FROM counts),
+              |w AS (
+              |  SELECT b, (1000000 * n_target * t_raw) // (n_raw * t_target) AS w_us
+              |  FROM counts, tot),
+              |scored AS (
+              |  SELECT tok.doc_id, count(*) AS n_tokens,
+              |         CAST(sum(w.w_us) AS BIGINT) AS score_us
+              |  FROM tok JOIN w ON tok.b = w.b
+              |  GROUP BY 1),
+              |iw AS (
+              |  SELECT d.doc_id,
+              |         CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+              |         CAST(coalesce(s.score_us, 0) AS BIGINT) AS score_us
+              |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+              |res AS (
+              |  SELECT doc_id,
+              |         CAST(CASE WHEN n_tokens > 0 THEN score_us // n_tokens ELSE 0 END AS BIGINT) AS w_avg_us
+              |  FROM iw)
+              |SELECT doc_id, w_avg_us,
+              |       CAST(least(w_avg_us, 2000000) * 1000000 // 2000000 AS BIGINT) AS accept_ppm,
+              |       CAST(((doc_id % 2147483648) * 3266489917 % 2147483648) * 1000000 >> 31 AS BIGINT) AS u_ppm,
+              |       CAST(CASE WHEN ((doc_id % 2147483648) * 3266489917 % 2147483648) * 1000000 >> 31
+              |                      < least(w_avg_us, 2000000) * 1000000 // 2000000
+              |            THEN 1 ELSE 0 END AS INTEGER) AS kept
+              |FROM res
               |ORDER BY 1""".stripMargin))
   )
 }

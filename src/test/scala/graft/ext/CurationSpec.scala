@@ -161,4 +161,30 @@ class CurationSpec extends SparkSpec {
     // two Window operators (local + global) with a Filter between them
     assert("Window".r.findAllIn(plan).size >= 2, s"expected two windows:\n$plan")
   }
+
+  test("dsirResample: saturation always keeps, zero tokens never keep, verdict matches the rule") {
+    import spark.implicits._
+    // (id, n_tokens, score_us): w-bar spans zero, sub-cap, exactly cap, above cap
+    val weights = Seq(
+      (1L, 0L, 0L),               // no tokens -> never kept
+      (2L, 10L, 5000000L),        // w-bar = 500_000, accept 25% of ppm space
+      (3L, 10L, 20000000L),       // w-bar = cap -> accept_ppm = 1e6, always kept
+      (4L, 10L, 99000000L)        // above cap saturates identically
+    ).toDF("doc_id", "n_tokens", "score_us")
+    val out = Curation.dsirResample(weights, "doc_id", capUs = 2000000L)
+      .select("doc_id", "w_avg_us", "accept_ppm", "u_ppm", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L)._2 == 0L && out(1L)._4 == 0, s"zero-token doc must never keep: ${out(1L)}")
+    assert(out(3L)._2 == 1000000L && out(3L)._4 == 1, s"at-cap doc must always keep: ${out(3L)}")
+    assert(out(4L)._2 == 1000000L && out(4L)._4 == 1, s"above-cap doc must always keep: ${out(4L)}")
+    // u_ppm lives in [0, 1e6) and the verdict is exactly u < accept
+    out.values.foreach { case (_, accept, u, kept) =>
+      assert(u >= 0 && u < 1000000L)
+      assert(kept == (if (u < accept) 1 else 0))
+    }
+    // determinism: a different partitioning yields the identical kept set
+    val again = Curation.dsirResample(weights.repartition(7), "doc_id", capUs = 2000000L)
+      .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out.map { case (k, v) => k -> v._4 })
+  }
 }
