@@ -338,4 +338,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"source census went all-pairs:\n${p.take(2000)}")
   }
+
+  test("DSIR resampling adds zero exchanges over the stage-1 weights") {
+    import org.apache.spark.sql.functions.col
+    val docs = TableIO.read(spark, Sf, "documents")
+    val stage1 = graft.ext.Curation.importanceWeights(
+      docs, "doc_id", "text", isTarget = col("source") === "src0", buckets = 64)
+    val stage2 = graft.ext.Curation.dsirResample(stage1, "doc_id", capUs = 2000000L)
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    val (p1, p2) = (plan(stage1), plan(stage2))
+    assert(exchanges(p2) == exchanges(p1),
+      s"resampling must be pure per-row arithmetic (stage1 ${exchanges(p1)} vs stage2 ${exchanges(p2)}):\n${p2.take(2500)}")
+  }
 }
