@@ -73,6 +73,26 @@ object BenchAB {
     if (which("fz")) {
       time("fuzzy_match_nn", 4)(SparkEntry.queries("fuzzy_match_nn")(s, sfDir))
     }
+    if (which("probe_ad")) {
+      val docs = TableIO.read(s, sfDir, "documents")
+      def base = docs.select(col("lang"), col("doc_id")).filter(col("doc_id").isNotNull)
+      time("ad: scan", 3)(base)
+      time("ad: distinct", 3)(base.distinct())
+      time("ad: + exact agg", 3)(base.distinct().groupBy("lang").agg(count(lit(1)).as("c")))
+      time("ad: + approx 0.01", 3)(base.distinct().groupBy("lang")
+        .agg(count(lit(1)).as("c"), approx_count_distinct(col("doc_id"), 0.01).as("a")))
+      time("ad: + approx 0.05", 3)(base.distinct().groupBy("lang")
+        .agg(count(lit(1)).as("c"), approx_count_distinct(col("doc_id"), 0.05).as("a")))
+      time("ad: approx only, no distinct", 3)(base.groupBy("lang")
+        .agg(approx_count_distinct(col("doc_id"), 0.01).as("a")))
+      val q = base.distinct().groupBy("lang")
+        .agg(count(lit(1)).as("c"), approx_count_distinct(col("doc_id"), 0.01).as("a"))
+      q.write.mode("overwrite").format("noop").save()
+      println("[ab] partitions=" + base.rdd.getNumPartitions)
+      q.queryExecution.executedPlan.toString.split("\n")
+        .filter(l => l.contains("Aggregate") || l.contains("Exchange"))
+        .foreach(l => println("[ab] plan: " + l.trim.take(160)))
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>
