@@ -56,9 +56,17 @@ object DependencyPatch {
   def plan(installed: DataFrame, patches: DataFrame): DataFrame = {
     val nameToks = split(col("name"), "-")
     val fileToks = tokens(col("filename"))
+    // The reference applies its patch LIST in file order; a DataFrame has
+    // no implicit order, so the caller passes `patch_idx` to carry it.
+    // Without one, a canonical sorted order stands in — deterministic
+    // either way. The global row_number window is fine here: patches are
+    // a config artifact (tens of rows), never data-scale.
+    val indexed =
+      if (patches.columns.contains("patch_idx")) patches
+      else patches.withColumn("patch_idx",
+        row_number().over(Window.orderBy("name", "old_version", "new_version")) - 1)
     val matched = installed
-      .join(patches.withColumn("patch_idx",
-        row_number().over(Window.orderBy("name", "old_version", "new_version")) - 1),
+      .join(indexed,
         // leading tokens == family name, old_version a later standalone token
         col("filename").endsWith(".jar") &&
           slice(fileToks, lit(1), size(nameToks)) === nameToks &&

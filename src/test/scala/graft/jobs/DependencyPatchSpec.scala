@@ -68,6 +68,18 @@ class DependencyPatchSpec extends SparkSpec {
     assert(names == Seq("netty-all-4.2.7.Final.jar"))
   }
 
+  test("an explicit patch_idx carries the reference's list order") {
+    // reversed priority vs the canonical sort: idx 0 is the 9.9.9 entry
+    val dup = Seq(
+      ("netty", "io/netty", "4.2.6.Final", "9.9.9", 0),
+      ("netty", "io/netty", "4.2.6.Final", "4.2.7.Final", 1)
+    ).toDF("name", "group", "old_version", "new_version", "patch_idx")
+    val names = DependencyPatch.plan(installed, dup)
+      .filter($"filename" === "netty-all-4.2.6.Final.jar")
+      .select("new_filename").as[String].collect().toSeq
+    assert(names == Seq("netty-all-9.9.9.jar"))
+  }
+
   test("integrity gate reports the first failing check per jar, in reference order") {
     val observed = Seq(
       // filename, exists, size, is_zip, has_manifest, expected_size
