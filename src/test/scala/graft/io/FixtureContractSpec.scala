@@ -39,13 +39,20 @@ class FixtureContractSpec extends SparkSpec {
   }
 
   test("lineitem/orders key and measure types match the contract") {
+    // The date columns are pinned as NTZ deliberately: queries and their
+    // DuckDB oracles both treat them as wall-clock values, and the
+    // Verify dumps re-encode whatever type surfaces here — a regen to
+    // instant-µs would silently flip the dump to timestamptz and break
+    // the oracle schema compare, so it must fail HERE by name instead.
     assertCols("lineitem",
       "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
       "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
-      "l_extendedprice" -> DoubleType, "l_returnflag" -> StringType)
+      "l_extendedprice" -> DoubleType, "l_returnflag" -> StringType,
+      "l_shipdate" -> TimestampNTZType)
     assertCols("orders",
       "o_orderkey" -> LongType, "o_custkey" -> LongType,
-      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType)
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType)
   }
 
   test("documents text-pipeline columns match the contract") {
