@@ -232,6 +232,60 @@ object StreamingOps {
    * events plus finalized left rows still waiting for a future right. */
   final case class AsofFwdBuffer(pendingUs: Seq[(Long, Int)], waitingLeftUs: Seq[Long])
 
+  /** Rows for the streaming SCD-2 maintainer. */
+  final case class ScdChange(key: Long, ts: java.sql.Timestamp, tie: Long, state: Option[String])
+  final case class ScdClosed(key: Long, state: Option[String], version: Int,
+      valid_from_us: Long, valid_to_us: Long)
+  /** Per-key state: watermark-pending changes plus the one open interval. */
+  final case class ScdBuffer(pending: Seq[(Long, Long, Option[String])],
+      hasOpen: Boolean, openState: Option[String], openFromUs: Long, openVersion: Int)
+
+  /**
+   * Streaming SCD-2 dimension maintenance — the incremental face of
+   * [[graft.ops.Scd.scd2FromChangeLog]]: fold a change stream into
+   * validity intervals as it arrives, instead of re-windowing the full
+   * log per batch.
+   *
+   * Append-mode discipline: only CLOSED intervals emit (valid_from/to
+   * both known and final); the single open interval per key lives in the
+   * state store — one row regardless of stream length, the same at-rest
+   * footprint as the backward as-of scalar. Events finalize in
+   * (ts, tie) order once the watermark passes them, so out-of-order
+   * arrival inside the delay cannot reorder history; consecutive
+   * duplicates of the same state collapse exactly like the batch
+   * operator (None is a real state and compares as itself, the
+   * null-safe `<=>` contract).
+   */
+  def streamingScd2(changes: org.apache.spark.sql.Dataset[ScdChange],
+      watermarkDelay: String): org.apache.spark.sql.Dataset[ScdClosed] = {
+    import changes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    changes.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, batch: Iterator[ScdChange], state: GroupState[ScdBuffer]) => {
+          val st = state.getOption.getOrElse(ScdBuffer(Nil, hasOpen = false, None, 0L, 0))
+          val pending = st.pending ++
+            batch.map(c => (c.ts.getTime * 1000L, c.tie, c.state))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pending.partition(_._1 <= wmUs)
+          var (hasOpen, openState, openFrom, openVer) =
+            (st.hasOpen, st.openState, st.openFromUs, st.openVersion)
+          val out = Seq.newBuilder[ScdClosed]
+          ready.sortBy { case (us, tie, _) => (us, tie) }.foreach { case (us, _, s) =>
+            if (!hasOpen) { hasOpen = true; openState = s; openFrom = us; openVer = 1 }
+            else if (openState != s) { // Option equality == null-safe <=>
+              out += ScdClosed(key, openState, openVer, openFrom, us)
+              openState = s; openFrom = us; openVer += 1
+            } // same state: collapse into the open interval
+          }
+          state.update(ScdBuffer(rest, hasOpen, openState, openFrom, openVer))
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+          out.result().iterator
+        })
+  }
+
   /**
    * Streaming forward as-of join — the incremental face of
    * [[TemporalJoins.asofForward]]: for every left event, the EARLIEST

@@ -274,6 +274,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD-2 emits closed intervals matching the batch build, collapsing duplicates and null states") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val source = MemoryStream[StreamingOps.ScdChange]
+    val out = StreamingOps.streamingScd2(source.toDS(), watermarkDelay = "30 minutes")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("scd_state").start()
+    try {
+      // key 1 history: A at 10:00, duplicate A at 10:10 (collapses),
+      // transition to null state at 10:20 (a REAL state), back to B at
+      // 10:40 — with the 10:10 duplicate arriving out of order
+      source.addData(
+        StreamingOps.ScdChange(1L, ts("2024-01-01 10:00:00"), 1L, Some("A")),
+        StreamingOps.ScdChange(1L, ts("2024-01-01 10:20:00"), 2L, None))
+      q.processAllAvailable()
+      source.addData(
+        StreamingOps.ScdChange(1L, ts("2024-01-01 10:10:00"), 3L, Some("A")),
+        StreamingOps.ScdChange(1L, ts("2024-01-01 10:40:00"), 4L, Some("B")))
+      q.processAllAvailable()
+      // advance the watermark past every key-1 change, then once more so
+      // the event-time timeout drains the buffer
+      source.addData(StreamingOps.ScdChange(99L, ts("2024-01-01 12:00:00"), 5L, Some("X")))
+      q.processAllAvailable()
+      source.addData(StreamingOps.ScdChange(99L, ts("2024-01-01 12:30:00"), 6L, Some("X")))
+      q.processAllAvailable()
+
+      val got = spark.table("scd_state").as[StreamingOps.ScdClosed].collect()
+        .filter(_.key == 1L)
+        .map(c => (c.state, c.version, c.valid_from_us, c.valid_to_us)).toSet
+      def us(s: String) = ts(s).getTime * 1000L
+      // closed intervals only: A [10:00, 10:20) v1, null [10:20, 10:40) v2;
+      // B stays open in state and must NOT emit
+      val expected = Set[(Option[String], Int, Long, Long)](
+        (Some("A"), 1, us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00")),
+        (None, 2, us("2024-01-01 10:20:00"), us("2024-01-01 10:40:00")))
+      assert(got == expected, s"streaming scd2 emitted $got")
+
+      // batch duality: the batch operator over the same change rows,
+      // restricted to its closed intervals, agrees
+      val log = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+        (1L, ts("2024-01-01 10:20:00"), 2L, null.asInstanceOf[String]),
+        (1L, ts("2024-01-01 10:10:00"), 3L, "A"),
+        (1L, ts("2024-01-01 10:40:00"), 4L, "B")
+      ).toDF("key", "ts", "tie", "state")
+      val batch = graft.ops.Scd.scd2FromChangeLog(log, "key", "ts", "tie", "state")
+        .filter(col("valid_to_us").isNotNull)
+        .select("state", "version", "valid_from_us", "valid_to_us")
+        .as[(Option[String], Int, Long, Long)].collect().toSet
+      assert(batch == expected, s"batch scd2 closed intervals disagree: $batch")
+    } finally q.stop()
+  }
+
   test("sessionized assigns gap-separated events to distinct sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
