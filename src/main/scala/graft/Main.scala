@@ -44,7 +44,11 @@ object Main {
     // env is a no-op, a bad settings path is a pre-Spark hard error
     graft.config.SslCertImport.importAll(sys.env.get("CMD_SSL_STORE_SETTINGS_JSON"))
       .foreach(a => println(s"[graft] imported SSL certificate alias $a"))
-    val spark = SparkSession.builder().appName(s"graft-$jobName").getOrCreate()
+    // pinned-UTC is a library-wide contract (SURVEY §7.5.2): event-time
+    // normalization and writetime arithmetic assume it, so the production
+    // entry pins it like every harness session does
+    val spark = SparkSession.builder().appName(s"graft-$jobName")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     val cfg = resolveConfig(spark, args.lift(1), sys.env)
     val report = JobDispatch.run(spark, jobName, cfg)
     // the report frame is small by construction (job counters / diff

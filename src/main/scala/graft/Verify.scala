@@ -48,7 +48,7 @@ object Verify {
       // (passing) parquet in place and the driver would score the broken
       // query green against stale data
       val dumpDir = Paths.get(outDir, name)
-      if (Files.exists(dumpDir)) {
+      def deleteDump(): Unit = if (Files.exists(dumpDir)) {
         import scala.jdk.CollectionConverters._
         // Files.walk holds directory handles until closed — over a
         // 131-query dump that is 131 leaked fds per run without this.
@@ -56,11 +56,17 @@ object Verify {
         try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
         finally walk.close()
       }
+      deleteDump()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        // a failure mid-write leaves a partial directory (_temporary /
+        // zero part-files) that would crash or confuse the scorer —
+        // the manifest entry above is the failure record, so the broken
+        // dump must not exist at all
+        try deleteDump() catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

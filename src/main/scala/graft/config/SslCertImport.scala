@@ -69,8 +69,20 @@ object SslCertImport {
     val cert = try CertificateFactory.getInstance("X.509").generateCertificate(certIn)
       finally certIn.close()
     ks.setCertificateEntry(ci.alias, cert)
-    val out = new FileOutputStream(ci.keystore)
+    // write-then-atomic-rename: an in-place FileOutputStream truncates
+    // the existing truststore first, so a crash mid-store would destroy
+    // every previously imported certificate; the temp file keeps the
+    // old store intact until the new one is durably complete
+    val tmp = Paths.get(ci.keystore + ".tmp")
+    val out = new FileOutputStream(tmp.toFile)
     try ks.store(out, pass) finally out.close()
+    try Files.move(tmp, Paths.get(ci.keystore),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, Paths.get(ci.keystore),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** The full entrypoint behavior: no settings → no-op; a settings path

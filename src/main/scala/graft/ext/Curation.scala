@@ -183,6 +183,7 @@ object Curation {
   def dsirResample(weights: DataFrame, idCol: String, capUs: Long): DataFrame = {
     require(capUs > 0 && capUs <= 1000000000000L,
       s"capUs must be in (0, 1e12] (int64 headroom for capUs * 1e6): $capUs")
+    requireFreeColumns(weights, Seq("w_avg_us", "accept_ppm", "u_ppm", "kept"))
     val M = 1L << 31
     weights
       .withColumn("w_avg_us",

@@ -147,11 +147,11 @@ object StreamingOps {
             state.remove()
             Iterator.single(done)
           } else {
-            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val evs = batch.toSeq.sortBy(e => tsToUs(e.ts))
             var open = state.getOption
             val closed = Seq.newBuilder[SessionAgg]
             evs.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = tsToUs(e.ts)
               open = open match {
                 case Some(s) if us - s.end_us < gapMicros =>
                   Some(s.copy(end_us = math.max(s.end_us, us), n_events = s.n_events + 1))
@@ -169,6 +169,20 @@ object StreamingOps {
             closed.result().iterator
           }
         })
+  }
+
+  /** Exact µs conversions for the custom-state operators.
+   * `Timestamp.getTime * 1000` TRUNCATES sub-millisecond precision
+   * (java.sql.Timestamp carries µs in its nanos field) — two events
+   * 300 µs apart would collapse to the same instant and could swap
+   * their order against the batch operators, which compare native µs
+   * TimestampType. These helpers round-trip the full precision. */
+  private[ext] def tsToUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+  private[ext] def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
   }
 
   /** Input/output rows for the streaming as-of join. `side` tags the
@@ -208,15 +222,14 @@ object StreamingOps {
         (key: Long, batch: Iterator[AsofEvent], state: GroupState[AsofBuffer]) => {
           val st = state.getOption.getOrElse(AsofBuffer(Nil, None))
           val pending = st.pendingUs ++
-            batch.map(e => (e.ts.getTime * 1000L, e.side))
+            batch.map(e => (tsToUs(e.ts), e.side))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, rest) = pending.partition(_._1 <= wmUs)
           var lastRight = st.lastRightUs
           val out = Seq.newBuilder[AsofMatch]
           ready.sorted.foreach { case (us, side) =>
             if (side == 0) lastRight = Some(lastRight.fold(us)(math.max(_, us)))
-            else out += AsofMatch(key, new java.sql.Timestamp(us / 1000L),
-              lastRight.map(r => new java.sql.Timestamp(r / 1000L)))
+            else out += AsofMatch(key, usToTs(us), lastRight.map(usToTs))
           }
           state.update(AsofBuffer(rest, lastRight))
           // wake on watermark progress past the oldest pending event —
@@ -266,7 +279,7 @@ object StreamingOps {
         (key: Long, batch: Iterator[ScdChange], state: GroupState[ScdBuffer]) => {
           val st = state.getOption.getOrElse(ScdBuffer(Nil, hasOpen = false, None, 0L, 0))
           val pending = st.pending ++
-            batch.map(c => (c.ts.getTime * 1000L, c.tie, c.state))
+            batch.map(c => (tsToUs(c.ts), c.tie, c.state))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, rest) = pending.partition(_._1 <= wmUs)
           var (hasOpen, openState, openFrom, openVer) =
@@ -318,7 +331,7 @@ object StreamingOps {
         (key: Long, batch: Iterator[AsofEvent], state: GroupState[AsofFwdBuffer]) => {
           val st = state.getOption.getOrElse(AsofFwdBuffer(Nil, Nil))
           val pending = st.pendingUs ++
-            batch.map(e => (e.ts.getTime * 1000L, e.side))
+            batch.map(e => (tsToUs(e.ts), e.side))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, rest) = pending.partition(_._1 <= wmUs)
           var waiting = st.waitingLeftUs
@@ -327,18 +340,23 @@ object StreamingOps {
           // left already waiting and matches it (inclusive semantics)
           ready.sortBy { case (us, side) => (us, -side) }.foreach { case (us, side) =>
             if (side == 1) waiting = waiting :+ us
-            else if (waiting.nonEmpty) { // first finalized right ≥ every waiting left
-              waiting.foreach { l =>
-                out += AsofMatch(key, new java.sql.Timestamp(l / 1000L),
-                  Some(new java.sql.Timestamp(us / 1000L)))
-              }
+            else {
+              // the horizon binds HERE too, not only at watermark expiry:
+              // when a quiet key's first right finalizes in the same pass
+              // that drains old lefts, a left whose deadline passed before
+              // this right must still report no-match — otherwise the
+              // result would depend on watermark cadence (a slow watermark
+              // would emit a match the contract forbids)
+              val (lapsed, inReach) = waiting.partition(_ + horizonUs < us)
+              lapsed.foreach(l => out += AsofMatch(key, usToTs(l), None))
+              inReach.foreach(l => out += AsofMatch(key, usToTs(l), Some(usToTs(us))))
               waiting = Nil
             }
           }
           // horizon expiry: the watermark proves no right can arrive at
           // or before waiting-left + horizon anymore -> no-match is final
           val (expired, stillWaiting) = waiting.partition(_ + horizonUs <= wmUs)
-          expired.foreach(l => out += AsofMatch(key, new java.sql.Timestamp(l / 1000L), None))
+          expired.foreach(l => out += AsofMatch(key, usToTs(l), None))
           state.update(AsofFwdBuffer(rest, stillWaiting))
           // wake at whichever boundary comes first: the oldest pending
           // event finalizing, or the oldest waiting left expiring. Both
@@ -367,7 +385,7 @@ object StreamingOps {
           if (evs.isEmpty) Iterator.empty
           else {
             val prev = state.getOption.getOrElse(UserRunningStats(userId, 0L, 0.0, evs.head.ts))
-            val batchMax = evs.maxBy(_.ts.getTime).ts
+            val batchMax = evs.maxBy(e => tsToUs(e.ts)).ts
             // DECIMAL-discipline (file header contract): exact BigDecimal
             // accumulation makes the per-batch sum independent of event
             // order WITHIN a batch (a raw Double fold varies in the low

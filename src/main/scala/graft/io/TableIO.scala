@@ -54,6 +54,16 @@ object TableIO {
       case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // The NTZ→instant cast evaluates under the SESSION timezone —
+        // value-identical to the oracle only when that is UTC. Every
+        // session this library builds pins UTC (build.sbt, Main, Verify,
+        // Bench, tests); a foreign session that didn't would silently
+        // shift every instant by its zone offset here, so fail loud
+        // instead of corrupting event time.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"TableIO.read($table): events.ts is TIMESTAMP_NTZ and the session timezone is " +
+            s"'${spark.conf.get("spark.sql.session.timeZone")}' — the NTZ normalization contract " +
+            "requires spark.sql.session.timeZone=UTC (see SURVEY §7.5.2)")
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }

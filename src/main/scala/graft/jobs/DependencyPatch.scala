@@ -29,17 +29,14 @@ import org.apache.spark.sql.functions._
  */
 object DependencyPatch {
 
-  /** Filename tokens with the trailing `.jar` stripped: the reference's
-   * `(?:-[^-]+)*` regex treats the name as hyphen-delimited tokens. */
-  private def tokens(filename: Column): Column =
-    split(regexp_replace(filename, "\\.jar$", ""), "-")
 
   /**
    * Match + rewrite plan: one row per (installed jar, patch) pair that the
    * reference's filename pattern accepts
-   * (`update-dependencies.py:158-178`): the filename's leading tokens
-   * equal the dependency family name and `old_version` appears as a
-   * standalone hyphen-delimited token after it.
+   * (`update-dependencies.py:158-178`): the filename starts with the
+   * dependency family name and `old_version` appears after it delimited
+   * by hyphens (hyphen-carrying versions like `1.0-SNAPSHOT` included —
+   * the reference embeds the escaped version literally in its regex).
    *
    * Output columns: `filename`, patch identity (`name`, `group`,
    * `old_version`, `new_version`), `new_filename` (every occurrence of
@@ -54,8 +51,6 @@ object DependencyPatch {
    * later matches operate on a filename that no longer exists.
    */
   def plan(installed: DataFrame, patches: DataFrame): DataFrame = {
-    val nameToks = split(col("name"), "-")
-    val fileToks = tokens(col("filename"))
     // The reference applies its patch LIST in file order; a DataFrame has
     // no implicit order, so the caller passes `patch_idx` to carry it.
     // Without one, a canonical sorted order stands in — deterministic
@@ -65,13 +60,21 @@ object DependencyPatch {
       if (patches.columns.contains("patch_idx")) patches
       else patches.withColumn("patch_idx",
         row_number().over(Window.orderBy("name", "old_version", "new_version")) - 1)
+    // The reference's pattern `^name(?:-[^-]+)*-version(?:-[^-]+)*\.jar$`
+    // embeds the ESCAPED version literally, so a hyphenated version
+    // (1.0-SNAPSHOT, 2.0-M1, 33.0-jre) spans several hyphen tokens — a
+    // split-on-hyphen token test can never match it. Equivalent
+    // string-boundary form, hyphenated versions included: the filename
+    // after the family-name prefix must contain `-version` terminated by
+    // either another `-token` run or `.jar` — the hyphen delimiters ARE
+    // the token boundaries, so no per-row regex compile is needed.
+    val rest = expr("substring(filename, length(name) + 1)")
     val matched = installed
       .join(indexed,
-        // leading tokens == family name, old_version a later standalone token
         col("filename").endsWith(".jar") &&
-          slice(fileToks, lit(1), size(nameToks)) === nameToks &&
-          array_contains(slice(fileToks, size(nameToks) + 1, greatest(size(fileToks) - size(nameToks), lit(0))),
-            col("old_version")),
+          col("filename").startsWith(concat(col("name"), lit("-"))) &&
+          (rest.contains(concat(lit("-"), col("old_version"), lit("-"))) ||
+           rest.endsWith(concat(lit("-"), col("old_version"), lit(".jar")))),
         "inner")
     // first-patch-wins per filename (deterministic: patch_idx order)
     val w = Window.partitionBy("filename").orderBy("patch_idx")

@@ -223,6 +223,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of preserves sub-millisecond order (micros are not truncated)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // left at .000300, right at .000400 — the right is AFTER the left, so
+    // backward as-of must yield no match; ms-truncated conversion would
+    // collapse both to .000 and the (ts, side) sort would then put the
+    // right first and fabricate a match
+    def tsU(s: String, micros: Int) = {
+      val t = Timestamp.valueOf(s); t.setNanos(micros * 1000); t
+    }
+    val source = MemoryStream[StreamingOps.AsofEvent]
+    val out = StreamingOps.streamingAsofBackward(source.toDS(), watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("asof_us").start()
+    try {
+      source.addData(
+        StreamingOps.AsofEvent(1L, tsU("2024-01-01 10:00:00", 300), 1),
+        StreamingOps.AsofEvent(1L, tsU("2024-01-01 10:00:00", 400), 0))
+      q.processAllAvailable()
+      source.addData(StreamingOps.AsofEvent(99L, Timestamp.valueOf("2024-01-01 11:00:00"), 0))
+      q.processAllAvailable()
+      source.addData(StreamingOps.AsofEvent(99L, Timestamp.valueOf("2024-01-01 11:30:00"), 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_us").as[StreamingOps.AsofMatch].collect()
+        .filter(_.key == 1L).map(m => (m.ts, m.asof_ts)).toList
+      assert(got == List((tsU("2024-01-01 10:00:00", 300), None)),
+        s"sub-ms order violated: $got")
+    } finally q.stop()
+  }
+
   test("streaming forward as-of matches batch asofForward; lefts expire to no-match at the horizon") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
@@ -241,11 +269,17 @@ class StreamingSpec extends SparkSpec {
       source.addData(
         StreamingOps.AsofEvent(1L, ts("2024-01-01 10:00:00"), L),
         StreamingOps.AsofEvent(1L, ts("2024-01-01 10:00:00"), R),
-        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:05:00"), L))
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 10:05:00"), L),
+        // key 2: its only right is PAST the 60-min horizon and both rows
+        // finalize in the same watermark pass — the horizon must bind in
+        // the match loop, not only at watermark expiry, or the result
+        // would depend on watermark cadence
+        StreamingOps.AsofEvent(2L, ts("2024-01-01 10:00:00"), L))
       q.processAllAvailable()
       source.addData(
         StreamingOps.AsofEvent(1L, ts("2024-01-01 10:30:00"), R),
-        StreamingOps.AsofEvent(1L, ts("2024-01-01 11:50:00"), L))
+        StreamingOps.AsofEvent(1L, ts("2024-01-01 11:50:00"), L),
+        StreamingOps.AsofEvent(2L, ts("2024-01-01 11:30:00"), R))
       q.processAllAvailable()
       // advance the watermark to 13:00 (> 11:50 + 60min horizon), then
       // once more so the key-1 event-time timeout actually runs
@@ -261,6 +295,10 @@ class StreamingSpec extends SparkSpec {
         (ts("2024-01-01 10:05:00"), Some(ts("2024-01-01 10:30:00"))),
         (ts("2024-01-01 11:50:00"), None))
       assert(got == expected, s"streaming forward asof emitted $got")
+      val gotK2 = spark.table("asoff_state").as[StreamingOps.AsofMatch].collect()
+        .filter(_.key == 2L).map(m => (m.ts, m.asof_ts)).toSet
+      assert(gotK2 == Set[(Timestamp, Option[Timestamp])]((ts("2024-01-01 10:00:00"), None)),
+        s"a right past the horizon must not match even when it finalizes in the same pass: $gotK2")
 
       // batch duality on the same key-1 frames (no right ever follows
       // 11:50, so the unbounded batch operator also gives null there)

@@ -68,6 +68,24 @@ class DependencyPatchSpec extends SparkSpec {
     assert(names == Seq("netty-all-4.2.7.Final.jar"))
   }
 
+  test("hyphenated versions match like the reference's escaped-literal regex") {
+    val inst = Seq(
+      "demo-core-1.0-SNAPSHOT.jar",
+      "demo-core-1.0-SNAPSHOT-linux-x86_64.jar",
+      "demo-core-11.0-SNAPSHOT.jar" // version boundary: must NOT match 1.0-SNAPSHOT
+    ).toDF("filename")
+    val p = Seq(("demo", "org/demo", "1.0-SNAPSHOT", "1.1-SNAPSHOT"))
+      .toDF("name", "group", "old_version", "new_version")
+    val got = DependencyPatch.plan(inst, p)
+      .select("filename", "new_filename", "lib_name").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got == Map(
+      "demo-core-1.0-SNAPSHOT.jar" ->
+        (("demo-core-1.1-SNAPSHOT.jar", "demo-core")),
+      "demo-core-1.0-SNAPSHOT-linux-x86_64.jar" ->
+        (("demo-core-1.1-SNAPSHOT-linux-x86_64.jar", "demo-core"))), s"got $got")
+  }
+
   test("an explicit patch_idx carries the reference's list order") {
     // reversed priority vs the canonical sort: idx 0 is the 9.9.9 entry
     val dup = Seq(

@@ -20,8 +20,17 @@ def main(sf_dir, out_dir):
     # Verify writes _errors.json (query -> exception) for every query that
     # threw instead of dumping — score those as explicit FAILs so a
     # throwing query can never vanish from the tally (round-7 lesson).
+    # The manifest is written LAST, unconditionally ({} when clean): its
+    # absence means Verify itself died mid-run (OOM/kill), so a partial
+    # dump must not score as a smaller-but-green run.
     err_path = os.path.join(out_dir, "_errors.json")
-    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    if not os.path.exists(err_path):
+        print("FAIL _errors.json missing: Verify did not run to completion — "
+              "partial dump, rerun graft.Verify")
+        n_fail += 1
+        errors = {}
+    else:
+        errors = json.load(open(err_path))
     for name, msg in sorted(errors.items()):
         print(f"FAIL {name}: threw at Verify time: {msg}")
         n_fail += 1
@@ -29,7 +38,14 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        spark_df = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+        try:
+            spark_df = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+        except Exception as e:
+            # an unreadable dump dir must fail THAT query, not kill the
+            # whole scoring run
+            print(f"FAIL {name}: unreadable dump: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             status = f"rows-only ({len(spark_df)} rows)"
             ok = len(spark_df) > 0
