@@ -64,17 +64,21 @@ object DependencyPatch {
     // embeds the ESCAPED version literally, so a hyphenated version
     // (1.0-SNAPSHOT, 2.0-M1, 33.0-jre) spans several hyphen tokens — a
     // split-on-hyphen token test can never match it. Equivalent
-    // string-boundary form, hyphenated versions included: the filename
-    // after the family-name prefix must contain `-version` terminated by
-    // either another `-token` run or `.jar` — the hyphen delimiters ARE
-    // the token boundaries, so no per-row regex compile is needed.
-    val rest = expr("substring(filename, length(name) + 1)")
+    // string-boundary form, hyphenated versions included: the body after
+    // the family-name prefix (`.jar` stripped) must be a well-formed
+    // `-token` run (leading hyphen, NO empty tokens — `[^-]+` forbids
+    // `--` — and no trailing hyphen) containing `-version` delimited by
+    // a hyphen or the end. The hyphen delimiters ARE the token
+    // boundaries, so no per-row regex compile is needed; equivalence to
+    // the reference regex is pinned exhaustively in DependencyPatchSpec.
+    val body = expr("substring(filename, length(name) + 1, length(filename) - length(name) - 4)")
     val matched = installed
       .join(indexed,
         col("filename").endsWith(".jar") &&
           col("filename").startsWith(concat(col("name"), lit("-"))) &&
-          (rest.contains(concat(lit("-"), col("old_version"), lit("-"))) ||
-           rest.endsWith(concat(lit("-"), col("old_version"), lit(".jar")))),
+          !body.contains("--") && !body.endsWith("-") &&
+          (body.contains(concat(lit("-"), col("old_version"), lit("-"))) ||
+           body.endsWith(concat(lit("-"), col("old_version")))),
         "inner")
     // first-patch-wins per filename (deterministic: patch_idx order)
     val w = Window.partitionBy("filename").orderBy("patch_idx")

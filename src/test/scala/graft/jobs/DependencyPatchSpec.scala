@@ -118,6 +118,38 @@ class DependencyPatchSpec extends SparkSpec {
       "truncated-copy.jar" -> "size_mismatch"))
   }
 
+  test("match semantics equal the reference regex over the structured filename space") {
+    // The reference matches ^<name>(?:-[^-]+)*-<version>(?:-[^-]+)*\.jar$
+    // with both literals re.escape()d. Enumerate the cross product of
+    // realistic (and adversarial) name/component/version/arch shapes and
+    // assert plan()'s string-boundary decomposition selects EXACTLY the
+    // filenames the regex does — the hyphenated-version divergence this
+    // pins was a real reviewer-caught bug.
+    val names = Seq("demo", "netty", "log4j")
+    val comps = Seq("", "core", "codec-native-quic")
+    val versions = Seq("1.0", "1.0-SNAPSHOT", "4.2.7.Final", "33.0-jre", "11.0")
+    val arches = Seq("", "linux-x86_64", "osx-aarch_64")
+    val files = (for {
+      n <- names; c <- comps; v <- versions; a <- arches
+    } yield Seq(n, c, v, a).filter(_.nonEmpty).mkString("-") + ".jar") ++
+      Seq("not-a-jar.txt", "demo.jar", "demo--1.0.jar", "xdemo-1.0.jar",
+        "demo-1.0", "demo-core-1.0.zip")
+    val patches = for (n <- names; v <- versions) yield (n, v)
+
+    val installed = files.distinct.toDF("filename")
+    for ((n, v) <- patches) {
+      val refPattern =
+        ("^" + java.util.regex.Pattern.quote(n) + "(?:-[^-]+)*-" +
+          java.util.regex.Pattern.quote(v) + "(?:-[^-]+)*\\.jar$").r
+      val expected = files.distinct.filter(f => refPattern.findFirstIn(f).isDefined).toSet
+      val got = DependencyPatch.plan(installed,
+          Seq((n, "g", v, v + ".new")).toDF("name", "group", "old_version", "new_version"))
+        .select("filename").as[String].collect().toSet
+      assert(got == expected,
+        s"patch ($n, $v): plan=${got.toSeq.sorted} regex=${expected.toSeq.sorted}")
+    }
+  }
+
   test("the patch plan stays declarative (no UDF, no cartesian product)") {
     val plan = DependencyPatch.plan(installed, patches).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
