@@ -227,6 +227,33 @@ object WindowQueries {
              |  lead(epoch_us(ts)) OVER w IS NULL AS is_current
              |FROM ch
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |ORDER BY user_id, version""".stripMargin))
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // §2.10 × X6: distinct users per tumbling window — the streaming-
+    // dashboard shape (unique visitors per hour). Exact count beside the
+    // HLL sketch with the approx_distinct band discipline: DuckDB
+    // recomputes the exact count and asserts the band LITERALLY, so the
+    // hash compare proves both engines agree on the exact counts AND
+    // that the sketch sat inside its guarantee. Identical lineage runs
+    // incrementally under readStream (same window + approx aggregate).
+    Q("window_approx_users",
+      (s, dir) => TableIO.read(s, dir, "events")
+        .select(col("ts"), col("user_id")).filter(col("user_id").isNotNull)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("__approx"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("exact_users"),
+          (abs(col("__approx") - col("exact_users"))
+            <= greatest(col("exact_users") * lit(0.02), lit(5.0))).as("approx_in_band"))
+        .orderBy("w_start_us"),
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  TRUE AS approx_in_band
+             |FROM events
+             |WHERE user_id IS NOT NULL
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin))
   )
 }
