@@ -36,6 +36,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("windowed approx-distinct lineage runs incrementally and matches its batch sketch") {
+    // the window_approx_users claim: the identical window + HLL aggregate
+    // lineage is streaming-runnable (HLL partials merge across batches)
+    // and converges to the batch sketch values on the same data
+    implicit val sqlCtx = spark.sqlContext
+    case class UEv(ts: Timestamp, user_id: Long)
+    val rows = TableIO.read(spark, Sf, "events")
+      .select($"ts", $"user_id").filter($"user_id".isNotNull)
+      .as[(Timestamp, Long)].collect().toSeq
+    val stream = MemoryStream[(Timestamp, Long)]
+    // two batches so HLL partials genuinely merge across micro-batches
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    stream.addData(b1)
+    def lineage(df: org.apache.spark.sql.DataFrame) = df.toDF("ts", "user_id")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .select(unix_micros($"w.start").as("w_start_us"), $"approx_users")
+    val q = lineage(stream.toDF()).writeStream
+      .outputMode("complete").format("memory").queryName("wau_out").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wau_out").orderBy("w_start_us")
+      .as[(Long, Long)].collect().toSeq
+    val batch = lineage(rows.toDF("ts", "user_id")).orderBy("w_start_us")
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == batch, "streaming HLL sketch diverged from the batch sketch")
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp)]
