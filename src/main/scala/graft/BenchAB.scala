@@ -73,6 +73,18 @@ object BenchAB {
     if (which("fz")) {
       time("fuzzy_match_nn", 4)(SparkEntry.queries("fuzzy_match_nn")(s, sfDir))
     }
+    if (which("probe_wau")) {
+      val ev = TableIO.read(s, sfDir, "events")
+        .select(col("ts"), col("user_id")).filter(col("user_id").isNotNull)
+      def shape(rsd: Double) = ev.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd).as("a"))
+      time("wau exact only", 3)(ev.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count_distinct(col("user_id")).as("exact_users")))
+      time("wau rsd 0.01", 3)(shape(0.01))
+      time("wau rsd 0.02", 3)(shape(0.02))
+      time("wau rsd 0.05", 3)(shape(0.05))
+    }
     if (which("probe_ad")) {
       val docs = TableIO.read(s, sfDir, "documents")
       def base = docs.select(col("lang"), col("doc_id")).filter(col("doc_id").isNotNull)

@@ -236,13 +236,22 @@ object WindowQueries {
     // hash compare proves both engines agree on the exact counts AND
     // that the sketch sat inside its guarantee. Identical lineage runs
     // incrementally under readStream (same window + approx aggregate).
+    // rsd is 0.02 here, NOT approx_distinct's 0.01, and the difference
+    // is the scale lesson: the HLL buffer (~m/6 longs) allocates PER
+    // GROUP PER PARTITION, so at 720 windows × 32 partitions rsd 0.01
+    // costs ~500 MB of aggregation buffers (measured: 3.6 s; 0.02 =
+    // 1.4 s; 0.05 = 0.58 s — BenchAB probe_wau). 0.02 is the measured
+    // floor that still holds the ±max(2%, 5-row) band at every scale
+    // factor (0.05's σ ≈ 7 at the sf0.1 per-window cardinality of ~140
+    // broke one window's band). Many-group sketching wants the LOWEST
+    // register count the band tolerates.
     Q("window_approx_users",
       (s, dir) => TableIO.read(s, dir, "events")
         .select(col("ts"), col("user_id")).filter(col("user_id").isNotNull)
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(
           count_distinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.01).as("__approx"))
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
         .select(unix_micros(col("w.start")).as("w_start_us"),
           col("exact_users"),
           (abs(col("__approx") - col("exact_users"))
