@@ -84,6 +84,17 @@ object BenchAB {
       time("wau rsd 0.01", 3)(shape(0.01))
       time("wau rsd 0.02", 3)(shape(0.02))
       time("wau rsd 0.05", 3)(shape(0.05))
+      def distinctFirst(rsd: Double) = ev
+        .select(window(col("ts"), "1 hour").as("w"), col("user_id")).distinct()
+        .groupBy("w")
+        .agg(count(lit(1)).as("exact_users"), approx_count_distinct(col("user_id"), rsd).as("a"))
+      time("wau distinct-first 0.02", 3)(distinctFirst(0.02))
+      val q2 = shape(0.02); q2.write.mode("overwrite").format("noop").save()
+      println("[ab] mixed-agg plan Expand: " +
+        q2.queryExecution.executedPlan.toString.contains("Expand"))
+      val q3 = distinctFirst(0.02); q3.write.mode("overwrite").format("noop").save()
+      println("[ab] distinct-first plan Expand: " +
+        q3.queryExecution.executedPlan.toString.contains("Expand"))
     }
     if (which("probe_ad")) {
       val docs = TableIO.read(s, sfDir, "documents")

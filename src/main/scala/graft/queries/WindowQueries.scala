@@ -239,18 +239,24 @@ object WindowQueries {
     // rsd is 0.02 here, NOT approx_distinct's 0.01, and the difference
     // is the scale lesson: the HLL buffer (~m/6 longs) allocates PER
     // GROUP PER PARTITION, so at 720 windows × 32 partitions rsd 0.01
-    // costs ~500 MB of aggregation buffers (measured: 3.6 s; 0.02 =
-    // 1.4 s; 0.05 = 0.58 s — BenchAB probe_wau). 0.02 is the measured
-    // floor that still holds the ±max(2%, 5-row) band at every scale
-    // factor (0.05's σ ≈ 7 at the sf0.1 per-window cardinality of ~140
-    // broke one window's band). Many-group sketching wants the LOWEST
-    // register count the band tolerates.
+    // costs ~500 MB of aggregation buffers (measured: 3.2 s; 0.02 mixed
+    // with count_distinct = 1.2 s — BenchAB probe_wau). 0.02 is the
+    // measured floor that still holds the ±max(2%, 5-row) band at every
+    // scale factor (0.05's σ ≈ 7 at the sf0.1 per-window cardinality of
+    // ~140 broke one window's band). The shape is the approx_distinct
+    // restructure applied to windows: distinct (window, user) FIRST,
+    // then count(*) = the exact distinct and the sketch runs over the
+    // already-distinct, AQE-coalesced exchange output — measured 0.44 s
+    // vs 1.24 s for the mixed count_distinct + HLL aggregate. Many-group
+    // sketching wants the lowest register count the band tolerates AND
+    // the smallest input the set-semantics allow.
     Q("window_approx_users",
       (s, dir) => TableIO.read(s, dir, "events")
         .select(col("ts"), col("user_id")).filter(col("user_id").isNotNull)
-        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .select(window(col("ts"), "1 hour").as("w"), col("user_id")).distinct()
+        .groupBy("w")
         .agg(
-          count_distinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.02).as("__approx"))
         .select(unix_micros(col("w.start")).as("w_start_us"),
           col("exact_users"),
