@@ -339,6 +339,17 @@ class PlanSpec extends SparkSpec {
       s"source census went all-pairs:\n${p.take(2000)}")
   }
 
+  test("windowed approx-distinct keeps the distinct-first shape: no Expand, sketch over distinct rows") {
+    val p = plan(SparkEntry.queries("window_approx_users")(spark, Sf))
+    // a mixed count_distinct + HLL aggregate would plan an Expand (or an
+    // extra full-input HLL partial) — the restructure runs the sketch
+    // over the post-distinct exchange output (measured 3x cheaper)
+    assert(!p.contains("Expand"), s"mixed-distinct aggregate shape returned:\n${p.take(2500)}")
+    val aggsBelowDistinct = "partial_approx_count_distinct".r.findAllIn(p).size
+    assert(aggsBelowDistinct >= 1 && p.contains("HashAggregate"),
+      s"expected HLL partials over the distinct output:\n${p.take(2500)}")
+  }
+
   test("DSIR resampling adds zero exchanges over the stage-1 weights") {
     import org.apache.spark.sql.functions.col
     val docs = TableIO.read(spark, Sf, "documents")
