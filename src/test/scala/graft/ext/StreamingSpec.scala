@@ -125,6 +125,47 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
   }
 
+  test("streaming SCD-2 state survives a checkpointed restart") {
+    // the custom-state buffers (Seq/Option case classes) must round-trip
+    // the state store: a restart between the opening change and the
+    // closing change only produces the correct closed interval if the
+    // open-interval state was durably recovered
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val out = tmpDir() + "/scd_sink"
+    val ckpt = tmpDir() + "/scd_ckpt"
+    val source = MemoryStream[StreamingOps.ScdChange]
+    def start() = StreamingOps.streamingScd2(source.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // incarnation 1: open interval A at 10:00 (finalized once the
+    // watermark passes it), then stop
+    val q1 = start()
+    source.addData(
+      StreamingOps.ScdChange(1L, ts("2024-01-01 10:00:00"), 1L, Some("A")),
+      StreamingOps.ScdChange(99L, ts("2024-01-01 10:30:00"), 2L, Some("X")))
+    q1.processAllAvailable(); q1.stop()
+    // incarnation 2: the closing change arrives after restart — interval
+    // A can only close correctly if its open state was recovered
+    val q2 = start()
+    source.addData(
+      StreamingOps.ScdChange(1L, ts("2024-01-01 10:40:00"), 3L, Some("B")),
+      StreamingOps.ScdChange(99L, ts("2024-01-01 11:30:00"), 4L, Some("X")))
+    q2.processAllAvailable()
+    source.addData(StreamingOps.ScdChange(99L, ts("2024-01-01 12:00:00"), 5L, Some("X")))
+    q2.processAllAvailable(); q2.stop()
+
+    val closed = spark.read.parquet(out).as[StreamingOps.ScdClosed].collect()
+      .filter(_.key == 1L)
+      .map(c => (c.state, c.version, c.valid_from_us, c.valid_to_us)).toSet
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(closed == Set[(Option[String], Int, Long, Long)](
+      (Some("A"), 1, us("2024-01-01 10:00:00"), us("2024-01-01 10:40:00"))),
+      s"state did not survive the restart: $closed")
+  }
+
   test("stream-stream interval join matches within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Long, Timestamp)]
