@@ -55,19 +55,29 @@ object Bench {
     val prior: Map[String, Double] = {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val s = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
+      else try {
+        // real JSON parse (Jackson ships with Spark) — the earlier regex
+        // scrape would silently yield an empty map on any format change
+        // (nested object, reordered fields) and the 2×-moved triage
+        // trigger would stop firing with no signal
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          java.nio.file.Files.readAllBytes(p))
         // comparable only at the same scale factor: a dev-loop run at
         // sf0.001 against a committed sf0.1 record would trigger on every
         // query (all "2× faster") and just waste samples
-        val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(s).exists(_.group(1) == sfDir)
-        if (!sameSf) Map.empty[String, Double]
+        val sameSf = root.path("sf").asText("") == sfDir
+        val qs = root.path("queries")
+        if (!sameSf || !qs.isObject) Map.empty[String, Double]
         else {
-          val qObj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-          """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(qObj)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          import scala.jdk.CollectionConverters._
+          val m = qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+          if (m.isEmpty)
+            System.err.println("[bench] BENCH_FULL.json exists but has an empty queries map")
+          m
         }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] failed to parse BENCH_FULL.json priors: ${e.getMessage}")
+        Map.empty[String, Double]
       }
     }
     // one warm-up of the first query amortizes JVM/codegen startup
@@ -95,7 +105,11 @@ object Bench {
     val results: Seq[(String, Timing)] = names.map { n =>
       var ts = Vector(runOnce(n), runOnce(n))
       def steady = if (ts.size >= 3) ts.drop(1) else ts
-      // Second trigger: min still > 2 s. The two-sample fast path assumes
+      // Second trigger: min still > 1 s — min-of-4 is UNCONDITIONAL for
+      // every ≥1 s query (was 2 s; the r8 artifact still showed 6.5×
+      // max/min spread on contended ≥1 s samples, and expensive queries
+      // are exactly where a contended sample distorts the round total
+      // most). The two-sample fast path assumes
       // steady state by run 2, but a query whose generated code is hot
       // enough to need C2 compilation reaches it at run 3-4
       // (fuzzy_match_nn measured 5.4, 4.5, 1.6, 1.6 — a 2-sample min
@@ -112,7 +126,7 @@ object Bench {
       val pr = prior.get(n).filter(_ > 0)
       def moved2x = pr.exists(p => ts.min > 2 * p || ts.min < p / 2)
       while (!ts.exists(_ < 0) &&
-             ((ts.size < 4 && (ts.last > 1.5 * ts.min || ts.min > 2.0)) ||
+             ((ts.size < 4 && (ts.last > 1.5 * ts.min || ts.min > 1.0)) ||
               (ts.size < 5 && moved2x)))
         ts = ts :+ runOnce(n)
       n -> (if (ts.exists(_ < 0)) Timing(-1.0, -1.0, ts.size)

@@ -52,12 +52,31 @@ object SslCertImport {
       }
   }
 
+  /** Store-type probe: keytool PRESERVES the format of an existing store
+   * when importing, so write-back must not silently convert a JKS
+   * truststore to PKCS12 (the JDK's dual-format load would read it fine
+   * and then store() would change the on-disk format). JKS files start
+   * with the magic 0xFEEDFEED; anything else (an ASN.1 SEQUENCE) is
+   * treated as PKCS12, the modern keytool default for NEW stores. */
+  private[config] def storeType(path: String): String = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) "PKCS12"
+    else {
+      val in = new FileInputStream(path)
+      val head = new Array[Byte](4)
+      try { in.read(head); () } finally in.close()
+      val magic = java.nio.ByteBuffer.wrap(head).getInt
+      if (magic == 0xFEEDFEED) "JKS" else "PKCS12"
+    }
+  }
+
   /** Import one certificate — create-or-load the keystore, refuse a
-   * duplicate alias, add the trusted entry, write back. PKCS12 (the
-   * modern keytool default store type). */
+   * duplicate alias, add the trusted entry, write back in the SAME store
+   * format the existing file uses (keytool semantics; new stores are
+   * PKCS12, the modern keytool default). */
   def importCert(ci: CertImport): Unit = {
     require(Files.exists(Paths.get(ci.file)), s"certificate file not found: ${ci.file}")
-    val ks = KeyStore.getInstance("PKCS12")
+    val ks = KeyStore.getInstance(storeType(ci.keystore))
     val pass = ci.storepass.toCharArray
     if (Files.exists(Paths.get(ci.keystore))) {
       val in = new FileInputStream(ci.keystore)

@@ -360,9 +360,14 @@ object StreamingOps {
           state.update(AsofFwdBuffer(rest, stillWaiting))
           // wake at whichever boundary comes first: the oldest pending
           // event finalizing, or the oldest waiting left expiring. Both
-          // targets are strictly above the current watermark.
-          val wake = (rest.map(_._1 + 1000L) ++ stillWaiting.map(_ + horizonUs)).minOption
-          wake.foreach(us => state.setTimeoutTimestamp(us / 1000L))
+          // targets are strictly above the current watermark: floor-to-ms
+          // then +1 (mirroring the backward operator), because a raw
+          // (l + horizonUs) / 1000 can floor to exactly the watermark
+          // millisecond — Spark happens to accept a target equal to the
+          // watermark today, but the contract here is strictly-after.
+          val wake = (rest.map(_._1 / 1000L + 1L) ++
+            stillWaiting.map(l => (l + horizonUs) / 1000L + 1L)).minOption
+          wake.foreach(state.setTimeoutTimestamp)
           out.result().iterator
         })
   }

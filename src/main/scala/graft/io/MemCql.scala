@@ -50,12 +50,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  */
 object MemCqlStore {
 
-  /** One recorded scan: what the engine pushed into the source. */
+  /** One recorded scan: what the engine pushed into the source, plus the
+   * full option map the source was addressed with — the SIT specs assert
+   * the perfops properties (consistency level, fetch size) actually
+   * reached the connector seam instead of trusting [[CassandraTableIO
+   * .connectorOptions]] in isolation. */
   final case class ScanRecord(
       pushed: Seq[Filter],
       residual: Seq[Filter],
       requiredColumns: Seq[String],
-      numPartitions: Int)
+      numPartitions: Int,
+      options: Map[String, String] = Map.empty)
 
   /** One recorded write: how the sink batched. Every batch holds rows of a
    * single partition key (asserted at write time), at most `batchRowCap`
@@ -65,7 +70,8 @@ object MemCqlStore {
       maxBatchRows: Int,
       totalRows: Int,
       batchRowCap: Int,
-      groupingKey: String)
+      groupingKey: String,
+      options: Map[String, String] = Map.empty)
 
   final class TableState(
       val schema: StructType,
@@ -177,10 +183,17 @@ object MemCqlProvider {
   /** Scan parallelism (stands in for the ring's token-range group count). */
   val SplitsOption = "spark.graft.memcql.splits"
 
+  /** SCB addressing: an Astra secure-connect-bundle config carries no
+   * contact point — [[CassandraTableIO.connectorOptions]] emits the
+   * bundle path instead. The mem model resolves either as the cluster
+   * id, so SCB-addressed clusters run the same e2e path. */
+  val ScbOption = "spark.cassandra.connection.config.cloud.path"
+
   private def cluster(o: CaseInsensitiveStringMap): String = {
-    val c = o.get(ClusterOption)
-    require(c != null && c.nonEmpty, s"MemCql needs $ClusterOption as the cluster id")
-    c
+    val c = Option(o.get(ClusterOption)).filter(_.nonEmpty)
+      .orElse(Option(o.get(ScbOption)).filter(_.nonEmpty))
+    require(c.nonEmpty, s"MemCql needs $ClusterOption (or $ScbOption) as the cluster id")
+    c.get
   }
   private def keyspaceTable(o: CaseInsensitiveStringMap): String = {
     val ks = Option(o.get("keyspace")).getOrElse("cdm")
@@ -201,18 +214,27 @@ class MemCqlTable(cluster: String, keyspaceTable: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
+  // recorded option keys are LOWERCASED (DSv2 option maps are
+  // case-insensitive; Spark may hand back either casing) so spec lookups
+  // are deterministic
+  private def lowered(o: CaseInsensitiveStringMap): Map[String, String] =
+    o.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemCqlScanBuilder(cluster, keyspaceTable,
-      options.getInt(MemCqlProvider.SplitsOption, 4))
+      options.getInt(MemCqlProvider.SplitsOption, 4),
+      lowered(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val batchRows = Option(info.options.get(MemCqlProvider.BatchRowsOption)).map(_.toInt).getOrElse(5)
     val grouping = Option(info.options.get(MemCqlProvider.GroupingKeyOption)).getOrElse("partition")
-    new MemCqlWriteBuilder(cluster, keyspaceTable, info.schema(), batchRows, grouping)
+    new MemCqlWriteBuilder(cluster, keyspaceTable, info.schema(), batchRows, grouping,
+      lowered(info.options))
   }
 }
 
-class MemCqlScanBuilder(cluster: String, keyspaceTable: String, splits: Int)
+class MemCqlScanBuilder(cluster: String, keyspaceTable: String, splits: Int,
+    options: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private def st = MemCqlStore.get(cluster, keyspaceTable)
   private var pushed: Array[Filter] = Array.empty
@@ -232,7 +254,7 @@ class MemCqlScanBuilder(cluster: String, keyspaceTable: String, splits: Int)
   override def build(): Scan = {
     val s = st
     s.lastScan = Some(MemCqlStore.ScanRecord(
-      pushed.toSeq, residual.toSeq, required.fieldNames.toSeq, splits))
+      pushed.toSeq, residual.toSeq, required.fieldNames.toSeq, splits, options))
     new MemCqlScan(cluster, keyspaceTable, pushed, required, splits)
   }
 }
@@ -286,10 +308,11 @@ class MemCqlReaderFactory(schema: StructType) extends PartitionReaderFactory {
 }
 
 class MemCqlWriteBuilder(cluster: String, keyspaceTable: String, writeSchema: StructType,
-    batchRows: Int, grouping: String) extends WriteBuilder {
+    batchRows: Int, grouping: String, options: Map[String, String] = Map.empty)
+    extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new MemCqlBatchWrite(
-      cluster, keyspaceTable, writeSchema, batchRows, grouping)
+      cluster, keyspaceTable, writeSchema, batchRows, grouping, options)
   }
 }
 
@@ -299,7 +322,8 @@ private case class MemCqlBatch(pk: Seq[Any], rows: Seq[Seq[Any]])
 private case class MemCqlCommit(batches: Seq[MemCqlBatch]) extends WriterCommitMessage
 
 class MemCqlBatchWrite(cluster: String, keyspaceTable: String, writeSchema: StructType,
-    batchRows: Int, grouping: String) extends BatchWrite {
+    batchRows: Int, grouping: String, options: Map[String, String] = Map.empty)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // resolve partition-key ordinals against the WRITE schema on the
@@ -330,7 +354,8 @@ class MemCqlBatchWrite(cluster: String, keyspaceTable: String, writeSchema: Stru
       maxBatchRows = if (batches.isEmpty) 0 else batches.map(_.rows.size).max,
       totalRows = batches.map(_.rows.size).sum,
       batchRowCap = batchRows,
-      groupingKey = grouping))
+      groupingKey = grouping,
+      options = options))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -233,6 +233,12 @@ object DiffQueries {
     // 'kval' value rewritten (MISMATCH).
     Q("diff_after_explode",
       (s, dir) => {
+        // The target is DERIVED from the origin lineage here (a fixture
+        // artifact — real DiffData reads two distinct tables), so without
+        // a cut both join sides recompute the scan+explode: materialize
+        // it once (the Dedup.scala localCheckpoint idiom; fresh per
+        // invocation, so bench samples stay honest). Measured 1.40 s →
+        // the explode runs once instead of twice.
         val exploded = Transforms.explodeMap(
           TableIO.read(s, dir, "events")
             .withColumn("m", map(
@@ -240,6 +246,7 @@ object DiffQueries {
               lit("kval"), get_json_object(col("props"), "$.k")))
             .select("event_id", "m"),
           graft.config.ExplodeMapConfig("m", "map_key", "map_value"))
+          .localCheckpoint(eager = true)
         val target = exploded
           .filter(!(pmod(col("event_id"), lit(20)) === 0 && col("map_key") === "etype"))
           .withColumn("map_value",

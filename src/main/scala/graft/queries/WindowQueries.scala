@@ -260,8 +260,13 @@ object WindowQueries {
           approx_count_distinct(col("user_id"), 0.02).as("__approx"))
         .select(unix_micros(col("w.start")).as("w_start_us"),
           col("exact_users"),
+          // band = max(3·rsd, 5 rows): rsd is a 1-sigma figure, so a 2%
+          // band at rsd 0.02 is ~1 sigma once exact_users·2% clears the
+          // 5-row floor — it held only because fixture per-window
+          // cardinalities (~140) keep HLL++ near-exact. 3 sigma (6%)
+          // survives a driver fixture regen with larger windows.
           (abs(col("__approx") - col("exact_users"))
-            <= greatest(col("exact_users") * lit(0.02), lit(5.0))).as("approx_in_band"))
+            <= greatest(col("exact_users") * lit(0.06), lit(5.0))).as("approx_in_band"))
         .orderBy("w_start_us"),
       Some("""SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
              |  count(DISTINCT user_id) AS exact_users,

@@ -67,6 +67,34 @@ class SslCertImportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("importing into an existing JKS truststore preserves the JKS format") {
+    // keytool preserves the store format of an existing truststore; a
+    // PKCS12-hardcoded write-back would silently convert it. Build a JKS
+    // store with keytool, import through the library, then verify the
+    // on-disk file still carries the JKS magic AND still loads as JKS.
+    val dir = tmpDir()
+    val seed = makeCert(dir, "jks-seed")
+    val extra = makeCert(dir, "jks-extra")
+    val ts = s"$dir/legacy-truststore.jks"
+    val imp = Seq("keytool", "-importcert", "-noprompt", "-alias", "seed",
+      "-file", seed, "-keystore", ts, "-storepass", "tspass", "-storetype", "JKS")
+    assert(imp.! == 0, "keytool -importcert (JKS seed) failed")
+    assert(SslCertImport.storeType(ts) == "JKS")
+
+    SslCertImport.importCert(
+      SslCertImport.CertImport("s", "extra", extra, ts, "tspass"))
+
+    val head = Files.readAllBytes(Paths.get(ts)).take(4)
+    assert(java.nio.ByteBuffer.wrap(head).getInt == 0xFEEDFEED,
+      "write-back converted the JKS truststore to another format")
+    val ks = KeyStore.getInstance("JKS")
+    val in = new FileInputStream(ts)
+    try ks.load(in, "tspass".toCharArray) finally in.close()
+    assert(ks.containsAlias("seed") && ks.containsAlias("extra"))
+    // a store created FROM SCRATCH stays PKCS12 (the modern keytool default)
+    assert(SslCertImport.storeType(s"$dir/does-not-exist.p12") == "PKCS12")
+  }
+
   test("no settings env is a no-op; a missing settings file is an error") {
     assert(SslCertImport.importAll(None) == Nil)
     assert(SslCertImport.importAll(Some("")) == Nil)

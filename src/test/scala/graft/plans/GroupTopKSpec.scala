@@ -100,6 +100,33 @@ class GroupTopKSpec extends SparkSpec {
     }
   }
 
+  test("a million distinct groups in one partition stay exact under DEFAULT caps") {
+    // The 100 TB risk case: group cardinality far above both caps inside a
+    // single task. 1.2M distinct groups coalesced to ONE partition —
+    // SinglePartition satisfies ClusteredDistribution, so the final exec
+    // really sees 1.2M groups in one task, past the default 2^20 final
+    // cap: the partial pass-through AND the external-sort degrade both
+    // fire at production settings, not test-shrunk ones. Memory stays
+    // bounded (cap·k heap entries + a spill-safe sort); the answer is
+    // checked against an independent aggregate formulation without
+    // materializing the 1.2M-row result on the driver.
+    val groups = 1200000L
+    val df = spark.range(2 * groups).select(
+      (col("id") % groups).as("g"),
+      (col("id") * 37 % 101).as("v"),
+      col("id").as("id")).coalesce(1)
+    val out = GroupTopK.topkPerKey(df, Seq("g"), Seq($"v".desc, $"id".asc), k = 1)
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"), sum($"id").as("si"))
+      .as[(Long, Long, Long)].head()
+    // survivor per group = (max v, min id among ties) = min of (-v, id)
+    val exp = df.groupBy("g")
+      .agg(min(struct((-$"v").as("nv"), $"id")).as("s"))
+      .agg(count(lit(1)).as("n"), sum(-$"s.nv").as("sv"), sum($"s.id").as("si"))
+      .as[(Long, Long, Long)].head()
+    assert(out == exp)
+    assert(out._1 == groups)
+  }
+
   test("partial group cap: near-unique keys pass through untrimmed, result stays exact") {
     // 5000 distinct keys force the partial exec past a tiny cap, so most
     // rows take the pass-through path; the final exec must still produce
