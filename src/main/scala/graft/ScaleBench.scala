@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-curve proof for the most expensive operator families (SURVEY
+ * §7.10 / round-9 mandate): the 100 TB posture claims are plan-shape
+ * arguments; this measures them. Inputs are builder-generated in memory
+ * from `spark.range` (deterministic, skew included — NOT a fixture regen)
+ * at three sizes per family, 1×/10×/100× of the sf0.1 row counts, and
+ * each family runs the same operator code the registered queries run.
+ *
+ * Near-linear wall-time vs rows + bounded post-run heap = the no-scale-
+ * killer claim holds; super-linear growth = a real finding to fix.
+ * Results: one JSON line per (family, size) to stdout; SCALING.md commits
+ * the table.
+ *
+ * Note on memory: local[32] puts executors in the driver JVM, so
+ * "driver memory" here is whole-JVM used heap after a System.gc() —
+ * it bounds driver-side accumulation (collects, unbounded maps) but
+ * includes executor pages; flatness across 100× input is the signal,
+ * not the absolute number.
+ */
+object ScaleBench {
+
+  private def usedHeapMb(): Long = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  /** Word-soup documents with near-dups and a hot cluster: every 10th doc
+   * duplicates its predecessor (LSH positives) and every 97th collapses
+   * onto doc 0's text (one heavy bucket — the bucketCap path). Length
+   * 20–59 words, vocabulary 50k, all derived from xxhash64(id). */
+  private def docs(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val base = when(pmod(id, lit(10)) === 0 && id > 0, id - 1).otherwise(id)
+    val src = when(pmod(id, lit(97)) === 0, lit(0L)).otherwise(base)
+    val len = (pmod(xxhash64(src), lit(40)) + lit(20)).cast("int")
+    spark.range(n).select(
+      id.as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), len),
+        i => concat(lit("w"), pmod(xxhash64(src * 1000 + i), lit(50000))))).as("text"),
+      concat(lit("l"), pmod(id, lit(12))).as("lang"))
+  }
+
+  /** Chain-heavy candidate graph: blocks of 1000 sequential edges (depth
+   * a propagation algorithm would need 1000 rounds for — exactly what
+   * large-star/small-star's O(log n) exists to kill) plus 2% random
+   * shortcut edges and a hot star at node 0. */
+  private def edges(spark: SparkSession, n: Long): DataFrame = {
+    val chain = spark.range(n).select(
+      col("id").as("id_a"),
+      when(pmod(col("id"), lit(1000)) === 999, col("id") - 999)
+        .otherwise(col("id") + 1).as("id_b"))
+    val shortcuts = spark.range(n / 50).select(
+      pmod(xxhash64(col("id")), lit(n)).as("id_a"),
+      pmod(xxhash64(col("id") + 7), lit(n)).as("id_b"))
+    val star = spark.range(n / 100).select(
+      lit(0L).as("id_a"), pmod(xxhash64(col("id") + 13), lit(n)).as("id_b"))
+    chain.union(shortcuts).union(star)
+  }
+
+  /** Blocked linkage input: ~25-row blocks whose NUMBER scales with rows
+   * (the scale path — block size is the bounded quantity), names short
+   * enough that levenshtein is the per-pair cost, not string transport. */
+  private def names(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("rec_id"),
+      concat(lit("name "),
+        pmod(xxhash64(col("id")), lit(1000)),
+        lit(" v"), pmod(xxhash64(col("id") + 3), lit(30))).as("name"),
+      concat(lit("b"), (col("id") / 25).cast("long")).as("block"))
+
+  /** TPC-H-shaped star schema at any SF: 4 lineitems per order, mild
+   * orderkey skew (2% of lines land on order 0), dims scale with SF
+   * except nation/region (fixed, broadcast-hinted in the query). */
+  private def star(spark: SparkSession, nLine: Long): Map[String, DataFrame] = {
+    val nOrd = nLine / 4
+    val nCust = math.max(nOrd / 10, 1)
+    Map(
+      "lineitem" -> spark.range(nLine).select(
+        when(pmod(col("id"), lit(50)) === 0, lit(0L))
+          .otherwise(col("id") / 4).as("l_orderkey"),
+        (pmod(xxhash64(col("id")), lit(10000)) / lit(100.0) + 1.0).as("l_extendedprice"),
+        (pmod(xxhash64(col("id") + 1), lit(10)) / lit(100.0)).as("l_discount")),
+      "orders" -> spark.range(nOrd).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id")), lit(nCust)).as("o_custkey")),
+      "customer" -> spark.range(nCust).select(
+        col("id").as("c_custkey"), pmod(col("id"), lit(25)).cast("int").as("c_nationkey")),
+      "nation" -> spark.range(25).select(
+        col("id").cast("int").as("n_nationkey"), pmod(col("id"), lit(5)).cast("int").as("n_regionkey")),
+      "region" -> spark.range(5).select(
+        col("id").cast("int").as("r_regionkey"), concat(lit("R"), col("id")).as("r_name")))
+  }
+
+  /** Skewed packing corpus: two thirds of all rows share one group (the
+   * r7 skew lesson), token counts 1–400, no text materialized — the
+   * packing arithmetic is the thing under test. */
+  private def packInput(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(3)) < 2, lit("hot"))
+        .otherwise(concat(lit("g"), pmod(col("id"), lit(200)))).as("lang"),
+      (pmod(xxhash64(col("id")), lit(400)) + 1).as("n_tok"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "24g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ext.{Curation, Dedup, Linkage}
+
+    // family name -> (sizes, runner). Sizes are 1x/10x/100x of the sf0.1
+    // row counts for that family's input.
+    val families: Seq[(String, Seq[Long], (SparkSession, Long) => DataFrame)] = Seq(
+      ("dedup_minhash_banded", Seq(5000L, 50000L, 500000L),
+        (s, n) => Dedup.minhashPairsBanded(
+          Dedup.withBandKeys(docs(s, n), "text"), "doc_id", bucketCap = 50)),
+      ("dedup_clusters_star", Seq(20000L, 200000L, 2000000L),
+        (s, n) => Dedup.connectedComponentsStar(edges(s, n), "id_a", "id_b")),
+      ("fuzzy_match_nn", Seq(20000L, 200000L, 2000000L),
+        (s, n) => Linkage.nearestInBlock(
+          names(s, n), "rec_id", "name", blockCols = Seq("block"),
+          maxDist = 3, blockCap = 10000L)),
+      ("star_join_revenue", Seq(600000L, 6000000L, 60000000L),
+        (s, n) => {
+          val t = star(s, n)
+          val (li, o, c, nt, r) =
+            (t("lineitem"), t("orders"), t("customer"), t("nation"), t("region"))
+          li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .join(c, o("o_custkey") === c("c_custkey"))
+            .join(broadcast(nt), c("c_nationkey") === nt("n_nationkey"))
+            .join(broadcast(r), nt("n_regionkey") === r("r_regionkey"))
+            .groupBy(r("r_name"))
+            .agg(count(lit(1)).as("n_items"),
+              sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+                .cast("decimal(18,6)")).cast("double").as("revenue"))
+        }),
+      ("sequence_pack", Seq(100000L, 1000000L, 10000000L),
+        (s, n) => Curation.packSequences(packInput(s, n), "doc_id", "lang",
+          col("n_tok"), seqLen = 512L)))
+
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
+
+    // JVM warm-up on the smallest size of each family (codegen + JIT paid
+    // once, not inside the 1x sample)
+    families.filter { case (f, _, _) => only.forall(_.contains(f)) }
+      .foreach { case (_, sizes, run) =>
+        run(spark, sizes.head).write.mode("overwrite").format("noop").save()
+      }
+
+    families.filter { case (f, _, _) => only.forall(_.contains(f)) }
+      .foreach { case (family, sizes, run) =>
+        sizes.foreach { n =>
+          val t0 = System.nanoTime()
+          run(spark, n).write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val heap = usedHeapMb()
+          println(f"""{"family":"$family","rows":$n,"sec":${math.rint(sec * 100) / 100},"heap_mb":$heap}""")
+        }
+      }
+    spark.stop()
+  }
+}
