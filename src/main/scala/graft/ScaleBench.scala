@@ -118,6 +118,12 @@ object ScaleBench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "24g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // task-metric probe: shuffle/spill/peak-memory per (family, size) —
+    // the shuffle-BYTE curve is the scale evidence wall time can't give
+    // (a shuffle blow-up that fits local page cache is invisible in
+    // seconds but saturates a real cluster's fabric)
+    val probe = new org.apache.spark.sql.graft.TaskMetricsProbe
+    spark.sparkContext.addSparkListener(probe)
     import graft.ext.{Curation, Dedup, Linkage}
 
     // family name -> (sizes, runner). Sizes are 1x/10x/100x of the sf0.1
@@ -148,7 +154,38 @@ object ScaleBench {
         }),
       ("sequence_pack", Seq(100000L, 1000000L, 10000000L),
         (s, n) => Curation.packSequences(packInput(s, n), "doc_id", "lang",
-          col("n_tok"), seqLen = 512L)))
+          col("n_tok"), seqLen = 512L)),
+      // the custom Catalyst operator under BOTH its stress axes at once:
+      // group cardinality scales with rows (n/100 groups — the partial
+      // exec's heap-map pressure) while one hot group holds 10% of the
+      // corpus (the per-group work skew). k=3 like the registered query.
+      ("grouptopk_native", Seq(50000L, 500000L, 5000000L),
+        (s, n) => {
+          val in = s.range(n).select(
+            col("id").as("doc_id"),
+            when(pmod(col("id"), lit(10)) === 0, lit("hot"))
+              .otherwise(concat(lit("g"), pmod(xxhash64(col("id")), lit(n / 100)))).as("grp"),
+            pmod(xxhash64(col("id") + 5), lit(1000000L)).as("score"))
+          org.apache.spark.sql.graft.plans.GroupTopK.topkPerKey(
+            in, Seq("grp"), Seq(col("score").desc, col("doc_id").asc), k = 3)
+        }),
+      // union-tag as-of (ONE key shuffle, no join): left 10× the right,
+      // key count scales with rows, user 0 hot with 5% of both sides —
+      // the window-sort skew a real event stream would bring.
+      ("asof_join", Seq(100000L, 1000000L, 10000000L),
+        (s, n) => {
+          val nUsers = math.max(n / 100, 1)
+          def usr(c: Column) = when(pmod(c, lit(20)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(c), lit(nUsers)))
+          val left = s.range(n).select(
+            col("id").as("event_id"), usr(col("id")).as("user_id"),
+            pmod(xxhash64(col("id") + 1), lit(1000000000L)).as("ts_us"))
+          val right = s.range(n / 10).select(
+            usr(col("id") + 3).as("user_id"),
+            pmod(xxhash64(col("id") + 4), lit(1000000000L)).as("ts_us"))
+          graft.ext.TemporalJoins.asofBackward(
+            left, right, Seq("user_id"), "ts_us", "matched_ts")
+        }))
 
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
@@ -163,11 +200,17 @@ object ScaleBench {
     families.filter { case (f, _, _) => only.forall(_.contains(f)) }
       .foreach { case (family, sizes, run) =>
         sizes.foreach { n =>
+          probe.drain(spark.sparkContext)
+          probe.reset()
           val t0 = System.nanoTime()
           run(spark, n).write.mode("overwrite").format("noop").save()
           val sec = (System.nanoTime() - t0) / 1e9
+          probe.drain(spark.sparkContext)
           val heap = usedHeapMb()
-          println(f"""{"family":"$family","rows":$n,"sec":${math.rint(sec * 100) / 100},"heap_mb":$heap}""")
+          def mb(b: Long): Long = b / (1024 * 1024)
+          println(f"""{"family":"$family","rows":$n,"sec":${math.rint(sec * 100) / 100},"heap_mb":$heap,""" +
+            f""""shuffle_write_mb":${mb(probe.shuffleWriteB.get)},"shuffle_read_mb":${mb(probe.shuffleReadB.get)},""" +
+            f""""spill_mb":${mb(probe.spilledB.get)},"peak_task_exec_mb":${mb(probe.peakTaskExecB.get)}}""")
         }
       }
     spark.stop()

@@ -356,7 +356,8 @@ object Dedup {
    * Each round is two groupBy/join passes over the edge list plus a
    * distinct; an eager localCheckpoint per round cuts logical lineage
    * exactly like the propagation loop. Convergence = the edge set is
-   * fixed (anti-join emptiness, not just a count match).
+   * fixed, decided exactly as count-equality plus one subset anti-join
+   * (valid because both sides are distinct sets).
    */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIterations: Int = 30): DataFrame = {
@@ -388,12 +389,19 @@ object Dedup {
 
     var e = norm(pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
       .localCheckpoint(eager = true)
+    var eCount = e.count()
     var stable = false
     var iter = 0
     while (!stable && iter < maxIterations) {
       val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
-      stable = next.except(e).isEmpty && e.except(next).isEmpty
+      // both sides are distinct sets (norm ends in distinct), so equality
+      // is |next| == |e| AND next ⊆ e — one count over checkpointed
+      // blocks (nearly free) plus ONE anti-join, instead of the two
+      // full excepts the naive check pays every round
+      val nextCount = next.count()
+      stable = nextCount == eCount && next.except(e).isEmpty
       e = next
+      eCount = nextCount
       iter += 1
     }
     if (!stable) throw new IllegalStateException(
