@@ -23,19 +23,44 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /**
-   * Deterministic, cross-engine-portable token hash:
-   * `ascii(first)*96 + ascii(last) + length*7`.
-   * Weak on purpose (beats md5-hex-parsing portability problems); always
-   * mixed (multiplied by a large odd constant mod a prime) before use in
-   * minhash/simhash where spread matters.
+   * Deterministic, cross-engine-portable token hash: a base-131
+   * polynomial over the first 8 characters plus last-char and length
+   * terms, reduced mod [[graft.ext.Dedup.P]]. Base 131 > any ASCII
+   * codepoint, so the polynomial is injective on ASCII tokens up to 8
+   * chars BEFORE the mod; longer tokens still disperse via the tail
+   * terms. Out-of-range `substring` yields '' and `ascii('') = 0` in
+   * both engines (verified against DuckDB), so short tokens need no
+   * guards.
+   *
+   * History: until round 9 this was `ascii(first)*96 + ascii(last) +
+   * length*7` — injective on the fixtures' 31-token vocabulary, but on a
+   * realistic vocabulary it collapses to a few hundred values (every
+   * token hash equal ⇒ every shingle equal ⇒ LSH buckets saturate). The
+   * scale harness measured the blow-up: 7.7 M candidate pairs at 500 k
+   * scale-generator docs (~60 k real near-dups), a 33× CPU step for a
+   * 10× row step. A token hash must read more than two characters.
    */
-  def tokenHash(t: Column): Column =
-    ascii(t) * lit(96) + ascii(substring(t, -1, 1)) + length(t) * lit(7)
+  private val PolyChars = 8
+  private val Pows: Seq[Long] = Seq.iterate(1L, PolyChars)(_ * 131L)
+  // bounds: 127·Σ131^k (k<8) + 127·1000003 + 7·maxlen ≈ 8.5e16 « 2^63
+  // under ANSI arithmetic; the final mod keeps downstream shingle/chunk
+  // polynomials at their pre-round-9 ranges
+  def tokenHash(t: Column): Column = {
+    val poly = Pows.zipWithIndex
+      .map { case (p, i) => ascii(substring(t, i + 1, 1)).cast("long") * lit(p) }
+      .reduce(_ + _)
+    (poly + ascii(substring(t, -1, 1)).cast("long") * lit(1000003L) +
+      length(t).cast("long") * lit(7L)) % lit(graft.ext.Dedup.P)
+  }
 
   /** SQL-text form of [[tokenHash]], for composing expr() strings that the
    * oracle mirrors verbatim. */
-  def tokenHashSql(t: String): String =
-    s"(ascii($t)*96 + ascii(substring($t,-1,1)) + length($t)*7)"
+  def tokenHashSql(t: String): String = {
+    val terms = Pows.zipWithIndex
+      .map { case (p, i) => s"CAST(ascii(substring($t,${i + 1},1)) AS BIGINT)*$p" }
+    s"((${terms.mkString(" + ")} + CAST(ascii(substring($t,-1,1)) AS BIGINT)*1000003" +
+      s" + CAST(length($t) AS BIGINT)*7) % ${graft.ext.Dedup.P})"
+  }
 
   /**
    * BPE-style subword token counting: a GPT-2-flavored pre-tokenizer

@@ -10,13 +10,21 @@ import graft.ext.Dedup
  */
 object OracleSql {
 
-  /** Mirror of TextOps.tokenHashSql. */
-// length() (characters), NOT strlen() (bytes): the Spark side uses
-  // length(), and the two diverge on any multibyte token — which would
-  // silently break every shingle/minhash/simhash/fingerprint oracle on
-  // the first non-ASCII corpus
-  def tokenHash(t: String): String =
-    s"(ascii($t)*96 + ascii(right($t,1)) + length($t)*7)"
+  /** Mirror of TextOps.tokenHashSql: base-131 polynomial over the first
+   * 8 chars + last-char and length terms, mod Dedup.P. Alignment pins
+   * (verified directly against DuckDB): out-of-range substring yields ''
+   * and ascii('') = 0 in both engines; negative substring positions
+   * count from the end in both; length() (characters), NOT strlen()
+   * (bytes) — the two diverge on any multibyte token, which would
+   * silently break every shingle/minhash/simhash/fingerprint oracle on
+   * the first non-ASCII corpus. */
+  def tokenHash(t: String): String = {
+    val pows = Seq.iterate(1L, 8)(_ * 131L)
+    val terms = pows.zipWithIndex
+      .map { case (p, i) => s"CAST(ascii(substring($t,${i + 1},1)) AS BIGINT)*$p" }
+    s"((${terms.mkString(" + ")} + CAST(ascii(substring($t,-1,1)) AS BIGINT)*1000003" +
+      s" + CAST(length($t) AS BIGINT)*7) % ${Dedup.P})"
+  }
 
   /** Mirror of TextOps.prefixKey. */
   def prefixKey(n: Int = 3): String =

@@ -6,8 +6,8 @@ import graft.io.TableIO
 
 /**
  * X4 — text-analysis queries over the documents corpus. The shared
- * cross-engine token hash is `ascii(first)*96 + ascii(last) + length*7`
- * (TextOps.tokenHashSql / the `HSql` mirror below).
+ * cross-engine token hash is the base-131 first-8-chars polynomial
+ * (TextOps.tokenHashSql / the OracleSql.tokenHash mirror).
  */
 object TextQueries {
 

@@ -27,6 +27,12 @@ final class TaskMetricsProbe extends SparkListener {
   val spilledB = new AtomicLong
   val inputB = new AtomicLong
   val peakTaskExecB = new AtomicLong
+  /** Summed task CPU time (ns). The load-bearing scale metric on a
+   * shared VM: vmstat showed 20-44% hypervisor steal during harness
+   * runs, which inflates WALL time 2-20× run-to-run, while CPU time
+   * counts only cycles actually executed — steal-immune, and the honest
+   * "total work" figure a linear-scaling claim is about. */
+  val cpuTimeNs = new AtomicLong
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -36,12 +42,13 @@ final class TaskMetricsProbe extends SparkListener {
       spilledB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       inputB.addAndGet(m.inputMetrics.bytesRead)
       peakTaskExecB.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      cpuTimeNs.addAndGet(m.executorCpuTime)
     }
   }
 
   def reset(): Unit = {
     shuffleReadB.set(0); shuffleWriteB.set(0); spilledB.set(0)
-    inputB.set(0); peakTaskExecB.set(0)
+    inputB.set(0); peakTaskExecB.set(0); cpuTimeNs.set(0)
   }
 
   /** Block until every pending listener event is delivered, so the
