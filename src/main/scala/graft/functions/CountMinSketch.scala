@@ -51,7 +51,14 @@ object CountMinSketch {
       a
     }
     override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
-    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    // ExpressionEncoder, NOT Encoders.kryo: the Kryo path (a) serializes
+    // through reflection that needs `--add-opens java.base/java.nio` —
+    // the aggregation failed outright on a plain JDK-17 JVM without
+    // spark-submit's injected module options — and (b) writes an opaque
+    // binary blob where the expression encoder writes a primitive long
+    // array natively. Same buffer contents, no reflective surface.
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
