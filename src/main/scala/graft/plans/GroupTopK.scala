@@ -117,8 +117,31 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
-      def drained: Iterator[InternalRow] =
+      // Surface the heap map's retained bytes as peakExecutionMemory at
+      // drain time (when it is maximal, before the destructive dequeue):
+      // the map lives on the JVM heap outside Spark's memory manager, so
+      // without this the operator's footprint is invisible to task
+      // metrics and the scale harness reads 0 for its stress runs.
+      // Observability only — boundedness comes from the group caps and
+      // the sort degrade below.
+      def reportPeak(): Unit = {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) {
+          var bytes = 0L
+          heaps.foreach { case (key, h) =>
+            bytes += key.getSizeInBytes + 40 // map entry + queue overhead
+            h.foreach {
+              case u: UnsafeRow => bytes += u.getSizeInBytes + 16
+              case _ => bytes += 64
+            }
+          }
+          tc.taskMetrics().incPeakExecutionMemory(bytes)
+        }
+      }
+      def drained: Iterator[InternalRow] = {
+        reportPeak()
         heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+      }
       if (isPartial) {
         // Memory guard for the partial pass: with near-unique keys the
         // group map would retain ~the whole input partition on the JVM
@@ -168,8 +191,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           }
         }
         if (overflow eq null) drained
-        else TopKPerKeyExec.sortedTopK(childOutput, keyExprs, sortOrder, limit,
-          heaps.valuesIterator.flatMap(_.iterator) ++ Iterator.single(overflow) ++ iter)
+        else {
+          reportPeak() // the accumulated map is handed to the sorter below
+          TopKPerKeyExec.sortedTopK(childOutput, keyExprs, sortOrder, limit,
+            heaps.valuesIterator.flatMap(_.iterator) ++ Iterator.single(overflow) ++ iter)
+        }
       }
     }
   }
