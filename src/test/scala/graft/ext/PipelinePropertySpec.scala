@@ -119,4 +119,36 @@ class PipelinePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: banded LSH finds engineered near-dups without drowning in false positives") {
+    // The round-9 hash regression pin, as a BEHAVIOR property: on the
+    // adversarial w<N> vocabulary (shared first char, digit tails — the
+    // one the 2-char hash collapsed on), banded 4×2 minhash must (a)
+    // recall nearly all 2-edit near-dups — expected band-agreement
+    // probability 1-(1-J²)^4 ≈ 0.97 at J ≈ 0.78 — and (b) emit almost
+    // no candidate pairs between unrelated documents. The old hash
+    // failed BOTH here: token collisions inflated Jaccard corpus-wide,
+    // flooding candidates and blowing true pairs past the bucket cap.
+    val rnd = new scala.util.Random(42)
+    def word() = s"w${rnd.nextInt(50000)}"
+    val base = (0 until 300).map(i => i.toLong -> Seq.fill(30 + rnd.nextInt(20))(word()))
+    val dups = base.take(120).map { case (id, words) =>
+      val mutated = words.toArray
+      mutated(rnd.nextInt(words.size)) = word()
+      mutated(rnd.nextInt(words.size)) = word()
+      (id + 1000L) -> mutated.toSeq
+    }
+    val docs = (base ++ dups).map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val cand = Dedup.minhashPairsBanded(Dedup.withBandKeys(docs, "text"), "doc_id", bucketCap = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truePairs = dups.map { case (dupId, _) => (dupId - 1000L, dupId) }.toSet
+    val recalled = truePairs.count(cand.contains)
+    assert(recalled >= (truePairs.size * 85) / 100,
+      s"recalled only $recalled of ${truePairs.size} engineered near-dups")
+    val falsePositives = cand -- truePairs
+    assert(falsePositives.size <= 12,
+      s"${falsePositives.size} candidate pairs between unrelated documents: " +
+        falsePositives.take(5).mkString(", "))
+  }
 }
