@@ -64,18 +64,18 @@ object Dedup {
    * shingle_i = (th_i*10007 + th_{i+1}*131 + th_{i+2}) mod P, i=1..n-2.
    */
   def withShingleHashes(df: DataFrame, textCol: String): DataFrame =
+    // Codegen kernels, not the HOF formulation (kept as SQL in
+    // TextOps.tokenHashSql/OracleSql for the oracle): ArrayTransform is
+    // CodegenFallback — interpreted per element — and the 8-char hash as
+    // SQL text allocates ~10 single-char strings per token. The kernels
+    // do one primitive loop per row (equivalence spec'd in
+    // SignatureKernelsSpec; the < 3-token empty-shingles guard lives
+    // inside ShingleHashes3, matching DuckDB's empty range(1, len-1)).
     df.withColumn("__thashes",
-        expr(s"transform(split($textCol, ' '), t -> CAST(${TextOps.tokenHashSql("t")} AS BIGINT))"))
-      // the < 3 guard matters: Spark's sequence(1, 0) yields a DESCENDING
-      // [1, 0] (not an empty array), and element_at(_, 0) throws — a
-      // 2-token document would kill the job. DuckDB's range(1, len-1) is
-      // empty for the same doc, so the guard also keeps engines aligned.
+        org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
+          org.apache.spark.sql.functions.split(col(textCol), " "), P))
       .withColumn(ShinglesCol,
-        expr(s"""CASE WHEN size(__thashes) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
-                |ELSE transform(sequence(1, size(__thashes) - 2),
-                |  i -> (element_at(__thashes, i) * 10007
-                |      + element_at(__thashes, i + 1) * 131
-                |      + element_at(__thashes, i + 2)) % $P) END""".stripMargin))
+        org.apache.spark.sql.graft.SignatureKernels.shingleHashes3(col("__thashes"), P))
       .drop("__thashes")
 
   /** X2 — one minhash signature component: min over shingles of the
@@ -541,7 +541,8 @@ object Dedup {
    */
   def withChunkHashes(df: DataFrame, textCol: String, chunkSize: Int = 8): DataFrame =
     df.withColumn("__thashes",
-        expr(s"transform(split($textCol, ' '), t -> CAST(${TextOps.tokenHashSql("t")} AS BIGINT))"))
+        org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
+          org.apache.spark.sql.functions.split(col(textCol), " "), P))
       .withColumn(ChunksCol,
         expr(s"""CASE WHEN size(__thashes) < $chunkSize THEN CAST(array() AS ARRAY<BIGINT>)
                 |ELSE transform(sequence(1, size(__thashes) div $chunkSize),

@@ -153,11 +153,13 @@ object TextOps {
   val FingerprintMod = 1000000007L
 
   def fingerprint(textCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  transform(split($textCol, ' '), t -> CAST(${tokenHashSql("t")} AS BIGINT)),
-         |  CAST(0 AS BIGINT),
-         |  (acc, x) -> (acc * 131 + x) % $FingerprintMod)""".stripMargin)
+    // token hashing via the codegen kernel (one primitive loop; the SQL
+    // formulation is the oracle's); only the trivial fold lambda stays HOF
+    aggregate(
+      org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
+        split(col(textCol), " "), graft.ext.Dedup.P),
+      lit(0L).cast("bigint"),
+      (acc, x) => (acc * lit(131L) + x) % lit(FingerprintMod))
 
   /**
    * Model-based quality scoring plumbing: a hashed bag-of-words LINEAR
@@ -175,11 +177,12 @@ object TextOps {
   val QualityBuckets = 64
 
   def hashedLinearScore(textCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  transform(split($textCol, ' '),
-         |    t -> ((CAST(${tokenHashSql("t")} AS BIGINT) % $QualityBuckets) * 2654435761) % 1999 - 999),
-         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    aggregate(
+      transform(
+        org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
+          split(col(textCol), " "), graft.ext.Dedup.P),
+        h => (h % lit(QualityBuckets)) * lit(2654435761L) % lit(1999L) - lit(999L)),
+      lit(0L).cast("bigint"), (acc, x) => acc + x)
 
   /** Language-ID by marker-token hit counts — the classic n-gram/stopword
    * profile heuristic reduced to two deterministic profiles. */

@@ -213,6 +213,157 @@ case class SimhashWide(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Per-token hash over an array<string>: one codegen'd loop replacing
+ * `transform(tokens, t -> <10 substring/ascii calls>)` — ArrayTransform
+ * is CodegenFallback (interpreted per element) and the SQL formula
+ * allocates ~10 single-char strings per token, so the kernel is the
+ * difference between the shingle staging being allocation-bound and
+ * CPU-bound. Arithmetic is EXACTLY TextOps.tokenHashSql's: base-131
+ * polynomial over the first 8 codepoints + last-codepoint·1000003 +
+ * numChars·7, mod p (Spark's ascii/substring/length are codepoint-based
+ * — TokenHashKernel.hashToken mirrors that, surrogate pairs included).
+ * Null elements map to null (transform semantics); null array → null.
+ */
+case class TokenHashes(child: Expression, p: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else TokenHashKernel.hashToken(arr.getUTF8String(i), p)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val vals = ctx.freshName("vals")
+      val nulls = ctx.freshName("nulls")
+      val kernel = "org.apache.spark.sql.graft.TokenHashKernel"
+      s"""
+         |int $n = $x.numElements();
+         |long[] $vals = new long[$n];
+         |boolean[] $nulls = new boolean[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { $nulls[$i] = true; }
+         |  else { $vals[$i] = $kernel.hashToken($x.getUTF8String($i), ${p}L); }
+         |}
+         |${ev.value} = org.apache.spark.sql.graft.TokenHashKernel.toArrayData($vals, $nulls);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * 3-gram shingle hashes over an array<bigint> of token hashes:
+ * out(i) = (h(i)·10007 + h(i+1)·131 + h(i+2)) mod p for i = 0..n-3,
+ * empty for arrays under 3 elements — exactly the staged-SQL
+ * formulation in Dedup.withShingleHashes (whose sequence(1, n-2) is
+ * empty-guarded the same way). Null token hashes cannot occur from
+ * split(), but are defensively treated as 0 (the SQL's `element_at`
+ * arithmetic would yield a null shingle; split-sourced arrays never
+ * exercise either branch).
+ */
+case class ShingleHashes3(child: Expression, p: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes3"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = if (n < 3) 0 else n - 2
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = TokenHashKernel.shingle3(
+        arr.getLong(i), arr.getLong(i + 1), arr.getLong(i + 2), p)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val vals = ctx.freshName("vals")
+      val kernel = "org.apache.spark.sql.graft.TokenHashKernel"
+      s"""
+         |int $n = $x.numElements();
+         |int $m = $n < 3 ? 0 : $n - 2;
+         |long[] $vals = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $vals[$i] = $kernel.shingle3(
+         |    $x.getLong($i), $x.getLong($i + 1), $x.getLong($i + 2), ${p}L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static helpers shared by [[TokenHashes]]/[[ShingleHashes3]]'s
+ * interpreted and generated code paths — one definition of the
+ * arithmetic, referenced by class name from codegen. */
+object TokenHashKernel {
+  /** Codepoint-faithful mirror of TextOps.tokenHashSql (Spark's
+   * ascii = first codepoint; length = codepoint count). */
+  def hashToken(u: org.apache.spark.unsafe.types.UTF8String, p: Long): Long = {
+    val s = u.toString
+    var h = 0L
+    var pow = 1L
+    var cpCount = 0L
+    var last = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cpCount < 8) { h += cp.toLong * pow; pow *= 131L }
+      last = cp.toLong
+      cpCount += 1
+      i += Character.charCount(cp)
+    }
+    (h + last * 1000003L + cpCount * 7L) % p
+  }
+
+  def shingle3(a: Long, b: Long, c: Long, p: Long): Long =
+    (a * 10007L + b * 131L + c) % p
+
+  def toArrayData(vals: Array[Long], nulls: Array[Boolean]): ArrayData = {
+    var hasNull = false
+    var i = 0
+    while (i < nulls.length && !hasNull) { hasNull = nulls(i); i += 1 }
+    if (!hasNull) ArrayData.toArrayData(vals)
+    else {
+      val out = new Array[Any](vals.length)
+      var j = 0
+      while (j < vals.length) {
+        out(j) = if (nulls(j)) null else vals(j)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 object SignatureKernels {
   def minhashComponent(shingles: Column, a: Long, b: Long, p: Long): Column =
     ExpressionUtils.column(MinhashComponent(ExpressionUtils.expression(shingles), a, b, p))
@@ -222,4 +373,10 @@ object SignatureKernels {
 
   def simhashWide(shingles: Column): Column =
     ExpressionUtils.column(SimhashWide(ExpressionUtils.expression(shingles)))
+
+  def tokenHashes(tokens: Column, p: Long): Column =
+    ExpressionUtils.column(TokenHashes(ExpressionUtils.expression(tokens), p))
+
+  def shingleHashes3(tokenHashes: Column, p: Long): Column =
+    ExpressionUtils.column(ShingleHashes3(ExpressionUtils.expression(tokenHashes), p))
 }

@@ -413,8 +413,8 @@ object TextQueries {
       (s, dir) => {
         import graft.functions.CountMinSketch
         val toks = TableIO.read(s, dir, "documents")
-          .select(explode_outer(expr(
-            s"transform(split(text, ' '), t -> CAST(${TextOps.tokenHashSql("t")} AS BIGINT))")).as("tok"))
+          .select(explode_outer(org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
+            split(col("text"), " "), graft.ext.Dedup.P)).as("tok"))
           .filter(col("tok").isNotNull)
         val sketch = toks.agg(CountMinSketch.udafFn(col("tok")).as("sketch"))
         val probes = s.range(1)

@@ -63,6 +63,35 @@ class DedupSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("token-hash and shingle kernels are bit-identical to the SQL formulation") {
+    // the SQL text IS the oracle's formulation (OracleSql mirrors it), so
+    // kernel == SQL here plus the driver's DuckDB gate gives kernel ==
+    // oracle transitively. Adversarial rows: empty text, 1/2-token docs
+    // (empty-shingles guard), >8-char and multibyte tokens (codepoint
+    // semantics, surrogate pair included), repeated separators.
+    val docs = (spark.read.parquet(s"$Sf/documents.parquet").select("text") union
+      Seq("", "one", "one two", "a b c", "longtokenoverflow12345 xé€ 😀cat tail",
+        "x  y   z w", "é é é é").toDF("text")).cache()
+    val sqlTokens = org.apache.spark.sql.functions.expr(
+      s"transform(split(text, ' '), t -> CAST(${TextOps.tokenHashSql("t")} AS BIGINT))")
+    val sqlShingles = org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN size(__ref_th) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+         |ELSE transform(sequence(1, size(__ref_th) - 2),
+         |  i -> (element_at(__ref_th, i) * 10007
+         |      + element_at(__ref_th, i + 1) * 131
+         |      + element_at(__ref_th, i + 2)) % ${Dedup.P}) END""".stripMargin)
+    val diff = docs
+      .withColumn("__ref_th", sqlTokens)
+      .withColumn("__fast_th", org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
+        split(col("text"), " "), Dedup.P))
+      .withColumn("__ref_sh", sqlShingles)
+      .withColumn("__fast_sh", org.apache.spark.sql.graft.SignatureKernels.shingleHashes3(
+        col("__fast_th"), Dedup.P))
+      .filter(!(col("__ref_th") <=> col("__fast_th")) || !(col("__ref_sh") <=> col("__fast_sh")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("minhash pairs are ordered and signature-consistent") {
     val sigs = Dedup.withMinhashSignature(spark.read.parquet(s"$Sf/documents.parquet"), "text")
     val pairs = Dedup.minhashPairs(sigs, "doc_id").as[(Long, Long)].collect()
