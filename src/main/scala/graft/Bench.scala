@@ -146,11 +146,26 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spreadFull,"failed":$failedJson,"sf":"$sfDir"}"""
     // full per-query detail → file (the registry outgrew a stdout line).
-    // Only on FULL runs: a name-filtered dev-loop run would otherwise
-    // overwrite the committed full-registry record with a 2-query one.
-    if (only.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // Only on FULL runs (a name-filtered dev-loop run must not overwrite
+    // the committed full-registry record with a 2-query one) and only
+    // when the existing record is for the SAME sf: the verify-recipe
+    // smoke runs the full registry at sf0.01 and silently replaced the
+    // committed sf0.1 record once — cross-sf numbers are not comparable,
+    // so a different-sf record is left alone with a note.
+    val recordPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    val existingSf: Option[String] =
+      if (!java.nio.file.Files.exists(recordPath)) None
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(recordPath))
+        Option(root.path("sf").asText(null))
+      } catch { case _: Exception => None }
+    if (only.isEmpty && existingSf.forall(_ == sfDir))
+      java.nio.file.Files.write(recordPath,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else if (only.isEmpty)
+      System.err.println(s"[bench] NOT overwriting BENCH_FULL.json " +
+        s"(existing record is for ${existingSf.get}, this run is $sfDir)")
     println(fullLine)
     // The harness captures only the LAST ~2000 chars of stdout and parses
     // the JSON line it finds there; with 100+ registered queries the full

@@ -117,11 +117,15 @@ object Curation {
    */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 64): DataFrame = {
+    // hash in one codegen pass over the token ARRAY, then explode the
+    // hashes: the per-exploded-row Column-form hash allocated ~10
+    // single-char strings per token (same arithmetic, spec-pinned)
     val tok = df
       .select(col(idCol), isTarget.as("__is_t"),
-        explode_outer(split(col(textCol), " ")).as("__t"))
-      .filter(col("__t").isNotNull)
-      .withColumn("__b", pmod(TextOps.tokenHash(col("__t")).cast("long"), lit(buckets.toLong)))
+        explode_outer(org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
+          split(col(textCol), " "), graft.ext.Dedup.P)).as("__th"))
+      .filter(col("__th").isNotNull)
+      .withColumn("__b", pmod(col("__th"), lit(buckets.toLong)))
     val counts = tok.groupBy("__b").agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("__is_t"), 1L).otherwise(0L)).as("n_target"))
