@@ -544,10 +544,7 @@ object Dedup {
         org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
           org.apache.spark.sql.functions.split(col(textCol), " "), P))
       .withColumn(ChunksCol,
-        expr(s"""CASE WHEN size(__thashes) < $chunkSize THEN CAST(array() AS ARRAY<BIGINT>)
-                |ELSE transform(sequence(1, size(__thashes) div $chunkSize),
-                |  c -> aggregate(slice(__thashes, (c - 1) * $chunkSize + 1, $chunkSize),
-                |         CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % $P)) END""".stripMargin))
+        org.apache.spark.sql.graft.SignatureKernels.chunkHashes(col("__thashes"), chunkSize, P))
       .drop("__thashes")
 
   /**

@@ -321,6 +321,67 @@ case class ShingleHashes3(child: Expression, p: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Fixed-stride chunk rolling hashes over an array<bigint> of token
+ * hashes: chunk c (c = 0..n/size-1) folds its `size` token hashes
+ * through acc = (acc·131 + h) mod p from acc = 0; arrays shorter than
+ * one chunk yield an empty result — exactly the staged-SQL formulation
+ * in Dedup.withChunkHashes (`transform(sequence(1, n div size), c ->
+ * aggregate(slice(...), 0, (acc, x) -> (acc*131 + x) % p))`, whose
+ * `< size` guard this mirrors).
+ */
+case class ChunkHashes(child: Expression, chunkSize: Int, p: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "chunk_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = if (n < chunkSize) 0 else n / chunkSize
+    val out = new Array[Long](m)
+    var c = 0
+    while (c < m) {
+      var acc = 0L
+      var i = c * chunkSize
+      val end = i + chunkSize
+      while (i < end) { acc = (acc * 131L + arr.getLong(i)) % p; i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      val acc = ctx.freshName("acc")
+      val vals = ctx.freshName("vals")
+      s"""
+         |int $n = $x.numElements();
+         |int $m = $n < $chunkSize ? 0 : $n / $chunkSize;
+         |long[] $vals = new long[$m];
+         |for (int $c = 0; $c < $m; $c++) {
+         |  long $acc = 0L;
+         |  int $end = ($c + 1) * $chunkSize;
+         |  for (int $i = $c * $chunkSize; $i < $end; $i++) {
+         |    $acc = ($acc * 131L + $x.getLong($i)) % ${p}L;
+         |  }
+         |  $vals[$c] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static helpers shared by [[TokenHashes]]/[[ShingleHashes3]]'s
  * interpreted and generated code paths — one definition of the
  * arithmetic, referenced by class name from codegen. */
@@ -379,4 +440,7 @@ object SignatureKernels {
 
   def shingleHashes3(tokenHashes: Column, p: Long): Column =
     ExpressionUtils.column(ShingleHashes3(ExpressionUtils.expression(tokenHashes), p))
+
+  def chunkHashes(tokenHashes: Column, chunkSize: Int, p: Long): Column =
+    ExpressionUtils.column(ChunkHashes(ExpressionUtils.expression(tokenHashes), chunkSize, p))
 }

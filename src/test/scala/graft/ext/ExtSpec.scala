@@ -80,6 +80,11 @@ class DedupSpec extends SparkSpec {
          |  i -> (element_at(__ref_th, i) * 10007
          |      + element_at(__ref_th, i + 1) * 131
          |      + element_at(__ref_th, i + 2)) % ${Dedup.P}) END""".stripMargin)
+    val sqlChunks = org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN size(__ref_th) < 8 THEN CAST(array() AS ARRAY<BIGINT>)
+         |ELSE transform(sequence(1, size(__ref_th) div 8),
+         |  c -> aggregate(slice(__ref_th, (c - 1) * 8 + 1, 8),
+         |         CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % ${Dedup.P})) END""".stripMargin)
     val diff = docs
       .withColumn("__ref_th", sqlTokens)
       .withColumn("__fast_th", org.apache.spark.sql.graft.SignatureKernels.tokenHashes(
@@ -87,7 +92,12 @@ class DedupSpec extends SparkSpec {
       .withColumn("__ref_sh", sqlShingles)
       .withColumn("__fast_sh", org.apache.spark.sql.graft.SignatureKernels.shingleHashes3(
         col("__fast_th"), Dedup.P))
-      .filter(!(col("__ref_th") <=> col("__fast_th")) || !(col("__ref_sh") <=> col("__fast_sh")))
+      .withColumn("__ref_ch", sqlChunks)
+      .withColumn("__fast_ch", org.apache.spark.sql.graft.SignatureKernels.chunkHashes(
+        col("__fast_th"), 8, Dedup.P))
+      .filter(!(col("__ref_th") <=> col("__fast_th")) ||
+        !(col("__ref_sh") <=> col("__fast_sh")) ||
+        !(col("__ref_ch") <=> col("__fast_ch")))
       .count()
     assert(diff == 0)
   }
