@@ -147,7 +147,7 @@ object ScaleBench {
     // seconds but saturates a real cluster's fabric)
     val probe = new org.apache.spark.sql.graft.TaskMetricsProbe
     spark.sparkContext.addSparkListener(probe)
-    import graft.ext.{Curation, Dedup, Linkage}
+    import graft.ext.{Curation, Dedup, Linkage, TextOps}
 
     // family name -> (sizes, runner). Sizes are 1x/10x/100x of the sf0.1
     // row counts for that family's input.
@@ -211,6 +211,49 @@ object ScaleBench {
             pmod(xxhash64(col("id") + 4), lit(1000000000L)).as("ts_us")))
           graft.ext.TemporalJoins.asofBackward(
             left, right, Seq("user_id"), "ts_us", "matched_ts")
+        }),
+      // inverted-index sparse cosine under a hot-term corpus: the
+      // every-97th hot-text docs create terms whose df blows past the
+      // ceiling (dropped whole — the prefix-filter bound), near-dup
+      // chains supply the df 2-3 terms that drive real pairs
+      ("sparse_cosine_pairs", Seq(5000L, 50000L, 500000L),
+        (s, n) => TextOps.sparseCosinePairs(
+          Dedup.withShingleHashes(staged(s, "docs", n)(docs(s, n)), "text"),
+          "doc_id", Dedup.ShinglesCol, minDot = 1L, maxTermDf = 20L)),
+      // bucket-decomposed range join with constant match density: the ts
+      // domain scales with rows (100 µs/row) and the window is 10 ms, so
+      // every left row matches ~10 right rows at EVERY size — output and
+      // work stay linear, which is exactly what the bucket decomposition
+      // must deliver (a nested-loop plan would be quadratic per key).
+      // user 0 is hot with 5 % of both sides.
+      ("range_join", Seq(100000L, 1000000L, 10000000L),
+        (s, n) => {
+          val nUsers = math.max(n / 100, 1)
+          def usr(c: Column) = when(pmod(c, lit(20)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(c), lit(nUsers)))
+          val left = staged(s, "range_left", n)(s.range(n).select(
+            usr(col("id")).as("user_id"),
+            timestamp_micros(pmod(xxhash64(col("id") + 1), lit(n * 100))).as("ts_us")))
+          val right = staged(s, "range_right", n)(s.range(n / 10).select(
+            usr(col("id") + 3).as("user_id"),
+            timestamp_micros(pmod(xxhash64(col("id") + 4), lit(n * 100))).as("ts_us")))
+          graft.ext.TemporalJoins.rangeJoinBucketed(
+              left, right, Seq("user_id"), "ts_us", windowMicros = 10000L)
+            .groupBy("user_id").agg(count(lit(1)).as("n_matches"))
+        }),
+      // gap sessionization: per-user window sort with one hot user at
+      // 5 % of all events — the skewed-window shape every event pipeline
+      // hits; state is one lag per row, cost must track the sort
+      ("sessionize_gaps", Seq(100000L, 1000000L, 10000000L),
+        (s, n) => {
+          val nUsers = math.max(n / 200, 1)
+          val ev = staged(s, "sess_events", n)(s.range(n).select(
+            when(pmod(col("id"), lit(20)) === 0, lit(0L))
+              .otherwise(pmod(xxhash64(col("id")), lit(nUsers))).as("user_id"),
+            col("id").as("event_id"),
+            timestamp_micros(
+              pmod(xxhash64(col("id") + 9), lit(86400L * 1000000L))).as("ts")))
+          graft.ext.StreamingOps.sessionizeByGap(ev, "user_id", "ts", "event_id", "15 minutes")
         }))
 
     val only: Option[Set[String]] =

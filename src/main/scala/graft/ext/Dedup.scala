@@ -22,9 +22,24 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Modulus for all signature hashing (prime, < 2^20 so products with
-   * mix constants stay far inside int64). */
-  val P = 1048573L
+  /** Modulus for all signature hashing: 2^31 − 1 (Mersenne prime M31).
+   *
+   * Widened from 2^20 in round 9 after the scale harness caught the
+   * domain saturating: a 500 k-doc corpus carries ~19 M distinct
+   * shingles, so at P ≈ 10^6 every hash value held ~19 UNRELATED
+   * documents and the df-based operators blew up (sparse-cosine shuffle
+   * grew 55× for a 10× row step; at larger corpora the df ceiling would
+   * instead drop EVERY shingle — silent recall collapse). At 2^31 the
+   * domain supports billions of distinct shingles with birthday noise
+   * « 1 per value.
+   *
+   * Bound audit at P = 2^31 − 1 (every product must stay int64-exact in
+   * BOTH engines): minhash (s·9001 ≈ 2e13), shingle (h·10007 ≈ 2e13),
+   * chunk fold (acc·131 ≈ 3e11), band pack (c0·P + c1 < P² + P ≈
+   * 4.6e18 — which caps the injective pack at r = 2 components, see
+   * withBandKeys), simhash mixes (s·2654435761 ≈ 5.7e18 — inside int64,
+   * see SimhashWide), CMS probe (a·x ≈ 1.0e18). */
+  val P = 2147483647L
 
   /** X1 — exact dedup, deterministic variant: keep the lowest-id row per
    * key. A window with row_number (not dropDuplicates, whose survivor is
@@ -174,12 +189,12 @@ object Dedup {
    * [[minhash]]); signatures are per-row codegen kernels, zero shuffle.
    */
   def withBandKeys(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame = {
-    // the injective pack c0*P + c1 (+ ...) reaches P^r: r <= 3 keeps it
-    // under 2^63 (P^3 ~ 1.15e18); production geometries with wider bands
-    // (e.g. 16x8) must swap the pack for a mixing hash of the components
-    // instead of extending the seed list alone
-    require(LshRowsPerBand <= 3,
-      s"band pack overflows int64 for r=$LshRowsPerBand > 3 — use a mixing hash for wide bands")
+    // the injective pack c0*P + c1 (+ ...) reaches P^r: at P = 2^31 − 1
+    // only r <= 2 stays under 2^63 (P² ≈ 4.6e18); production geometries
+    // with wider bands (e.g. 16x8) must swap the pack for a mixing hash
+    // of the components instead of extending the seed list alone
+    require(LshRowsPerBand <= 2,
+      s"band pack overflows int64 for r=$LshRowsPerBand > 2 at P=$P — use a mixing hash for wide bands")
     val staged = withShingleHashes(df, textCol)
     (0 until LshBands).foldLeft(staged) { (d, j) =>
       // pack the RAW kernel outputs (null for empty shingle sets) and only

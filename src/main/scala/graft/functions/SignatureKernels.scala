@@ -138,12 +138,14 @@ case class Simhash16(child: Expression) extends UnaryExpression {
 }
 
 /** 60-bit wide simhash over an array<bigint> of shingle hashes.
- * PRECONDITION: inputs must lie in [0, 2^20) — the Dedup.withShingleHashes
- * contract (shingles mod P=1048573). Only under that bound does s*m1 stay
- * < 2^52; feeding raw 64-bit hashes would overflow the multiply and
- * silently diverge from the DuckDB mirror. Built
- * from two 30-bit halves so every intermediate stays < 2^52 (portable to
- * engines whose int64 arithmetic errors on overflow): per shingle,
+ * PRECONDITION: inputs must lie in [0, 2^31) — the Dedup.withShingleHashes
+ * contract (shingles mod P = 2^31 − 1). Under that bound s*m1 peaks at
+ * ≈ 5.7e18 — inside int64, so the multiply is EXACT in any int64 engine
+ * (Spark, DuckDB); feeding raw 64-bit hashes would overflow it and
+ * silently diverge from the DuckDB mirror. (The pre-round-9 2^20 domain
+ * additionally kept intermediates < 2^52 for double-arithmetic engines;
+ * that portability margin is traded away for the collision-free domain.)
+ * Built from two 30-bit halves: per shingle,
  * h1 = (s*m1) mod 2^30 votes bits 0..29, h2 = (s*m2) mod 2^30 votes bits
  * 30..59. Empty array → 0. The production-width sketch for
  * Hamming-blocked near-dup joins (4 × 15-bit blocks → 32768 buckets per

@@ -33,15 +33,15 @@ class TokenHashSpec extends SparkSpec {
     // harness's vocabulary, on which the old hash took ~50 values
     val toks = (0 until 50000).map(i => s"w$i")
     val distinct = hashes(toks).distinct.size
-    // birthday bound at P=1048573: E[collisions] ≈ n²/2P ≈ 1190, so
-    // ≥ 95% distinct is comfortably above noise and catastrophically
-    // below any collapse (the old hash scores 0.1% here)
+    // at P = 2^31 − 1 the birthday bound is E[collisions] ≈ n²/2P < 1,
+    // so ≥ 95% distinct is far above noise and catastrophically below
+    // any collapse (the old 2-char hash scores 0.1% here)
     assert(distinct >= 47500, s"only $distinct of 50000 distinct hashes")
   }
 
   test("tokenHash is near-injective on short ASCII tokens") {
     // ≤ 8 chars ⇒ injective before the mod; only mod-P birthday
-    // collisions remain (E ≈ 5000²/2P ≈ 12 of 5000)
+    // collisions remain (E « 1 of 5000 at P = 2^31 − 1)
     val rnd = new scala.util.Random(7)
     val toks = Seq.fill(5000)(
       (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
@@ -71,8 +71,8 @@ class TokenHashSpec extends SparkSpec {
     val expected = hashes(Seq("the", "w0", "hello", "abcdefghij")) // self-consistency
     assert(golden == expected)
     // absolute pin for one token, derived by hand from the formula:
-    // "a" = ascii 97: 97*1 + 97*1000003 + 1*7 = 97000395; % 1048573
+    // "a" = ascii 97: 97*1 + 97*1000003 + 1*7 = 97000395, mod Dedup.P
     val a = hashes(Seq("a")).head
-    assert(a == 97000395L % 1048573L, s"got $a")
+    assert(a == 97000395L % Dedup.P, s"got $a")
   }
 }
