@@ -116,6 +116,23 @@ object BenchAB {
         .filter(l => l.contains("Aggregate") || l.contains("Exchange"))
         .foreach(l => println("[ab] plan: " + l.trim.take(160)))
     }
+    if (which("probe_lm")) {
+      val P = graft.ext.Dedup.P
+      val K = org.apache.spark.sql.graft.SignatureKernels
+      val docs = TableIO.read(s, sfDir, "documents")
+      val th = K.tokenHashes(TextOps.tokens(col("text")), P)
+      def inst = docs
+        .select(col("doc_id"), th.as("__th"),
+          posexplode(K.shingleHashes2(th, P)).as(Seq("pos", "bh")))
+        .select(col("doc_id"), element_at(col("__th"), col("pos") + 1).as("ph"), col("bh"))
+      time("lm: scan only", 3)(docs.select(col("doc_id")))
+      time("lm: tokenHashes", 3)(docs.select(col("doc_id"), th.as("h")))
+      time("lm: + shingle2", 3)(docs.select(col("doc_id"), K.shingleHashes2(th, P).as("b")))
+      time("lm: + posexplode", 3)(docs.select(col("doc_id"),
+        posexplode(K.shingleHashes2(th, P)).as(Seq("pos", "bh"))))
+      time("lm: inst (with ph)", 3)(inst)
+      time("lm: full", 3)(TextOps.bigramSurprisal(docs, "doc_id", "text"))
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

@@ -327,4 +327,44 @@ object Curation {
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /**
+   * Temperature-scaled source sampling (the multinomial mixture rule of
+   * multilingual/multi-source training runs — public in the mBERT /
+   * XLM-R exponential-smoothing recipe, arXiv:1901.07291 §3.1): sample
+   * strata so the kept counts follow n_s^α instead of n_s, boosting
+   * small strata relative to large ones. For the default α = 1/2 the
+   * per-stratum keep probability normalized so the SMALLEST stratum is
+   * fully kept is √(n_min/n_s), carried as an integer ppm threshold
+   * `floor((10⁶·√n_min)/√n_s)` — two exactly-rounded IEEE sqrt's, one
+   * multiply, one divide, so both engines (and any partitioning) agree
+   * bit-for-bit. The per-row draw is the repo's standard multiplicative
+   * Knuth hash of the id (deterministic, no rand()).
+   *
+   * Shape at scale: one map-side-combined count by stratum (output
+   * O(|strata|), broadcast back), then a shuffle-free filter scan —
+   * sampling 100 TB is a pure map after a tiny aggregate. `annotate`
+   * returns every row with (n_strata, keep_ppm, u_ppm, keep) for audit;
+   * [[temperatureSample]] is the filtering face.
+   */
+  def temperatureAnnotate(df: DataFrame, strataCol: String, idCol: Column): DataFrame = {
+    requireFreeColumns(df, Seq("n_strata", "keep_ppm", "u_ppm", "keep"))
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_strata"))
+    val nMin = counts.agg(min("n_strata").as("__nmin"))
+    val ppm = counts.crossJoin(broadcast(nMin))
+      .select(col(strataCol), col("n_strata"),
+        floor(lit(1000000.0) * sqrt(col("__nmin").cast("double")) /
+          sqrt(col("n_strata").cast("double"))).cast("long").as("keep_ppm"))
+    df.join(broadcast(ppm), strataCol)
+      .withColumn("u_ppm",
+        pmod(pmod(idCol.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(1000000L)))
+      .withColumn("keep", col("u_ppm") < col("keep_ppm"))
+  }
+
+  /** Filtering face of [[temperatureAnnotate]]: the surviving rows with
+   * the audit columns dropped. */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: Column): DataFrame =
+    temperatureAnnotate(df, strataCol, idCol)
+      .filter(col("keep"))
+      .drop("n_strata", "keep_ppm", "u_ppm", "keep")
 }

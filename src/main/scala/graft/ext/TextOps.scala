@@ -274,4 +274,198 @@ object TextOps {
         concat_ws(" ", slice(col("__toks"),
           (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens))).as("chunk_text"))
   }
+
+  // ---------------------------------------------------------------------
+  // Gopher-style composite quality rules (Rae et al. 2021, public
+  // arXiv:2112.11446 Table A1): the rule-set face of quality filtering,
+  // complementing the continuous scores (text_quality's ratios,
+  // hashedLinearScore's model shape). Each rule is a pure per-row
+  // predicate; a document carries every signal plus the FIRST failing
+  // rule's name, the shape a pipeline needs to audit WHY mass was
+  // dropped (per-rule kill counts), not just how much.
+  // ---------------------------------------------------------------------
+
+  /** Rule thresholds — Gopher's published bounds adapted to the corpus
+   * unit (the paper's 50..100k word bound assumes web pages; the
+   * defaults here are caller-overridable). */
+  final case class GopherBounds(
+      minWords: Int = 20, maxWords: Int = 80,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
+      maxDupWordFrac: Double = 0.5)
+
+  /**
+   * Per-document Gopher rule evaluation. Output: every signal column
+   * (n_words, mean_word_len, frac_alpha, n_stop, dup_frac), `passes`,
+   * and `fail_reason` ('ok' | first failing rule in fixed audit order).
+   *
+   * Exactness: counts and length sums are int64; the three ratios are a
+   * single IEEE division each (bit-deterministic), rounded to 6 dp on
+   * both engines. Shuffle-free codegen scan — quality-gating 100 TB is
+   * a pure map, same posture as [[scrubPii]]/[[hashedLinearScore]].
+   */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      b: GopherBounds = GopherBounds()): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val meanLen = round(sumLen.cast("double") / n.cast("double"), 6)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n.cast("double"), 6)
+    val nStop = stopwordHits(toks, stopwords)
+    val dupFrac = dupWordFrac(toks)
+    df.select(
+        col(idCol),
+        n.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("frac_alpha"),
+        nStop.cast("long").as("n_stop"),
+        dupFrac.as("dup_frac"))
+      .withColumn("fail_reason",
+        when(col("n_words") < b.minWords || col("n_words") > b.maxWords, "word_count")
+          .when(col("mean_word_len") < b.minMeanWordLen ||
+            col("mean_word_len") > b.maxMeanWordLen, "mean_word_len")
+          .when(col("frac_alpha") < b.minAlphaFrac, "alpha_ratio")
+          .when(col("n_stop") < b.minStopwords, "stopwords")
+          .when(col("dup_frac") >= b.maxDupWordFrac, "repetition")
+          .otherwise("ok"))
+      .withColumn("passes", col("fail_reason") === "ok")
+  }
+
+  // ---------------------------------------------------------------------
+  // Self-trained bigram language-model surprisal — the KenLM-perplexity
+  // shape of CCNet/RedPajama quality scoring (score each document by how
+  // predictable its token stream is under an n-gram LM trained on the
+  // corpus itself), made cross-engine exact: the published −log₂ P is
+  // replaced by the INTEGER log₂ floor via binary digit counts
+  // (bitlen(ctx_count) − bitlen(bigram_count) ∈ [0, 63]), a monotone
+  // proxy for the MLE surprisal that two engines compute bit-identically
+  // with no transcendentals. Swapping a real smoothed LM in changes one
+  // expression; the distributed shape is identical.
+  // ---------------------------------------------------------------------
+
+  /**
+   * Per-document mean bigram surprisal. Three key-partitioned shuffles,
+   * none carrying text: bigram instances travel as int64 hash pairs
+   * (kernel-hashed tokens packed shingle-style), the two count tables are
+   * token/bigram-keyed joins with map-side combine, and the final rollup
+   * shuffles on the doc id. Documents with < 2 tokens have no bigrams
+   * and drop out (the oracle's `range(1, len)` is empty on the same
+   * inputs).
+   */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.ext.Dedup.P
+    val K = org.apache.spark.sql.graft.SignatureKernels
+    val th = K.tokenHashes(tokens(col(textCol)), P)
+    // The (ph, bh) pairs come from ONE codegen kernel emitting 16-byte
+    // structs — both the ArrayTransform formulation (CodegenFallback)
+    // and the explode-one-array-index-the-other shape (which drags the
+    // token-hash array through the Generate, O(tokens²) bytes/doc)
+    // measured ~2 s of this query's cost at sf0.1.
+    // Window counts rather than groupBy + self-joins: the count tables
+    // would each re-evaluate the scan→hash→explode lineage, tripling the
+    // kernel pass; two count-over-partition windows reuse ONE instance
+    // stream through three key shuffles (bh, ph, doc), none carrying text.
+    val inst = df
+      .select(col(idCol), explode(K.bigramPairs(th, P)).as("pair"))
+      .select(col(idCol), col("pair.ph").as("ph"), col("pair.bh").as("bh"))
+    inst
+      .withColumn("big_n", count(lit(1)).over(Window.partitionBy("bh")))
+      .withColumn("ctx_n", count(lit(1)).over(Window.partitionBy("ph")))
+      .withColumn("surprisal",
+        (length(bin(col("ctx_n"))) - length(bin(col("big_n")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("surprisal").as("surprisal_sum"))
+      .withColumn("avg_surprisal",
+        round(col("surprisal_sum").cast("double") / col("n_bigrams").cast("double"), 6))
+  }
+
+  // ---------------------------------------------------------------------
+  // Content-defined chunking (the rsync/LBFS/FastCDC boundary idiom,
+  // public since Muthitacharoen et al. 2001): chunk boundaries are
+  // decided by a hash of the LOCAL character window, so an insertion
+  // early in a document shifts only the chunks it touches — unlike
+  // fixed-stride chunking (chunkDocs / Dedup.withChunkHashes) where one
+  // inserted token re-aligns every downstream chunk. This is the
+  // shift-robust half of chunk-level dedup.
+  // ---------------------------------------------------------------------
+
+  /** Boundary window width and divisor: a boundary falls after char i
+   * when the base-131 polynomial of chars (i−3..i) ≡ 0 mod 64 — expected
+   * chunk length 64 chars. The basic CDC form (no min/max chunk clamp):
+   * the boundary test depends only on a fixed-width window, so every
+   * position is testable INDEPENDENTLY — which is what makes the
+   * operator a pure per-row map (and SQL-expressible for the oracle)
+   * instead of a sequential scan. */
+  val CdcWindow = 4
+  val CdcDivisor = 64L
+
+  /**
+   * Explode each document into content-defined chunks:
+   * (id, chunk_idx, c_start, c_len, c_hash) with c_hash the base-131
+   * char polynomial of the chunk mod [[graft.ext.Dedup.P]]. All-integer
+   * arithmetic; documents shorter than the window are one whole-document
+   * chunk. Shuffle-free per row via the [[org.apache.spark.sql.graft.CdcSpans]]
+   * codegen kernel (one code-point pass; the HOF formulation below is
+   * O(len²) interpreted — measured 12 s vs sub-second over 500 sf0.01
+   * docs — and stays only as the oracle-shaped equivalence reference).
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(org.apache.spark.sql.graft.SignatureKernels.cdcSpans(
+          col(textCol), CdcWindow, CdcDivisor, graft.ext.Dedup.P)).as(Seq("chunk_idx", "sp")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.c_start").cast("long").as("c_start"),
+        col("sp.c_len").cast("long").as("c_len"),
+        col("sp.c_hash").as("c_hash"))
+
+  /** HOF/SQL-shaped reference formulation of [[cdcChunks]] — the exact
+   * expression family the DuckDB oracle evaluates; spec-pinned equal to
+   * the kernel. Not for production paths. */
+  private[ext] def cdcChunksHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val P = graft.ext.Dedup.P
+    val w = CdcWindow
+    val len = length(col(textCol))
+    // window polynomial ending at 1-based char position i
+    def winPoly(i: Column): Column =
+      (0 until w).map { k =>
+        ascii(charAt(col(textCol), i - lit(w - 1 - k))) * lit(pow131(w - 1 - k))
+      }.reduce(_ + _)
+    val bounds = filter(sequence(lit(w), len),
+      i => i < len && winPoly(i) % lit(CdcDivisor) === 0)
+    val cuts = when(len >= w,
+        concat(array(lit(0)), bounds, array(len)))
+      .otherwise(array(lit(0), len))
+    val spans = transform(
+      slice(cuts, lit(1), greatest(size(cuts) - 1, lit(0))),
+      (s, j) => struct(s.as("s"), (element_at(cuts, j + 2) - s).as("l")))
+    df.select(col(idCol), col(textCol).as("__t"), posexplode(spans).as(Seq("chunk_idx", "sp")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.s").cast("long").as("c_start"),
+        col("sp.l").cast("long").as("c_len"),
+        // zero-length chunk (only possible for empty input text) hashes
+        // to 0; the guard also keeps sequence() from going descending
+        when(col("sp.l") > 0,
+          aggregate(
+            sequence(col("sp.s") + 1, col("sp.s") + col("sp.l")),
+            lit(0L),
+            (acc, k) => (acc * lit(131L) + ascii(charAt(col("__t"), k))) % lit(P)))
+          .otherwise(lit(0L)).as("c_hash"))
+  }
+
+  /** 1-char substring at a (column) position — functions.substring wants
+   * literal ints; Column.substr takes columns. Shared shim for
+   * [[cdcChunks]]'s window reads. */
+  private def charAt(text: Column, pos: Column): Column =
+    text.substr(pos.cast("int"), lit(1).cast("int"))
+
+  private def pow131(k: Int): Long = Seq.fill(k)(131L).product
 }

@@ -324,6 +324,104 @@ case class ShingleHashes3(child: Expression, p: Long) extends UnaryExpression {
 }
 
 /**
+ * Bigram (2-gram) hashes over an array<bigint> of token hashes:
+ * out(i) = (h(i)·10007 + h(i+1)) mod p for i = 0..n-2, empty for arrays
+ * under 2 elements — the pair analog of [[ShingleHashes3]], used by the
+ * bigram-LM surprisal operator (whose interpreted ArrayTransform
+ * formulation measured 2 s over 5 k sf0.1 docs — the same
+ * CodegenFallback trap round 9 retired for 3-grams).
+ */
+case class ShingleHashes2(child: Expression, p: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes2"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = if (n < 2) 0 else n - 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = TokenHashKernel.shingle2(arr.getLong(i), arr.getLong(i + 1), p)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val vals = ctx.freshName("vals")
+      val kernel = "org.apache.spark.sql.graft.TokenHashKernel"
+      s"""
+         |int $n = $x.numElements();
+         |int $m = $n < 2 ? 0 : $n - 1;
+         |long[] $vals = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $vals[$i] = $kernel.shingle2($x.getLong($i), $x.getLong($i + 1), ${p}L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Bigram (context, bigram) hash PAIRS over an array<bigint> of token
+ * hashes: out(i) = struct(h(i), (h(i)·10007 + h(i+1)) mod p) for
+ * i = 0..n-2. The surprisal operator needs both hashes per position;
+ * producing the struct here keeps the exploded stream 16 bytes/row —
+ * the alternative (explode one array, element_at into the other) drags
+ * the whole token-hash array through the Generate, duplicating it per
+ * output row (O(tokens²) bytes per document — measured 1.7 s of a 2 s
+ * query at sf0.1).
+ */
+case class BigramPairs(child: Expression, p: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(BigramPairKernel.PairType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bigram_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramPairKernel.pairs(input.asInstanceOf[ArrayData], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val kernel = "org.apache.spark.sql.graft.BigramPairKernel"
+      s"${ev.value} = $kernel.pairs($x, ${p}L);\n"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramPairKernel {
+  val PairType: StructType = StructType(Seq(
+    StructField("ph", LongType, nullable = false),
+    StructField("bh", LongType, nullable = false)))
+
+  def pairs(arr: ArrayData, p: Long): ArrayData = {
+    val n = arr.numElements()
+    val m = if (n < 2) 0 else n - 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val a = arr.getLong(i)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a, (a * 10007L + arr.getLong(i + 1)) % p))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
  * Fixed-stride chunk rolling hashes over an array<bigint> of token
  * hashes: chunk c (c = 0..n/size-1) folds its `size` token hashes
  * through acc = (acc·131 + h) mod p from acc = 0; arrays shorter than
@@ -410,6 +508,9 @@ object TokenHashKernel {
   def shingle3(a: Long, b: Long, c: Long, p: Long): Long =
     (a * 10007L + b * 131L + c) % p
 
+  def shingle2(a: Long, b: Long, p: Long): Long =
+    (a * 10007L + b) % p
+
   def toArrayData(vals: Array[Long], nulls: Array[Boolean]): ArrayData = {
     var hasNull = false
     var i = 0
@@ -424,6 +525,104 @@ object TokenHashKernel {
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
+  }
+}
+
+/**
+ * Content-defined chunk spans over a STRING: one code-point pass computes
+ * boundary positions (base-131 polynomial of the trailing `window` code
+ * points ≡ 0 mod `divisor`, boundaries strictly inside the text) and each
+ * chunk's base-131 content hash mod `p`. Exact mirror of the HOF/SQL
+ * formulation in graft.ext.TextOps.cdcChunksHof (ascii() = first code
+ * point, length()/substr() count code points), which the oracle keeps —
+ * equivalence is spec-pinned over fixture + adversarial text. The HOF
+ * form re-seeks the string per character (O(len²) per doc interpreted);
+ * this is the O(len) staging kernel, same tier as [[TokenHashes]].
+ *
+ * Returns array<struct<c_start:int, c_len:int, c_hash:bigint>>; a
+ * sub-window (or empty) document is one whole-document span with hash 0
+ * for the empty case.
+ */
+case class CdcSpans(child: Expression, window: Int, divisor: Long, p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(CdcSpanKernel.SpanType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cdc_spans"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcSpanKernel.spans(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window, divisor, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val kernel = "org.apache.spark.sql.graft.CdcSpanKernel"
+      s"${ev.value} = $kernel.spans($x, $window, ${divisor}L, ${p}L);\n"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcSpanKernel {
+  val SpanType: StructType = StructType(Seq(
+    StructField("c_start", IntegerType, nullable = false),
+    StructField("c_len", IntegerType, nullable = false),
+    StructField("c_hash", LongType, nullable = false)))
+
+  /** One pass: decode code points, mark boundaries, hash each span. */
+  def spans(u: org.apache.spark.unsafe.types.UTF8String,
+      window: Int, divisor: Long, p: Long): ArrayData = {
+    val s = u.toString
+    // code-point array (length() / substr() / ascii() all count code
+    // points, so the kernel works in that domain, not UTF-16 chars)
+    var n = 0
+    var i = 0
+    while (i < s.length) { n += 1; i += Character.charCount(s.codePointAt(i)) }
+    val cps = new Array[Int](n)
+    i = 0
+    var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(j) = cp; j += 1
+      i += Character.charCount(cp)
+    }
+    // powers 131^(window-1-k)
+    var topPow = 1L
+    var k = 1
+    while (k < window) { topPow *= 131L; k += 1 }
+    // cut positions: 0, every interior boundary, n
+    val cuts = new java.util.ArrayList[Integer]()
+    cuts.add(0)
+    if (n >= window) {
+      // rolling windowed polynomial over positions i = window..n (1-based)
+      var poly = 0L
+      var q = 0
+      while (q < window) { poly = poly * 131L + cps(q); q += 1 }
+      var pos = window // 1-based position of the window's last char
+      while (pos < n) { // interior boundaries only (pos < len)
+        if (poly % divisor == 0L) cuts.add(pos)
+        poly = (poly - cps(pos - window) * topPow) * 131L + cps(pos)
+        pos += 1
+      }
+      // pos == n: window polynomial at the final position is excluded by
+      // the i < len rule — nothing to do
+    }
+    cuts.add(n)
+    val m = cuts.size() - 1
+    val out = new Array[Any](m)
+    var c = 0
+    while (c < m) {
+      val start = cuts.get(c).intValue()
+      val end = cuts.get(c + 1).intValue()
+      var h = 0L
+      var t = start
+      while (t < end) { h = (h * 131L + cps(t)) % p; t += 1 }
+      out(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](start, end - start, h))
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -443,6 +642,15 @@ object SignatureKernels {
   def shingleHashes3(tokenHashes: Column, p: Long): Column =
     ExpressionUtils.column(ShingleHashes3(ExpressionUtils.expression(tokenHashes), p))
 
+  def shingleHashes2(tokenHashes: Column, p: Long): Column =
+    ExpressionUtils.column(ShingleHashes2(ExpressionUtils.expression(tokenHashes), p))
+
+  def bigramPairs(tokenHashes: Column, p: Long): Column =
+    ExpressionUtils.column(BigramPairs(ExpressionUtils.expression(tokenHashes), p))
+
   def chunkHashes(tokenHashes: Column, chunkSize: Int, p: Long): Column =
     ExpressionUtils.column(ChunkHashes(ExpressionUtils.expression(tokenHashes), chunkSize, p))
+
+  def cdcSpans(text: Column, window: Int, divisor: Long, p: Long): Column =
+    ExpressionUtils.column(CdcSpans(ExpressionUtils.expression(text), window, divisor, p))
 }

@@ -275,6 +275,54 @@ object AnalyticsQueries {
            |FROM z
            |GROUP BY 1
            |ORDER BY 1""".stripMargin
+      }),
+
+    // X35 — link-graph centrality for corpus curation: 5-round
+    // fixed-point PageRank (graft.ext.Graph.pageRankFixed) over the
+    // bipartite part↔supplier co-occurrence graph, int64 "picorank"
+    // units so the oracle (5 chained CTE rounds below, generated by the
+    // same loop) matches bit-for-bit. Top-20 hubs.
+    Q("pagerank_top",
+      (s, dir) => {
+        val e0 = TableIO.read(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ext.Graph.pageRankFixed(edges, "src", "dst", iters = 5)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          val prev = s"r${i - 1}"
+          s"""r$i AS (
+             |  SELECT n.node,
+             |    CAST((SELECT teleport FROM consts)
+             |         + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum(r.rank // e.out_deg) AS BIGINT) AS s
+             |    FROM e JOIN $prev r ON e.src = r.node GROUP BY 1) s
+             |  ON n.node = s.node)"""
+        }.mkString(",\n")
+        s"""WITH edges0 AS (
+           |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+           |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |  FROM lineitem),
+           |edges AS (SELECT src, dst FROM edges0
+           |          UNION ALL SELECT dst, src FROM edges0),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |deg AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY 1),
+           |e AS (SELECT edges.src, edges.dst, deg.out_deg
+           |      FROM edges JOIN deg ON edges.src = deg.node),
+           |consts AS (SELECT 1000000000000 // n AS init,
+           |    ((1000000000000 // n) * 15) // 100 AS teleport FROM nn),
+           |r0 AS (SELECT node, CAST((SELECT init FROM consts) AS BIGINT) AS rank
+           |       FROM nodes),
+           |$iters
+           |SELECT node, rank FROM r5
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin
       })
   )
 }

@@ -370,6 +370,33 @@ object CurationQueries {
               |                      < least(w_avg_us, 2000000) * 1000000 // 2000000
               |            THEN 1 ELSE 0 END AS INTEGER) AS kept
               |FROM res
-              |ORDER BY 1""".stripMargin))
+              |ORDER BY 1""".stripMargin)),
+
+    // X12t — temperature-scaled source sampling (the XLM-R exponential
+    // smoothing mixture rule, α = 1/2): per-stratum keep-ppm =
+    // floor((1e6·√n_min)/√n_s), per-row multiplicative-hash draw.
+    // Strata audit rollup: counts in/out plus the threshold applied.
+    Q("lang_temperature_sample",
+      (s, dir) => Curation.temperatureAnnotate(
+          TableIO.read(s, dir, "documents"), "lang", col("doc_id"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max("keep_ppm").as("keep_ppm"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+             |m AS (SELECT min(n_docs) AS nmin FROM c),
+             |k AS (SELECT lang, n_docs,
+             |        CAST(floor((1000000.0 * sqrt(CAST(nmin AS DOUBLE)))
+             |             / sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS keep_ppm
+             |      FROM c CROSS JOIN m),
+             |d AS (SELECT doc_id, lang,
+             |        ((doc_id % 2147483648) * 2654435761) % 1000000 AS u
+             |      FROM documents)
+             |SELECT d.lang, count(*) AS n_docs, max(keep_ppm) AS keep_ppm,
+             |       CAST(sum(CASE WHEN u < keep_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM d JOIN k ON d.lang = k.lang
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -447,6 +447,135 @@ object TextQueries {
               |  LEFT JOIN bk b ON b.i = r.i
               |    AND b.bkt = ((r.a * (p.h % 1000000007) + r.b) % 1000000007) % 512
               |  GROUP BY 1)
-              |SELECT word, est FROM e ORDER BY word""".stripMargin))
+              |SELECT word, est FROM e ORDER BY word""".stripMargin)),
+
+    // X4g — Gopher-style composite rule filter (arXiv:2112.11446): every
+    // per-doc signal plus the first failing rule, the audit shape that
+    // explains WHERE corpus mass went. Pure codegen scan, no shuffle.
+    Q("quality_gopher_rules",
+      (s, dir) => TextOps.gopherRules(
+          TableIO.read(s, dir, "documents"), "doc_id", "text", Stopwords)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |sig AS (SELECT doc_id,
+              |  CAST(len(w) AS BIGINT) AS n_words,
+              |  round(CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE)
+              |        / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+              |  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              |        / CAST(len(w) AS DOUBLE), 6) AS frac_alpha,
+              |  CAST(len(list_filter(w, x -> x IN (${sqlList(Stopwords)}))) AS BIGINT) AS n_stop,
+              |  CASE WHEN len(w) > 0
+              |       THEN round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+              |                        / CAST(len(w) AS DOUBLE), 6)
+              |       ELSE 0.0 END AS dup_frac
+              |  FROM t),
+              |lab AS (SELECT *,
+              |  CASE WHEN n_words < 20 OR n_words > 80 THEN 'word_count'
+              |       WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+              |       WHEN frac_alpha < 0.8 THEN 'alpha_ratio'
+              |       WHEN n_stop < 2 THEN 'stopwords'
+              |       WHEN dup_frac >= 0.5 THEN 'repetition'
+              |       ELSE 'ok' END AS fail_reason
+              |  FROM sig)
+              |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop, dup_frac,
+              |       fail_reason, fail_reason = 'ok' AS passes
+              |FROM lab ORDER BY doc_id""".stripMargin)),
+
+    // X4h — self-trained bigram-LM surprisal (the KenLM/CCNet perplexity
+    // scoring shape) with the integer-log2 digit-count proxy standing in
+    // for -log2 P so both engines agree bit-for-bit. Three token-keyed
+    // shuffles, text never crosses the wire.
+    Q("lm_bigram_surprisal",
+      (s, dir) => TextOps.bigramSurprisal(
+          TableIO.read(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |inst AS (
+              |  SELECT doc_id,
+              |    CAST(${hSql("w[i]")} AS BIGINT) AS ph,
+              |    CAST((${hSql("w[i]")} * 10007 + ${hSql("w[i+1]")})
+              |         % ${graft.ext.Dedup.P} AS BIGINT) AS bh
+              |  FROM t, unnest(range(1, len(w))) AS u(i)),
+              |bc AS (SELECT bh, count(*) AS big_n FROM inst GROUP BY 1),
+              |cc AS (SELECT ph, count(*) AS ctx_n FROM inst GROUP BY 1)
+              |SELECT i.doc_id,
+              |  count(*) AS n_bigrams,
+              |  CAST(sum(length(bin(ctx_n)) - length(bin(big_n))) AS BIGINT) AS surprisal_sum,
+              |  round(CAST(sum(length(bin(ctx_n)) - length(bin(big_n))) AS DOUBLE)
+              |        / CAST(count(*) AS DOUBLE), 6) AS avg_surprisal
+              |FROM inst i JOIN bc USING (bh) JOIN cc USING (ph)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // X4i — content-defined chunking (LBFS/FastCDC boundary idiom):
+    // window-hash boundaries make chunk identity shift-robust, the other
+    // half of chunk-level dedup beside the fixed-stride chunk_boilerplate.
+    Q("chunk_cdc",
+      (s, dir) => TextOps.cdcChunks(
+          TableIO.read(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH b AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+              |c AS (SELECT doc_id, text,
+              |  CASE WHEN len >= 4 THEN
+              |    list_concat(list_concat([0], list_filter(range(4, len + 1),
+              |      i -> i < len AND
+              |        (ascii(substr(text, CAST(i - 3 AS INTEGER), 1)) * 2248091
+              |         + ascii(substr(text, CAST(i - 2 AS INTEGER), 1)) * 17161
+              |         + ascii(substr(text, CAST(i - 1 AS INTEGER), 1)) * 131
+              |         + ascii(substr(text, CAST(i AS INTEGER), 1))) % 64 = 0)),
+              |      [len])
+              |  ELSE [0, len] END AS cuts
+              |  FROM b),
+              |ch AS (SELECT doc_id, text, j - 1 AS chunk_idx,
+              |         cuts[CAST(j AS INTEGER)] AS c_start,
+              |         cuts[CAST(j + 1 AS INTEGER)] - cuts[CAST(j AS INTEGER)] AS c_len
+              |       FROM c, unnest(range(1, len(cuts))) AS u(j))
+              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              |  CAST(c_start AS BIGINT) AS c_start, CAST(c_len AS BIGINT) AS c_len,
+              |  CAST(CASE WHEN c_len > 0 THEN
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(range(1, c_len + 1),
+              |        k -> CAST(ascii(substr(text, CAST(c_start + k AS INTEGER), 1)) AS BIGINT))),
+              |      (acc, x) -> (acc * 131 + x) % ${graft.ext.Dedup.P})
+              |  ELSE 0 END AS BIGINT) AS c_hash
+              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // X4i(b) — the dedup application of CDC chunks: content-defined
+    // chunk hashes repeated across the corpus (shift-robust boilerplate).
+    // One shuffle on the chunk hash.
+    Q("chunk_cdc_repeats",
+      (s, dir) => TextOps.cdcChunks(
+          TableIO.read(s, dir, "documents"), "doc_id", "text")
+        .filter(col("c_len") > 0)
+        .groupBy("c_hash")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_occurrences") > 1)
+        .orderBy(col("n_occurrences").desc, col("c_hash")),
+      Some(s"""WITH b AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+              |c AS (SELECT doc_id, text,
+              |  CASE WHEN len >= 4 THEN
+              |    list_concat(list_concat([0], list_filter(range(4, len + 1),
+              |      i -> i < len AND
+              |        (ascii(substr(text, CAST(i - 3 AS INTEGER), 1)) * 2248091
+              |         + ascii(substr(text, CAST(i - 2 AS INTEGER), 1)) * 17161
+              |         + ascii(substr(text, CAST(i - 1 AS INTEGER), 1)) * 131
+              |         + ascii(substr(text, CAST(i AS INTEGER), 1))) % 64 = 0)),
+              |      [len])
+              |  ELSE [0, len] END AS cuts
+              |  FROM b),
+              |ch AS (SELECT doc_id, text,
+              |         cuts[CAST(j AS INTEGER)] AS c_start,
+              |         cuts[CAST(j + 1 AS INTEGER)] - cuts[CAST(j AS INTEGER)] AS c_len
+              |       FROM c, unnest(range(1, len(cuts))) AS u(j)),
+              |h AS (SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(range(1, c_len + 1),
+              |      k -> CAST(ascii(substr(text, CAST(c_start + k AS INTEGER), 1)) AS BIGINT))),
+              |    (acc, x) -> (acc * 131 + x) % ${graft.ext.Dedup.P}) AS c_hash
+              |  FROM ch WHERE c_len > 0)
+              |SELECT c_hash, count(*) AS n_occurrences,
+              |       count(DISTINCT doc_id) AS n_docs
+              |FROM h GROUP BY 1 HAVING count(*) > 1
+              |ORDER BY n_occurrences DESC, c_hash""".stripMargin))
   )
 }
