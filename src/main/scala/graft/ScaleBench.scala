@@ -254,7 +254,33 @@ object ScaleBench {
             timestamp_micros(
               pmod(xxhash64(col("id") + 9), lit(86400L * 1000000L))).as("ts")))
           graft.ext.StreamingOps.sessionizeByGap(ev, "user_id", "ts", "event_id", "15 minutes")
-        }))
+        }),
+      // 5-round fixed-point PageRank over the chain-heavy graph (same
+      // adversarial edge set as star-CC: 1000-deep chains + hot star at
+      // node 0 + shortcuts). Per-round cost must be linear in |E|; the
+      // broadcast-vs-shuffle strategy flips on the node-count threshold.
+      ("pagerank", Seq(20000L, 200000L, 2000000L),
+        (s, n) => graft.ext.Graph.pageRankFixed(
+          staged(s, "edges", n)(edges(s, n)), "id_a", "id_b", iters = 5)),
+      // content-defined chunking + corpus-wide repeat rollup: the
+      // CdcSpans kernel is a per-row O(len) scan, then ONE shuffle on the
+      // chunk hash; near-dup chains (every 10th doc) and the hot cluster
+      // (every 97th) make repeated chunks real, not empty output.
+      ("chunk_cdc", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val ch = TextOps.cdcChunks(staged(s, "docs", n)(docs(s, n)), "doc_id", "text")
+          ch.filter(col("c_len") > 0)
+            .groupBy("c_hash")
+            .agg(count(lit(1)).as("n_occurrences"))
+            .filter(col("n_occurrences") > 1)
+        }),
+      // bigram-LM surprisal: kernel-hashed pair stream through three key
+      // shuffles (bigram, context, doc) over the 50 k-token vocabulary —
+      // the count-table cardinality scales with DISTINCT bigrams, the
+      // axis the fixtures' 31-token vocabulary couldn't exercise.
+      ("bigram_surprisal", Seq(5000L, 50000L, 500000L),
+        (s, n) => TextOps.bigramSurprisal(
+          staged(s, "docs", n)(docs(s, n)), "doc_id", "text")))
 
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None

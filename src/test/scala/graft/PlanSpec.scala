@@ -361,4 +361,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p2) == exchanges(p1),
       s"resampling must be pure per-row arithmetic (stage1 ${exchanges(p1)} vs stage2 ${exchanges(p2)}):\n${p2.take(2500)}")
   }
+
+  test("cdc chunking plans the codegen kernel with zero hash exchanges before the sort") {
+    val p = plan(SparkEntry.queries("chunk_cdc")(spark, Sf))
+    // the kernel expression — not an interpreted HOF chain — must be the
+    // plan's chunker, and chunk explosion is a pure map: the only
+    // exchange the registered query carries is the determinism sort's
+    // range partitioning
+    assert(p.contains("cdc_spans"), s"CdcSpans kernel not in plan:\n${p.take(2500)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"chunking must not shuffle (got $hashEx hash exchanges):\n${p.take(2500)}")
+  }
+
+  test("bigram surprisal: kernel pair stream, three keyed exchanges, text never shuffles") {
+    val p = plan(SparkEntry.queries("lm_bigram_surprisal")(spark, Sf))
+    assert(p.contains("bigram_pairs"), s"BigramPairs kernel not in plan:\n${p.take(2500)}")
+    // bh window, ph window, doc_id aggregate — and nothing else keyed
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 3, s"expected 3 keyed exchanges (bh, ph, doc), got $hashEx:\n${p.take(3000)}")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).hasNext,
+      s"text column crossed an exchange:\n${p.take(3000)}")
+  }
 }

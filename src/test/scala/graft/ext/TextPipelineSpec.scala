@@ -133,6 +133,51 @@ class TextPipelineSpec extends SparkSpec {
     assert(out === Seq((1L, 0L, 0L, 3L), (2L, 0L, 0L, 0L)))
   }
 
+  test("property: cdcChunks tiles and reassembles arbitrary unicode text") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // printable ASCII + accents + CJK + an astral codepoint (surrogate
+    // pair): the kernel must count code points exactly like substr/ascii
+    val charGen = Gen.frequency(
+      (8, Gen.choose(32.toChar, 126.toChar).map(_.toString)),
+      (2, Gen.oneOf("é", "ü", "中", "文", "☃", "😀")))
+    val textGen = Gen.chooseNum(0, 200).flatMap(k => Gen.listOfN(k, charGen).map(_.mkString))
+    val texts = Gen.listOfN(200, textGen).apply(Gen.Parameters.default, Seed(7L)).get
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // (1) kernel == HOF on the whole generated batch
+    val k = TextOps.cdcChunks(docs, "doc_id", "text").orderBy("doc_id", "chunk_idx").collect().toSeq
+    val h = TextOps.cdcChunksHof(docs, "doc_id", "text").orderBy("doc_id", "chunk_idx").collect().toSeq
+    assert(k === h)
+    // (2) chunks tile: c_start runs are gapless and cover codepoint length
+    val bad = TextOps.cdcChunks(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(sum("c_len").as("covered"), min("c_start").as("first"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .filter(col("covered") =!= col("len") || col("first") =!= 0).count()
+    assert(bad === 0)
+  }
+
+  test("property: bigramSurprisal bigram counts and bounds hold on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokGen = Gen.oneOf((1 to 40).map(i => s"t$i"))
+    val docGen = Gen.chooseNum(0, 30).flatMap(k => Gen.listOfN(k, tokGen).map(_.mkString(" ")))
+    val texts = Gen.listOfN(300, docGen).apply(Gen.Parameters.default, Seed(11L)).get
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(docs, "doc_id", "text")
+    // n_bigrams = n_tokens - 1 for every emitted doc; surprisal bounded
+    // by [0, 63·n] (digit counts of int64 counts differ by at most 63)
+    val joined = out.join(
+      docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+      "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("n_tok") - 1).count() === 0)
+    assert(out.filter(col("surprisal_sum") < 0 ||
+      col("surprisal_sum") > col("n_bigrams") * 63).count() === 0)
+    // total instances = sum over docs of (n_tok - 1), none dropped
+    val total = out.agg(sum("n_bigrams")).as[Long].collect()(0)
+    val expected = texts.map(t => math.max(t.split(" ").length - 1, 0)).sum
+    assert(total === expected)
+  }
+
   // ---- temperatureAnnotate / temperatureSample ------------------------
 
   test("temperature sampling: smallest stratum fully kept, thresholds monotone in size") {
