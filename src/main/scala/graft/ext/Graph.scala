@@ -75,12 +75,12 @@ object Graph {
     // graph's node set is broadcast-sized, hinting them turns every round
     // into a map-side join over the big (edge) side — no per-round sort
     // or shuffle of E rows, at the price of one broadcast-build job per
-    // round. Local[32] A/B at sf0.1 (1.1 M edges, 21 k nodes): 5.0 s
-    // broadcast vs 4.4 s shuffle — within contention noise, and the
-    // shuffle path's per-round E-row sort grows with |E| while the
-    // broadcast path's driver jobs do not, so broadcast is the
-    // scale-correct default below the threshold. GRAFT_PR_NO_BROADCAST=1
-    // forces the shuffle path for A/B runs.
+    // round. Local[32] min-of-3 A/B at sf0.1 (1.1 M edges, 21 k nodes):
+    // 4.15 s broadcast vs 5.48 s shuffle — and the shuffle path's
+    // per-round E-row sort grows with |E| while the broadcast path's
+    // driver jobs do not, so broadcast is the default below the
+    // threshold. GRAFT_PR_NO_BROADCAST=1 forces the shuffle path for A/B
+    // runs.
     val broadcastable = n <= 4000000L &&
       !sys.env.get("GRAFT_PR_NO_BROADCAST").contains("1")
     def hinted(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
