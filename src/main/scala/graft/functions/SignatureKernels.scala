@@ -626,6 +626,84 @@ object CdcSpanKernel {
   }
 }
 
+/**
+ * Per-document BPE subword count under a TRAINED merge list
+ * (graft.ext.Bpe): whitespace-tokenize, seed each word as characters,
+ * apply every merge in rank order with the same greedy left-to-right
+ * scan the trainer uses, count the surviving symbols. Merges are baked
+ * as expression parameters (they are O(tens) strings — no broadcast
+ * machinery needed), so tokenizing a corpus is a shuffle-free codegen
+ * scan. Mirrors `Bpe.applyMerge` exactly; equivalence is spec-pinned
+ * against a driver-side reference segmentation.
+ */
+case class BpeSegmentCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_segment_count"
+
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeSegmentKernel.count(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mergeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the merge table through a codegen object reference — string
+    // literals with arbitrary content do not embed safely in Java source
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graft.BpeSegmentKernel.count($x, $ref);\n")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeSegmentKernel {
+  def count(u: org.apache.spark.unsafe.types.UTF8String,
+      merges: Array[(String, String)]): Long = {
+    val text = u.toString
+    var total = 0L
+    var start = 0
+    val n = text.length
+    while (start <= n) {
+      var end = text.indexOf(' ', start)
+      if (end < 0) end = n
+      if (end > start) total += segment(text.substring(start, end), merges)
+      start = end + 1
+    }
+    total
+  }
+
+  /** Symbol count of one word after all merges, greedy left-to-right per
+   * merge rank — the exact `Bpe.applyMerge` scan. */
+  private def segment(word: String, merges: Array[(String, String)]): Int = {
+    // seed: code points as symbols (the trainer splits Strings the same
+    // way via Char map — fixture text is BMP; surrogate halves merge
+    // identically on both sides because both use per-Char seeding)
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    var m = 0
+    while (m < merges.length && syms.size() > 1) {
+      val l = merges(m)._1
+      val r = merges(m)._2
+      val next = new java.util.ArrayList[String](syms.size())
+      var j = 0
+      while (j < syms.size()) {
+        if (j < syms.size() - 1 && syms.get(j) == l && syms.get(j + 1) == r) {
+          next.add(l + r); j += 2
+        } else { next.add(syms.get(j)); j += 1 }
+      }
+      syms = next
+      m += 1
+    }
+    syms.size()
+  }
+}
+
 object SignatureKernels {
   def minhashComponent(shingles: Column, a: Long, b: Long, p: Long): Column =
     ExpressionUtils.column(MinhashComponent(ExpressionUtils.expression(shingles), a, b, p))
@@ -653,4 +731,7 @@ object SignatureKernels {
 
   def cdcSpans(text: Column, window: Int, divisor: Long, p: Long): Column =
     ExpressionUtils.column(CdcSpans(ExpressionUtils.expression(text), window, divisor, p))
+
+  def bpeSegmentCount(text: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeSegmentCount(ExpressionUtils.expression(text), merges))
 }

@@ -148,6 +148,19 @@ object TableIO {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** ORC export/import — the other columnar interchange format large
+   * warehouses hand over (Hive-lineage pipelines emit ORC, not parquet).
+   * Columnar + typed, so schema is carried by the files; declared on
+   * read anyway for the same drift-fails-loudly discipline as the text
+   * formats. ZLIB default compression, predicate pushdown and column
+   * pruning work exactly as for parquet scans. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /**
    * Deterministic stand-in for the Cassandra Murmur3 ring token of a
    * partition key (`token(pk)` in the reference's range-scan CQL).

@@ -236,6 +236,37 @@ object CoreQueries {
              |  CAST(sum(strlen(c_name)) AS BIGINT) AS sum_name_len
              |FROM customer
              |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
+    // S9+ — ORC source/sink round-trip (the Hive-lineage columnar
+    // interchange format): timestamps, doubles, ints and strings survive
+    // the format change; the read-back applies a filter + projection so
+    // the ORC scan's pushdown/pruning path is what's exercised, not just
+    // a blind copy. Oracle = the same aggregate straight off parquet
+    // (round-trip identity).
+    Q("orc_roundtrip",
+      (s, dir) => {
+        // a quantity slice (~20% of lineitem) keeps the timed write
+        // proportionate while the read-back still exercises ORC pushdown
+        // on a second column + the NTZ timestamp/double/string types
+        val li = TableIO.read(s, dir, "lineitem").filter(col("l_quantity") > 40)
+        val path = s"/tmp/graft_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        TableIO.writeOrc(li, path)
+        TableIO.readOrc(s, path, li.schema)
+          .filter(col("l_extendedprice") > 1000)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+            max(col("l_shipdate")).as("max_shipdate"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  max(l_shipdate) AS max_shipdate
+             |FROM lineitem
+             |WHERE l_quantity > 40 AND l_extendedprice > 1000
+             |GROUP BY 1
              |ORDER BY 1""".stripMargin))
   )
 }

@@ -576,6 +576,34 @@ object TextQueries {
               |SELECT c_hash, count(*) AS n_occurrences,
               |       count(DISTINCT doc_id) AS n_docs
               |FROM h GROUP BY 1 HAVING count(*) > 1
-              |ORDER BY n_occurrences DESC, c_hash""".stripMargin))
+              |ORDER BY n_occurrences DESC, c_hash""".stripMargin)),
+
+    // X21b — REAL BPE merge training (Sennrich 2016): distributed
+    // word-type count (capped, deterministic), driver merge loop over
+    // the O(K) type table. The merge loop is data-dependent sequential
+    // rewriting — not ANSI-SQL-expressible — so like the murmur3 ring
+    // and the dependency patcher this is rows-only here and bit-pinned
+    // in BpeSpec against an independent instance-level reference.
+    Q("bpe_merges",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        graft.ext.Bpe.mergesDf(s,
+            graft.ext.Bpe.train(docs, "text", merges = 20, maxTypes = 500))
+          .orderBy("rank")
+      },
+      None),
+
+    // X21b(b) — the trained tokenizer APPLIED corpus-wide: per-doc
+    // subword count under the 20 learned merges via the BpeSegmentCount
+    // codegen kernel (shuffle-free scan; merges baked as expression
+    // parameters). Rows-only for the same reason as bpe_merges.
+    Q("bpe_subword_budget",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val merges = graft.ext.Bpe.train(docs, "text", merges = 20, maxTypes = 500)
+        graft.ext.Bpe.segmentCounts(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      None)
   )
 }

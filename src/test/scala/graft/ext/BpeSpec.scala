@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE training + application pins. The merge loop is spec-verified (not
+ * DuckDB-oracled — data-dependent sequential rewriting), so the reference
+ * here must be INDEPENDENT: it works over raw word instances (no type
+ * table, no cap) and recounts from scratch every round — a different
+ * factorization whose agreement with the type-table trainer is the
+ * correctness argument.
+ */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Instance-level reference: expand the corpus to word instances and
+   * run the textbook loop (count adjacent pairs over every instance,
+   * merge the argmax with (left,right) tie-break, repeat). */
+  private def referenceTrain(corpus: Seq[String], merges: Int): Seq[(String, String, Long)] = {
+    var words: Seq[Array[String]] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .map(_.map(_.toString).toArray)
+    val out = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var stop = false
+    while (k < merges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (syms <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + 1))
+      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((l, r), n)) if n >= 2 =>
+          out += ((l, r, n))
+          words = words.map(Bpe.applyMerge(_, l, r))
+          k += 1
+        case _ => stop = true
+      }
+    }
+    out.result()
+  }
+
+  /** Reference segmentation for one doc under a merge list. */
+  private def referenceSegmentCount(text: String, merges: Seq[(String, String)]): Long =
+    text.split(" ").filter(_.nonEmpty).map { w =>
+      var syms = w.map(_.toString).toArray
+      for ((l, r) <- merges) syms = Bpe.applyMerge(syms, l, r)
+      syms.length.toLong
+    }.sum
+
+  test("trainer matches the instance-level reference on the fixture corpus") {
+    val docs = graft.io.TableIO.read(spark, Sf, "documents")
+    val texts = docs.select("text").as[String].collect().toSeq
+    // cap high enough that nothing is dropped: the two factorizations
+    // must agree exactly when the type table is complete
+    val trained = Bpe.train(docs, "text", merges = 20, maxTypes = 1000000)
+      .map(m => (m.left, m.right, m.pairCount))
+    val ref = referenceTrain(texts, 20)
+    assert(trained === ref && trained.size === 20)
+  }
+
+  test("trainer matches the reference on adversarial corpora (overlaps, ties, unicode)") {
+    val corpora = Seq(
+      Seq("aaa aaa aa"),                    // overlapping pair positions
+      Seq("ab ab ba ba"),                   // exact tie → (a,b) beats (b,a)
+      Seq("x", "y", "z"),                   // nothing repeats → early stop
+      Seq("abcabc abcabc", "cabca"),        // chained merges
+      Seq("中文 中文 文中", "naïve naïve")) // non-ASCII symbols
+    for (corpus <- corpora) {
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val trained = Bpe.train(df, "text", merges = 10, maxTypes = 1000)
+        .map(m => (m.left, m.right, m.pairCount))
+      assert(trained === referenceTrain(corpus, 10), s"corpus $corpus diverged")
+    }
+  }
+
+  test("greedy merge scan: overlapping occurrences are not re-merged") {
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq === Seq("aa", "aa"))
+  }
+
+  test("segmentCounts kernel matches the reference segmentation per document") {
+    val docs = graft.io.TableIO.read(spark, Sf, "documents")
+    val merges = Bpe.train(docs, "text", merges = 20, maxTypes = 500)
+    val kernel = Bpe.segmentCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    val expected = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> referenceSegmentCount(t, merges.map(m => (m.left, m.right))) }
+      .toMap
+    assert(kernel === expected && kernel.nonEmpty)
+    // merges compress: subwords strictly fewer than characters for docs
+    // containing any merged pair; never fewer than word count
+    val words = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel.forall { case (id, n) => n >= words(id) })
+  }
+
+  test("segmentCounts is partitioning-stable and the query surface runs") {
+    val docs = graft.io.TableIO.read(spark, Sf, "documents")
+    val merges = Bpe.train(docs, "text", merges = 5, maxTypes = 200)
+    val a = Bpe.segmentCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    val b = Bpe.segmentCounts(docs.repartition(7), "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+}
