@@ -414,4 +414,43 @@ object Similarity {
       .filter(col("cos6") > threshold)
       .select("label", "id_a", "id_b", "cos6")
   }
+
+  /**
+   * Mutual k-NN GRAPH over the whole embedding corpus — the standard
+   * precursor to graph-based clustering and duplicate-community
+   * detection (mutual-kNN edges feed connected components / community
+   * detection; one-directional kNN edges from hub points create false
+   * bridges, which the mutuality filter removes).
+   *
+   * Shape at scale, unlike [[topKLsh]] (which broadcasts a small query
+   * set): the whole corpus is on BOTH sides, so candidates come from an
+   * LSH-bucket SELF-join — a key-partitioned shuffle join on the bucket
+   * id, never broadcast, never all-pairs. Per-node top-k uses the same
+   * two-phase rank (partition-local cap then global window) as the top-k
+   * ladder, so the shuffle after candidate generation is bounded at
+   * k·partitions rows per node. The mutuality check is one self-join of
+   * the directed edge list on the reversed pair — edge-keyed, O(N·k)
+   * rows. At production bucket sizes the per-bucket quadratic term is
+   * the cost lever, controlled exactly like the LSH dedup family (more
+   * planes → smaller buckets → lower recall; multi-probe wins it back).
+   */
+  def knnGraphMutual(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val b = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), lshBucket(col("embedding")).as("bucket"))
+    val pairs = b.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("bucket"))
+      .join(b.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos6", round(
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
+    val directed = rankTopK(pairs, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("cos6"))
+    directed.as("a")
+      .join(directed.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+  }
 }

@@ -701,6 +701,30 @@ object SimilarityQueries {
              |  CAST(max(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)) AS BIGINT) AS max_q
              |FROM embeddings, range(1, 65) r(i)
              |GROUP BY 1
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // X36 — mutual k-NN graph over the whole corpus: LSH-bucket
+    // SELF-join candidates (never broadcast, never all-pairs), per-node
+    // two-phase top-k, then the mutuality self-join on reversed edges —
+    // the graph-clustering precursor that drops one-directional hub
+    // bridges.
+    Q("knn_graph_mutual",
+      (s, dir) => graft.ext.Similarity.knnGraphMutual(
+          TableIO.read(s, dir, "embeddings"), k = 4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+              |           FROM embeddings),
+              |p AS (
+              |  SELECT q.vec_id AS src, e.vec_id AS dst,
+              |         ${cosSql("q.embedding", "e.embedding")} AS cos6
+              |  FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id),
+              |r AS (SELECT src, dst, cos6,
+              |        row_number() OVER (PARTITION BY src ORDER BY cos6 DESC, dst) AS rk
+              |      FROM p),
+              |d AS (SELECT src, dst, cos6 FROM r WHERE rk <= 4)
+              |SELECT a.src AS id_a, a.dst AS id_b, a.cos6
+              |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
+              |WHERE a.src < a.dst
+              |ORDER BY 1, 2""".stripMargin))
   )
 }

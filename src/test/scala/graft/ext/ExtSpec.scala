@@ -566,6 +566,36 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(again == sIds)
   }
+
+  test("knnGraphMutual: edges are mutual, deduped a<b, and partitioning-stable") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val edges = Similarity.knnGraphMutual(emb, k = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(edges.nonEmpty)
+    // canonical orientation, no duplicates
+    assert(edges.forall { case (a, b, _) => a < b })
+    assert(edges.map(e => (e._1, e._2)).distinct.size === edges.size)
+    // mutuality: every edge endpoint lists the other in ITS directed top-k
+    val directed = {
+      val b = emb.select($"vec_id", $"embedding",
+        Similarity.lshBucket($"embedding").as("bucket"))
+      val withC = b.select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
+        .join(b.select($"vec_id", $"embedding", $"bucket"), Seq("bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos6", round(Similarity.cosine($"q_emb", $"embedding"), 6))
+      import org.apache.spark.sql.expressions.Window
+      withC.withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy($"cos6".desc, $"vec_id")))
+        .filter($"rk" <= 4)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    }
+    assert(edges.forall { case (a, b, _) =>
+      directed.contains((a, b)) && directed.contains((b, a)) })
+    // stability under repartition
+    val again = Similarity.knnGraphMutual(emb.repartition(7), k = 4)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(again === edges.sorted)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
