@@ -280,7 +280,27 @@ object ScaleBench {
       // axis the fixtures' 31-token vocabulary couldn't exercise.
       ("bigram_surprisal", Seq(5000L, 50000L, 500000L),
         (s, n) => TextOps.bigramSurprisal(
-          staged(s, "docs", n)(docs(s, n)), "doc_id", "text")))
+          staged(s, "docs", n)(docs(s, n)), "doc_id", "text")),
+      // mutual k-NN graph: the per-bucket quadratic is the risk — the
+      // plane count must grow with N (P = log2(N/32) here, the operator's
+      // documented scaling rule) and 3% of vectors collapse onto one hot
+      // embedding so the bucketCap actually fires. Linear CPU/shuffle
+      // under GROWING P is the claim being measured.
+      ("knn_graph", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(s.range(n).select(
+            col("id").as("vec_id"),
+            transform(sequence(lit(1), lit(64)), i =>
+              when(pmod(col("id"), lit(33)) === 0,
+                  // hot cluster: same direction, tiny deterministic jitter
+                  (pmod(xxhash64(i), lit(1000)) / lit(1000.0f) +
+                    pmod(xxhash64(col("id") * 64 + i), lit(7)) / lit(1000.0f)).cast("float"))
+                .otherwise(
+                  ((pmod(xxhash64(col("id") * 64 + i), lit(2001)) - lit(1000)) / lit(1000.0f))
+                    .cast("float"))).as("embedding")))
+          val planes = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
+          graft.ext.Similarity.knnGraphMutual(emb, k = 4, planes = planes, bucketCap = 2000L)
+        }))
 
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None

@@ -434,10 +434,26 @@ object Similarity {
    * the cost lever, controlled exactly like the LSH dedup family (more
    * planes → smaller buckets → lower recall; multi-probe wins it back).
    */
-  def knnGraphMutual(emb: DataFrame, k: Int): DataFrame = {
+  def knnGraphMutual(emb: DataFrame, k: Int, planes: Int = LshPlanes,
+      bucketCap: Long = 10000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val b = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), lshBucket(col("embedding")).as("bucket"))
+    require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
+    // The quadratic term lives per bucket: with P planes, expected bucket
+    // size is N/2^P, so P must GROW with the corpus (the harness uses
+    // P ≈ log2(N/32)); `bucketCap` then bounds the damage from a dense
+    // region that defeats the hashing (a mass-duplicated embedding
+    // cluster) by dropping oversized buckets whole — the same robustness
+    // convention as Dedup.minhashPairsBanded, and the same recall trade:
+    // a dropped bucket's members keep edges through their OTHER planes'
+    // neighbors only if mutual elsewhere; the drop count is auditable
+    // via the bucket-size window below.
+    val b0 = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      lshBucketPlanes(col("embedding"), planes).as("bucket"))
+    val b = b0
+      .withColumn("__bsize", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("__bsize") <= bucketCap)
+      .drop("__bsize")
     val pairs = b.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("bucket"))
       .join(b.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"), col("bucket")),
@@ -453,4 +469,13 @@ object Similarity {
       .filter(col("a.src") < col("a.dst"))
       .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
   }
+
+  /** [[lshBucket]] generalized to an arbitrary plane count (long-domain
+   * bucket ids; plane j reuses the same deterministic component
+   * arithmetic, so planes ≤ 8 agree with the 8-plane oracle mirror). */
+  def lshBucketPlanes(emb: Column, planes: Int): Column =
+    (0 until planes).map { j =>
+      val plane = array((0 until VecDim).map(i => lit(planeComponent(j, i))): _*)
+      when(dot(emb, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

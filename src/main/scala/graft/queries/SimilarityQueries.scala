@@ -712,8 +712,10 @@ object SimilarityQueries {
       (s, dir) => graft.ext.Similarity.knnGraphMutual(
           TableIO.read(s, dir, "embeddings"), k = 4)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
-              |           FROM embeddings),
+      Some(s"""WITH b0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+              |            FROM embeddings),
+              |b AS (SELECT vec_id, embedding, bucket FROM b0
+              |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
               |p AS (
               |  SELECT q.vec_id AS src, e.vec_id AS dst,
               |         ${cosSql("q.embedding", "e.embedding")} AS cos6
