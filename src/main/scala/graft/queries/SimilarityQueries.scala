@@ -727,6 +727,54 @@ object SimilarityQueries {
               |SELECT a.src AS id_a, a.dst AS id_b, a.cos6
               |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
               |WHERE a.src < a.dst
-              |ORDER BY 1, 2""".stripMargin))
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // X36b — semantic COMMUNITIES end-to-end: mutual-kNN edges above a
+    // cosine floor fed into the O(log n) star connected components — the
+    // full embedding-community pipeline (SemDeDup's clustering face,
+    // composed from two already-verified operators). Oracle = the knn
+    // edge SQL + the same recursive-CTE transitive closure that pins
+    // both CC algorithms.
+    Q("knn_communities",
+      (s, dir) => {
+        val edges = graft.ext.Similarity.knnGraphMutual(
+            TableIO.read(s, dir, "embeddings"), k = 4)
+          .filter(col("cos6") >= 0.15)
+        graft.ext.Dedup.connectedComponentsStar(edges, "id_a", "id_b")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), min("id").as("min_id"))
+          .orderBy(col("n_members").desc, col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE b0 AS (SELECT vec_id, embedding,
+              |            ${bucketSql("embedding")} AS bucket FROM embeddings),
+              |b AS (SELECT vec_id, embedding, bucket FROM b0
+              |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
+              |p AS (
+              |  SELECT q.vec_id AS src, e.vec_id AS dst,
+              |         ${cosSql("q.embedding", "e.embedding")} AS cos6
+              |  FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id),
+              |r AS (SELECT src, dst, cos6,
+              |        row_number() OVER (PARTITION BY src ORDER BY cos6 DESC, dst) AS rk
+              |      FROM p),
+              |d AS (SELECT src, dst, cos6 FROM r WHERE rk <= 4),
+              |mu AS (
+              |  SELECT a.src AS id_a, a.dst AS id_b
+              |  FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
+              |  WHERE a.src < a.dst AND a.cos6 >= 0.15),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM mu
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM mu),
+              |reach AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src)
+              |, assign AS (
+              |  SELECT src AS id, least(src, min(dst)) AS cluster
+              |  FROM reach GROUP BY src)
+              |SELECT cluster, count(*) AS n_members, CAST(min(id) AS BIGINT) AS min_id
+              |FROM assign
+              |GROUP BY 1
+              |ORDER BY n_members DESC, cluster""".stripMargin))
   )
 }
