@@ -54,7 +54,31 @@ object Graph {
    */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L, dampPct: Int = 85,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iters, scale, dampPct, checkpointEvery,
+      seedPred = None)
+
+  /**
+   * PERSONALIZED (topic-sensitive) PageRank — Haveliwala 2002: the
+   * teleport mass lands ONLY on the seed set, so rank measures proximity
+   * to the topic the seeds define (the curation use: score crawl pages
+   * by closeness to a trusted seed domain set). `seedPred` marks seeds
+   * by node id; teleport per seed = (scale·(100−dampPct) div 100) div
+   * |S| (uniform over seeds, zero elsewhere), initial rank likewise
+   * seed-uniform — non-seed nodes earn rank only through links. Same
+   * int64 fixed-point exactness contract as [[pageRankFixed]].
+   */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      iters: Int = 5, scale: Long = 1000000000000L, dampPct: Int = 85,
+      checkpointEvery: Int = 4): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iters, scale, dampPct, checkpointEvery,
+      seedPred = Some(seedPred))
+
+  private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long, dampPct: Int, checkpointEvery: Int,
+      seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column])
+      : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in [0,100], got $dampPct")
     val src = col(srcCol).cast("long")
@@ -66,11 +90,28 @@ object Graph {
     val nodes = edges.select(src.as("node"))
       .union(edges.select(dst.as("node"))).distinct()
       .persist()
-    // One scalar row (node count) — the only driver-visible aggregate.
+    // One scalar row (node count; plus the seed count for the
+    // personalized face) — the only driver-visible aggregates.
     val n = nodes.count()
     require(n > 0, "pageRankFixed: empty edge set")
-    val init = scale / n
+    val nBase = seedPred match {
+      case None => n
+      case Some(p) =>
+        val s = nodes.filter(p(col("node"))).count()
+        require(s > 0, "pageRankPersonalized: no node satisfies seedPred")
+        s
+    }
+    val init = scale / nBase
     val teleport = (init * (100L - dampPct)) / 100L
+    // per-node teleport/init: uniform, or seed-only for personalization
+    def teleportCol = seedPred match {
+      case None => lit(teleport)
+      case Some(p) => when(p(col("node")), lit(teleport)).otherwise(lit(0L))
+    }
+    def initCol = seedPred match {
+      case None => lit(init)
+      case Some(p) => when(p(col("node")), lit(init)).otherwise(lit(0L))
+    }
     // The per-round rank/sum tables are O(|V|) rows of 16 bytes; when the
     // graph's node set is broadcast-sized, hinting them turns every round
     // into a map-side join over the big (edge) side — no per-round sort
@@ -92,7 +133,7 @@ object Graph {
       .repartition(col("src"))
       .persist()
 
-    var rank = nodes.select(col("node"), lit(init).as("rank"))
+    var rank = nodes.select(col("node"), initCol.as("rank"))
     for (i <- 1 to iters) {
       // `div` (not `/`): long division must stay integral — double
       // division + cast truncates correctly only while the quotient's
@@ -104,7 +145,7 @@ object Graph {
       rank = nodes.join(hinted(summed), Seq("node"), "left")
         .withColumn("s", coalesce(col("s"), lit(0L)))
         .select(col("node"),
-          (lit(teleport) + expr(s"($dampPct * s) div 100")).as("rank"))
+          (teleportCol + expr(s"($dampPct * s) div 100")).as("rank"))
       if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
     }
     // Materialize (eager localCheckpoint) BEFORE dropping the caches: the

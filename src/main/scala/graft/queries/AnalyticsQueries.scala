@@ -323,6 +323,59 @@ object AnalyticsQueries {
            |$iters
            |SELECT node, rank FROM r5
            |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      }),
+
+    // X35b — PERSONALIZED PageRank (Haveliwala 2002): teleport mass
+    // lands only on the supplier seed set (odd-encoded nodes), so rank
+    // measures topic proximity; output = the top-20 PART nodes by
+    // seeded rank. Same int64 fixed-point contract; oracle = the same
+    // loop-generated CTE chain with seed-conditional teleport/init.
+    Q("pagerank_personalized",
+      (s, dir) => {
+        val e0 = TableIO.read(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ext.Graph.pageRankPersonalized(edges, "src", "dst",
+            seedPred = node => node % 2 === 1, iters = 5)
+          .filter(col("node") % 2 === 0)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          val prev = s"r${i - 1}"
+          s"""r$i AS (
+             |  SELECT n.node,
+             |    CAST(CASE WHEN n.node % 2 = 1 THEN (SELECT tp FROM consts) ELSE 0 END
+             |         + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum(r.rank // e.out_deg) AS BIGINT) AS s
+             |    FROM e JOIN $prev r ON e.src = r.node GROUP BY 1) s
+             |  ON n.node = s.node)"""
+        }.mkString(",\n")
+        s"""WITH edges0 AS (
+           |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+           |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |  FROM lineitem),
+           |edges AS (SELECT src, dst FROM edges0
+           |          UNION ALL SELECT dst, src FROM edges0),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |ns AS (SELECT count(*) AS n FROM nodes WHERE node % 2 = 1),
+           |deg AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY 1),
+           |e AS (SELECT edges.src, edges.dst, deg.out_deg
+           |      FROM edges JOIN deg ON edges.src = deg.node),
+           |consts AS (SELECT 1000000000000 // n AS init,
+           |    ((1000000000000 // n) * 15) // 100 AS tp FROM ns),
+           |r0 AS (SELECT node,
+           |         CAST(CASE WHEN node % 2 = 1 THEN (SELECT init FROM consts)
+           |              ELSE 0 END AS BIGINT) AS rank
+           |       FROM nodes),
+           |$iters
+           |SELECT node, rank FROM r5
+           |WHERE node % 2 = 0
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin
       })
   )
 }

@@ -96,6 +96,29 @@ class BpeSpec extends SparkSpec {
     assert(kernel.forall { case (id, n) => n >= words(id) })
   }
 
+  test("property: trainer and kernel agree with the reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small alphabet forces heavy pair collisions and deep merge chains
+    val wordGen = Gen.chooseNum(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "é")).map(_.mkString))
+    val docGen = Gen.chooseNum(0, 12).flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(1, 40).flatMap(k => Gen.listOfN(k, docGen))
+    for (seed <- 1L to 5L) {
+      val corpus = corpusGen.apply(Gen.Parameters.default, Seed(seed)).get
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val trained = Bpe.train(df, "text", merges = 8, maxTypes = 100000)
+      assert(trained.map(m => (m.left, m.right, m.pairCount)) ===
+        referenceTrain(corpus, 8), s"seed $seed trainer diverged")
+      val pairs = trained.map(m => (m.left, m.right))
+      val kernel = Bpe.segmentCounts(df, "id", "text", trained)
+        .as[(Long, Long)].collect().toMap
+      val expected = corpus.zipWithIndex
+        .map { case (t, i) => i.toLong -> referenceSegmentCount(t, pairs) }.toMap
+      assert(kernel === expected, s"seed $seed kernel diverged")
+    }
+  }
+
   test("segmentCounts is partitioning-stable and the query surface runs") {
     val docs = graft.io.TableIO.read(spark, Sf, "documents")
     val merges = Bpe.train(docs, "text", merges = 5, maxTypes = 200)

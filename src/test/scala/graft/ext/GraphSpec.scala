@@ -48,6 +48,30 @@ class GraphSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("personalized: teleport lands only on seeds; unreachable non-seeds stay at zero") {
+    // 1 → 2 → 3, plus isolated-from-seeds node 4 → 5; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val r = Graph.pageRankPersonalized(edges, "src", "dst",
+        seedPred = n => n === 1L, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // nodes 4 and 5 are unreachable from the seed: no teleport, no
+    // inbound seeded mass → exactly zero, the personalization contract
+    assert(r(4L) === 0L && r(5L) === 0L)
+    assert(r(1L) > 0L && r(2L) > 0L && r(3L) > 0L)
+    // the seed re-receives teleport every round: it outranks its chain
+    assert(r(1L) > r(2L) && r(2L) > r(3L))
+  }
+
+  test("personalized equals uniform when every node is a seed") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val uniform = Graph.pageRankFixed(edges, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val allSeeds = Graph.pageRankPersonalized(edges, "src", "dst",
+        seedPred = _ => lit(true), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(uniform === allSeeds)
+  }
+
   test("mass is conserved up to truncation loss; hub outranks leaves") {
     // 5 leaves all pointing at a hub; hub points back at leaf 1
     val edges = ((1L to 5L).map(x => (x, 99L)) :+ (99L, 1L)).toDF("src", "dst")
