@@ -90,14 +90,18 @@ object Graph {
     val nodes = edges.select(src.as("node"))
       .union(edges.select(dst.as("node"))).distinct()
       .persist()
-    // One scalar row (node count; plus the seed count for the
-    // personalized face) — the only driver-visible aggregates.
-    val n = nodes.count()
+    // One scalar row (node count + seed count fused into a single
+    // aggregate job) — the only driver-visible aggregate.
+    val cnts = nodes.agg(
+      count(lit(1)).as("n"),
+      sum(when(seedPred.map(_(col("node"))).getOrElse(lit(true)), 1L).otherwise(0L)).as("s"))
+      .collect()(0)
+    val n = cnts.getLong(0)
     require(n > 0, "pageRankFixed: empty edge set")
     val nBase = seedPred match {
       case None => n
-      case Some(p) =>
-        val s = nodes.filter(p(col("node"))).count()
+      case Some(_) =>
+        val s = cnts.getLong(1)
         require(s > 0, "pageRankPersonalized: no node satisfies seedPred")
         s
     }
@@ -127,11 +131,16 @@ object Graph {
     def hinted(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
 
     val outDeg = edges.groupBy(src.as("node")).agg(count(lit(1)).as("out_deg"))
-    val edgesDeg = edges.select(src.as("src"), dst.as("dst"))
+    val edgesDegBase = edges.select(src.as("src"), dst.as("dst"))
       .join(hinted(outDeg), col("src") === col("node"))
       .select(col("src"), col("dst"), col("out_deg"))
-      .repartition(col("src"))
-      .persist()
+    // The repartition looks redundant under per-round broadcast, but it
+    // is load-bearing for BOTH paths: AQE coalesces the small upstream
+    // distinct/join shuffles down to one-or-few partitions, and a
+    // persisted one-partition edge frame serializes every round
+    // (measured: dropping this cost ~1.3 s/query at sf0.1). On the
+    // shuffle path it additionally provides the reused src partitioning.
+    val edgesDeg = edgesDegBase.repartition(col("src")).persist()
 
     var rank = nodes.select(col("node"), initCol.as("rank"))
     for (i <- 1 to iters) {
