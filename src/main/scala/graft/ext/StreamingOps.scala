@@ -411,4 +411,63 @@ object StreamingOps {
           }
         })
   }
+
+  /** Input/output/state rows for the streaming group top-k. */
+  final case class ScoredEvent(key: Long, ts: java.sql.Timestamp, item: Long, score: Long)
+  final case class TopKWindowState(windows: Map[Long, Seq[(Long, Long)]])
+  final case class TopKRow(key: Long, window_start_us: Long, rank: Int, item: Long, score: Long)
+
+  /**
+   * STREAMING face of the native GroupTopK operator (plans/GroupTopK):
+   * per (key, tumbling window) emit the top-k items by (score desc, item
+   * asc) exactly once, when the watermark proves the window complete —
+   * the leaderboard/heavy-contributor shape.
+   *
+   * State economics mirror the batch operator's partial exec: the state
+   * store holds at most k (item, score) pairs PER OPEN WINDOW per key —
+   * never the event stream — so state is bounded by k x open-windows x
+   * keys regardless of event volume, and each merge is the same bounded
+   * insert the batch heaps do. Windows emit in Append mode on watermark
+   * passage (or event-time timeout for keys with no further events — the
+   * wake target is floor-to-ms + 1, strictly above the watermark, the
+   * same contract as the as-of operators). Late events older than the
+   * watermark are dropped by the operator, standard streaming semantics.
+   */
+  def streamingGroupTopK(events: org.apache.spark.sql.Dataset[ScoredEvent],
+      windowUs: Long, k: Int, watermarkDelay: String)
+      : org.apache.spark.sql.Dataset[TopKRow] = {
+    require(windowUs > 0 && k >= 1, s"need windowUs > 0 and k >= 1, got $windowUs, $k")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, batch: Iterator[ScoredEvent], state: GroupState[TopKWindowState]) => {
+          var windows = state.getOption.map(_.windows).getOrElse(Map.empty)
+          batch.foreach { e =>
+            val us = tsToUs(e.ts)
+            val w = us - us % windowUs
+            val merged = ((e.item, e.score) +: windows.getOrElse(w, Nil))
+              .sortBy { case (item, score) => (-score, item) }
+              .take(k)
+            windows = windows.updated(w, merged)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // a window is final when the watermark passes its END
+          val (done, open) = windows.partition { case (w, _) => w + windowUs <= wmUs }
+          val out = done.toSeq.sortBy(_._1).flatMap { case (w, top) =>
+            top.zipWithIndex.map { case ((item, score), i) =>
+              TopKRow(key, w, i + 1, item, score) }
+          }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(TopKWindowState(open))
+            // wake when the earliest open window can finalize; strictly
+            // above the current watermark (floor-to-ms + 1)
+            state.setTimeoutTimestamp(
+              math.max(open.keys.min + windowUs, wmUs) / 1000L + 1L)
+          }
+          out.iterator
+        })
+  }
 }

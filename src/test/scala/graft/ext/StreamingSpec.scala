@@ -448,4 +448,66 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "n").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
+
+  test("streaming group top-k matches a batch reference and emits each window once") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{ScoredEvent, TopKRow}
+    def ts(s: String) = Timestamp.valueOf(s)
+    val winUs = 60L * 1000000L // 1-minute tumbling windows
+    // two keys, three windows, out-of-order arrival, a score tie (items
+    // 7 vs 9 at score 50 -> item asc wins), and more items than k
+    val b1 = Seq(
+      ScoredEvent(1L, ts("2024-01-01 00:00:05"), 7L, 50L),
+      ScoredEvent(1L, ts("2024-01-01 00:00:40"), 9L, 50L),
+      ScoredEvent(1L, ts("2024-01-01 00:00:20"), 3L, 80L),
+      ScoredEvent(2L, ts("2024-01-01 00:00:30"), 4L, 10L),
+      ScoredEvent(1L, ts("2024-01-01 00:01:10"), 5L, 60L))
+    // after batch 1 the watermark sits at 00:01:00 (max ts − 10 s):
+    // window 0 is final, window 1 still open → the 00:01:50 event merges
+    // cross-batch into window 1, and the 00:00:55 event is LATE (below
+    // the watermark) and must be dropped — standard streaming semantics
+    val late = ScoredEvent(1L, ts("2024-01-01 00:00:55"), 11L, 99L)
+    val b2 = Seq(
+      ScoredEvent(1L, ts("2024-01-01 00:01:50"), 8L, 90L),
+      late,
+      ScoredEvent(2L, ts("2024-01-01 00:01:30"), 6L, 70L),
+      ScoredEvent(1L, ts("2024-01-01 00:02:15"), 2L, 30L))
+    // watermark pusher: far enough that every window above finalizes
+    val pusher = Seq(ScoredEvent(2L, ts("2024-01-01 01:00:00"), 99L, 1L))
+
+    val stream = MemoryStream[ScoredEvent]
+    val q = StreamingOps.streamingGroupTopK(stream.toDS(), winUs, k = 2, "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("topk_out").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      stream.addData(pusher); q.processAllAvailable()
+      // one extra empty pass lets event-time timeouts fire
+      stream.addData(Seq.empty[ScoredEvent]); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("topk_out")
+      .as[TopKRow].collect().toSeq
+      .sortBy(r => (r.key, r.window_start_us, r.rank))
+
+    // independent batch reference over the events that were on time
+    val all = (b1 ++ b2).filterNot(_ == late)
+    val expected = all.groupBy(e => (e.key, {
+        val us = e.ts.getTime * 1000L; us - us % winUs
+      }))
+      .toSeq.flatMap { case ((key, w), evs) =>
+        evs.map(e => (e.item, e.score))
+          .sortBy { case (item, score) => (-score, item) }
+          .take(2).zipWithIndex
+          .map { case ((item, score), i) => TopKRow(key, w, i + 1, item, score) }
+      }
+      .sortBy(r => (r.key, r.window_start_us, r.rank))
+    // the pusher's own window never finalizes (no later watermark) and
+    // must NOT have been emitted; the late event must have been dropped
+    assert(!streamed.exists(_.item == 99L))
+    assert(!streamed.exists(_.item == 11L))
+    assert(streamed == expected)
+    // exactly-once per (key, window, rank)
+    assert(streamed.map(r => (r.key, r.window_start_us, r.rank)).distinct.size == streamed.size)
+  }
 }
