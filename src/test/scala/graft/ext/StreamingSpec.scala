@@ -510,4 +510,45 @@ class StreamingSpec extends SparkSpec {
     // exactly-once per (key, window, rank)
     assert(streamed.map(r => (r.key, r.window_start_us, r.rank)).distinct.size == streamed.size)
   }
+
+  test("streaming group top-k state survives a checkpointed restart") {
+    // the per-window heap state (Map of Seq tuples) must round-trip the
+    // state store: events arriving BEFORE the restart can only appear in
+    // a window finalized AFTER it if the open-window state was recovered
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StreamingOps.{ScoredEvent, TopKRow}
+    def ts(s: String) = Timestamp.valueOf(s)
+    val winUs = 60L * 1000000L
+    val out = tmpDir() + "/topk_sink"
+    val ckpt = tmpDir() + "/topk_ckpt"
+    val source = MemoryStream[ScoredEvent]
+    def start() = StreamingOps.streamingGroupTopK(source.toDS(), winUs, k = 2, "10 seconds")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // incarnation 1: two items land in window 0, nothing finalizes
+    val q1 = start()
+    source.addData(
+      ScoredEvent(1L, ts("2024-01-01 00:00:10"), 3L, 80L),
+      ScoredEvent(1L, ts("2024-01-01 00:00:20"), 7L, 50L))
+    q1.processAllAvailable(); q1.stop()
+    // incarnation 2: a third (better) item merges into the recovered
+    // window, then the watermark pusher finalizes it
+    val q2 = start()
+    source.addData(ScoredEvent(1L, ts("2024-01-01 00:00:40"), 8L, 90L))
+    q2.processAllAvailable()
+    source.addData(ScoredEvent(2L, ts("2024-01-01 01:00:00"), 99L, 1L))
+    q2.processAllAvailable()
+    source.addData(Seq.empty[ScoredEvent])
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(out).as[TopKRow].collect().toSeq
+      .sortBy(r => (r.key, r.window_start_us, r.rank))
+    val w0 = ts("2024-01-01 00:00:00").getTime * 1000L
+    assert(rows == Seq(
+      TopKRow(1L, w0, 1, 8L, 90L),
+      TopKRow(1L, w0, 2, 3L, 80L)),
+      s"open-window heap did not survive the restart: $rows")
+  }
 }
