@@ -767,4 +767,49 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
   }
+
+  /**
+   * LSH QUALITY AUDIT — the production trust metric for the whole banded
+   * family: over a caller-provided SAMPLE, compute ground truth (exact
+   * distinct-shingle Jaccard ≥ `minJaccard`, via the shingle inverted
+   * index — all pairs THROUGH shared shingles, no df ceiling because the
+   * sample bounds the cost) and the banded-LSH candidate set, and report
+   * one row: true-pair count, candidate count, hits, precision and
+   * recall in integer ppm (exact `div` — engine- and partitioning-
+   * deterministic). Run periodically on a sample in production, this
+   * turns "the LSH parameters are probably fine" into a measured number;
+   * the property spec (PipelinePropertySpec) checks the same bound on
+   * engineered corpora, this operator checks it on REAL data.
+   *
+   * Scale: everything is sample-bounded by construction; production
+   * chooses the sample with the deterministic hash samplers
+   * (Curation.stratifiedSample), never rand().
+   */
+  def lshRecallAudit(sample: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, bucketCap: Int = 50): DataFrame = {
+    val shingled = withShingleHashes(sample, textCol)
+      .select(col(idCol), explode_outer(col(ShinglesCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .distinct()
+    val sizes = shingled.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val common = shingled.select(col(idCol).as("id_a"), col("sh"))
+      .join(shingled.select(col(idCol).as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val truth = common
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .filter(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double") >= minJaccard)
+      .select("id_a", "id_b")
+    val cand = minhashPairsBanded(withBandKeys(sample, textCol, idCol), idCol, bucketCap)
+      .select("id_a", "id_b")
+    val hits = cand.join(truth, Seq("id_a", "id_b")).select("id_a", "id_b")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
+        expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))
+  }
 }

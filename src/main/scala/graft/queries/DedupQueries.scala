@@ -595,6 +595,53 @@ object DedupQueries {
               |  round(CAST(count(ev.sh) AS DOUBLE) / count(*), 6) AS overlap_frac
               |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
               |GROUP BY 1
-              |ORDER BY 1""".stripMargin))
+              |ORDER BY 1""".stripMargin)),
+
+    // X2h — LSH recall/precision AUDIT on a deterministic sample: exact
+    // distinct-shingle Jaccard truth vs the banded candidate set, one
+    // row of integer-ppm precision/recall — the number that says whether
+    // the b×r/bucketCap parameters still hold on REAL data (the property
+    // spec checks engineered corpora; this checks production's).
+    Q("lsh_recall_audit",
+      (s, dir) => graft.ext.Dedup.lshRecallAudit(
+        TableIO.read(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", minJaccard = 0.5, bucketCap = 50),
+      Some(s"""WITH sample AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+              |sets AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+              |         FROM sample),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sets GROUP BY 1),
+              |common AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              |  FROM sets a JOIN sets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |truth AS (
+              |  SELECT id_a, id_b
+              |  FROM common
+              |  JOIN sizes sa ON sa.doc_id = id_a
+              |  JOIN sizes sb ON sb.doc_id = id_b
+              |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+              |b AS (
+              |  ${(0 until graft.ext.Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sample")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |sized AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b),
+              |capped AS (SELECT * FROM sized WHERE bsize <= 50),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM capped a JOIN capped b
+              |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |hits AS (SELECT c.id_a, c.id_b FROM cand c JOIN truth t
+              |         ON c.id_a = t.id_a AND c.id_b = t.id_b)
+              |SELECT
+              |  (SELECT count(*) FROM truth) AS n_true,
+              |  (SELECT count(*) FROM cand) AS n_candidates,
+              |  (SELECT count(*) FROM hits) AS n_hits,
+              |  ((SELECT count(*) FROM hits) * 1000000)
+              |    // greatest((SELECT count(*) FROM cand), 1) AS precision_ppm,
+              |  ((SELECT count(*) FROM hits) * 1000000)
+              |    // greatest((SELECT count(*) FROM truth), 1) AS recall_ppm""".stripMargin))
   )
 }
