@@ -102,7 +102,18 @@ object Bpe {
   /** Apply trained merges corpus-wide: per-document subword count via the
    * [[org.apache.spark.sql.graft.BpeSegmentCount]] codegen kernel (merge
    * ranks baked as expression parameters — broadcast-free, shuffle-free
-   * scan; tokenizing 100 TB is a pure map). */
+   * scan; tokenizing 100 TB is a pure map).
+   *
+   * INFERENCE SEMANTICS, stated so the counts are not mistaken for
+   * HF/subword-nmt-compatible token budgets: each trained merge is
+   * applied exactly ONCE in rank order (replaying the trainer's greedy
+   * scan), whereas canonical BPE inference re-applies earlier merges
+   * when a later merge creates a new adjacency. On words seen at
+   * training time the two agree; on unseen words the counts can differ
+   * by the re-application opportunities skipped. The once-per-rank form
+   * is self-consistent with [[trainFromTypes]] and spec-pinned as such
+   * (BpeSpec); swapping in fixed-point re-application is a kernel-local
+   * change if HF parity is ever required. */
   def segmentCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[MergeRow]): DataFrame =
     df.select(col(idCol),

@@ -39,8 +39,10 @@ object Graph {
    *
    * Shape at scale: `edges` is shuffled ONCE by src to attach out-degrees
    * and then re-used every round; each round is one key-partitioned join
-   * (rank ⋈ edges on src) + one map-side-combined sum by dst + one left
-   * join back to the node set — the canonical iterative-graph shape whose
+   * (rank ⋈ edges on src) + ONE map-side-combined sum by dst with the
+   * teleport fused in (per-node zero rows unioned with the contributions,
+   * so no-inbound nodes survive the aggregate and no separate
+   * nodes-left-join job runs) — the canonical iterative-graph shape whose
    * per-round shuffle is linear in |E| (measured linear for the star-CC
    * operator in SCALING.md; same skeleton). Lineage is cut with
    * localCheckpoint every `checkpointEvery` rounds exactly like
@@ -54,9 +56,9 @@ object Graph {
    */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L, dampPct: Int = 85,
-      checkpointEvery: Int = 4): DataFrame =
+      checkpointEvery: Int = 4, broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
     pageRankCore(edges, srcCol, dstCol, iters, scale, dampPct, checkpointEvery,
-      seedPred = None)
+      seedPred = None, broadcastMaxNodes = broadcastMaxNodes)
 
   /**
    * PERSONALIZED (topic-sensitive) PageRank — Haveliwala 2002: the
@@ -71,13 +73,26 @@ object Graph {
   def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
       seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       iters: Int = 5, scale: Long = 1000000000000L, dampPct: Int = 85,
-      checkpointEvery: Int = 4): DataFrame =
+      checkpointEvery: Int = 4, broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
     pageRankCore(edges, srcCol, dstCol, iters, scale, dampPct, checkpointEvery,
-      seedPred = Some(seedPred))
+      seedPred = Some(seedPred), broadcastMaxNodes = broadcastMaxNodes)
+
+  /**
+   * Default node-count ceiling for the per-round broadcast strategy. A
+   * rank row is 16 bytes of data but a broadcast hash relation carries
+   * ~3-4× overhead per entry, so 1 M nodes ≈ 50-100 MB resident on the
+   * driver AND every executor, rebuilt every round — the round-10 default
+   * of 4 M was validated only at 21 k nodes and risked executor OOM on
+   * modest deployments (round-10 advisory). Callers with big executors
+   * can raise it per call; GRAFT_PR_NO_BROADCAST=1 forces the shuffle
+   * path regardless (A/B escape hatch).
+   */
+  val BroadcastMaxNodes = 1000000L
 
   private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long, dampPct: Int, checkpointEvery: Int,
-      seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column])
+      seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+      broadcastMaxNodes: Long)
       : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in [0,100], got $dampPct")
@@ -116,17 +131,17 @@ object Graph {
       case None => lit(init)
       case Some(p) => when(p(col("node")), lit(init)).otherwise(lit(0L))
     }
-    // The per-round rank/sum tables are O(|V|) rows of 16 bytes; when the
-    // graph's node set is broadcast-sized, hinting them turns every round
-    // into a map-side join over the big (edge) side — no per-round sort
-    // or shuffle of E rows, at the price of one broadcast-build job per
-    // round. Local[32] min-of-3 A/B at sf0.1 (1.1 M edges, 21 k nodes):
-    // 4.15 s broadcast vs 5.48 s shuffle — and the shuffle path's
-    // per-round E-row sort grows with |E| while the broadcast path's
-    // driver jobs do not, so broadcast is the default below the
-    // threshold. GRAFT_PR_NO_BROADCAST=1 forces the shuffle path for A/B
-    // runs.
-    val broadcastable = n <= 4000000L &&
+    // The per-round rank table is O(|V|) rows of 16 bytes; when the
+    // graph's node set is broadcast-sized, hinting it turns the round's
+    // edge join into a map-side join over the big (edge) side — no
+    // per-round sort or shuffle of E rows, at the price of one
+    // broadcast-build job per round. Local[32] min-of-3 A/B at sf0.1
+    // (1.1 M edges, 21 k nodes): 4.15 s broadcast vs 5.48 s shuffle on
+    // the pre-fusion shape — and the shuffle path's per-round E-row sort
+    // grows with |E| while the broadcast path's driver jobs do not, so
+    // broadcast is the default below the threshold.
+    // GRAFT_PR_NO_BROADCAST=1 forces the shuffle path for A/B runs.
+    val broadcastable = n <= broadcastMaxNodes &&
       !sys.env.get("GRAFT_PR_NO_BROADCAST").contains("1")
     def hinted(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
 
@@ -150,9 +165,15 @@ object Graph {
       val contrib = edgesDeg
         .join(hinted(rank), col("src") === rank("node"))
         .select(col("dst").as("node"), expr("rank div out_deg").as("c"))
-      val summed = contrib.groupBy("node").agg(sum("c").as("s"))
-      rank = nodes.join(hinted(summed), Seq("node"), "left")
-        .withColumn("s", coalesce(col("s"), lit(0L)))
+      // Teleport is FUSED into the contribution aggregate: every node
+      // contributes one zero row unioned with the edge contributions, so
+      // sum(c) covers no-inbound nodes and the round is ONE map-side-
+      // combined groupBy — the round-10 shape's separate `summed`
+      // broadcast-build + nodes-left-join cost ~1 extra job per round
+      // (per-job scheduling was the measured floor of the 5-round run).
+      rank = nodes.select(col("node"), lit(0L).as("c"))
+        .union(contrib)
+        .groupBy("node").agg(sum("c").as("s"))
         .select(col("node"),
           (teleportCol + expr(s"($dampPct * s) div 100")).as("rank"))
       if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()

@@ -443,10 +443,13 @@ object Similarity {
     // P ≈ log2(N/32)); `bucketCap` then bounds the damage from a dense
     // region that defeats the hashing (a mass-duplicated embedding
     // cluster) by dropping oversized buckets whole — the same robustness
-    // convention as Dedup.minhashPairsBanded, and the same recall trade:
-    // a dropped bucket's members keep edges through their OTHER planes'
-    // neighbors only if mutual elsewhere; the drop count is auditable
-    // via the bucket-size window below.
+    // convention as Dedup.minhashPairsBanded. The recall trade is TOTAL
+    // for the dropped rows: all P planes fold into a single bucket id
+    // per vector, so a dropped bucket's members generate zero candidates
+    // and get NO edges at all (unlike the banded minhash scheme, where a
+    // row keeps its other bands). When that loss matters, measure it —
+    // knnRecallAudit reports recall on a deterministic sample, and a
+    // banded multi-bucket variant is the structural fix.
     val b0 = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       lshBucketPlanes(col("embedding"), planes).as("bucket"))

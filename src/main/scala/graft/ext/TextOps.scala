@@ -285,11 +285,20 @@ object TextOps {
   // dropped (per-rule kill counts), not just how much.
   // ---------------------------------------------------------------------
 
-  /** Rule thresholds — Gopher's published bounds adapted to the corpus
-   * unit (the paper's 50..100k word bound assumes web pages; the
-   * defaults here are caller-overridable). */
+  /** Rule thresholds. The DEFAULTS are the published Gopher Table A1
+   * bounds (arXiv:2112.11446, Rae et al. 2021, Appendix A1.1): word
+   * count 50..100 000, mean word length 3..10 characters, ≥ 80 % of
+   * words containing at least one alphabetic character, ≥ 2 stopword
+   * hits — pinned by GopherBoundsSpec so a refactor cannot silently
+   * drift the thresholds that define the operator. `maxDupWordFrac` is
+   * this library's duplicate-word adaptation of the paper's separate
+   * repetition filters (Table A1 bounds duplicate lines/paragraphs and
+   * top-n-gram mass, units the fixture corpus doesn't carry). Callers
+   * on corpora with a different document unit override per call — the
+   * registered query passes the fixture-adapted 20..80 word bound
+   * explicitly. */
   final case class GopherBounds(
-      minWords: Int = 20, maxWords: Int = 80,
+      minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
       maxDupWordFrac: Double = 0.5)
@@ -311,8 +320,12 @@ object TextOps {
     val n = size(toks)
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
     val meanLen = round(sumLen.cast("double") / n.cast("double"), 6)
+    // [A-Za-z], not [a-z]: Gopher's rule is "contains at least one
+    // ALPHABETIC character" — lowercase-only matching counted all-caps
+    // words (NASA, USA) as non-alphabetic and over-fired alpha_ratio on
+    // shouty but legitimate text (round-10 advisory). Oracle mirrors.
     val alphaFrac = round(
-      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n.cast("double"), 6)
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n.cast("double"), 6)
     val nStop = stopwordHits(toks, stopwords)
     val dupFrac = dupWordFrac(toks)
     df.select(
@@ -346,34 +359,35 @@ object TextOps {
   // ---------------------------------------------------------------------
 
   /**
-   * Per-document mean bigram surprisal. Three key-partitioned shuffles,
-   * none carrying text: bigram instances travel as int64 hash pairs
-   * (kernel-hashed tokens packed shingle-style), the two count tables are
-   * token/bigram-keyed joins with map-side combine, and the final rollup
-   * shuffles on the doc id. Documents with < 2 tokens have no bigrams
+   * Per-document mean bigram surprisal. The instance stream travels as
+   * int64 hash pairs (kernel-hashed tokens packed shingle-style) — text
+   * never crosses the wire. Documents with < 2 tokens have no bigrams
    * and drop out (the oracle's `range(1, len)` is empty on the same
    * inputs).
+   *
+   * Skew posture (the round-10 finding this shape fixes): bigram
+   * frequencies are Zipfian — the top bigram is O(1 %) of ALL instances
+   * at corpus scale, so the previous `count().over(Window.partitionBy
+   * (bh|ph))` form, which must ship every instance row of a key to the
+   * one reducer owning it (a window, unlike groupBy, cannot partially
+   * aggregate OR be split), was a straggler/spill scale-killer. Now the
+   * two count tables are map-side-combined `groupBy`s (hot keys collapse
+   * to one row per map task before the shuffle) joined back to the
+   * staged instance frame — and a JOIN, unlike a window, is
+   * AQE-skew-splittable (the instance side of a hot key can be divided
+   * across tasks with the one matching count row replicated), and in
+   * practice broadcast: the tables are O(distinct bigrams) « O(instances).
+   * The instance frame is staged once (localCheckpoint) so the
+   * scan→kernel→explode lineage still executes exactly once across its
+   * three consumers — the reason the window shape was originally chosen.
+   * Verified linear under a hot-bigram corpus (≥1 % single-bigram mass)
+   * in ScaleBench's `bigram_surprisal_zipf` family.
    */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val P = graft.ext.Dedup.P
-    val K = org.apache.spark.sql.graft.SignatureKernels
-    val th = K.tokenHashes(tokens(col(textCol)), P)
-    // The (ph, bh) pairs come from ONE codegen kernel emitting 16-byte
-    // structs — both the ArrayTransform formulation (CodegenFallback)
-    // and the explode-one-array-index-the-other shape (which drags the
-    // token-hash array through the Generate, O(tokens²) bytes/doc)
-    // measured ~2 s of this query's cost at sf0.1.
-    // Window counts rather than groupBy + self-joins: the count tables
-    // would each re-evaluate the scan→hash→explode lineage, tripling the
-    // kernel pass; two count-over-partition windows reuse ONE instance
-    // stream through three key shuffles (bh, ph, doc), none carrying text.
-    val inst = df
-      .select(col(idCol), explode(K.bigramPairs(th, P)).as("pair"))
-      .select(col(idCol), col("pair.ph").as("ph"), col("pair.bh").as("bh"))
-    inst
-      .withColumn("big_n", count(lit(1)).over(Window.partitionBy("bh")))
-      .withColumn("ctx_n", count(lit(1)).over(Window.partitionBy("ph")))
+    val inst = bigramInstances(df, idCol, textCol).localCheckpoint()
+    val bc = inst.groupBy("bh").agg(count(lit(1)).as("big_n"))
+    val cc = inst.groupBy("ph").agg(count(lit(1)).as("ctx_n"))
+    inst.join(bc, "bh").join(cc, "ph")
       .withColumn("surprisal",
         (length(bin(col("ctx_n"))) - length(bin(col("big_n")))).cast("long"))
       .groupBy(col(idCol))
@@ -382,6 +396,22 @@ object TextOps {
         sum("surprisal").as("surprisal_sum"))
       .withColumn("avg_surprisal",
         round(col("surprisal_sum").cast("double") / col("n_bigrams").cast("double"), 6))
+  }
+
+  /** The (doc, context-hash, bigram-hash) instance stream feeding
+   * [[bigramSurprisal]] — exposed package-private so the plan spec can
+   * pin the kernel in the pre-checkpoint lineage. The (ph, bh) pairs
+   * come from ONE codegen kernel emitting 16-byte structs — both the
+   * ArrayTransform formulation (CodegenFallback) and the
+   * explode-one-array-index-the-other shape (which drags the token-hash
+   * array through the Generate, O(tokens²) bytes/doc) measured ~2 s of
+   * this query's cost at sf0.1. */
+  private[graft] def bigramInstances(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val P = graft.ext.Dedup.P
+    val K = org.apache.spark.sql.graft.SignatureKernels
+    val th = K.tokenHashes(tokens(col(textCol)), P)
+    df.select(col(idCol), explode(K.bigramPairs(th, P)).as("pair"))
+      .select(col(idCol), col("pair.ph").as("ph"), col("pair.bh").as("bh"))
   }
 
   // ---------------------------------------------------------------------

@@ -161,6 +161,25 @@ object TableIO {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Unique scratch directory under java.io.tmpdir, removed recursively
+   * at JVM exit. Round-trip queries write through this instead of a
+   * fixed path: two concurrent harness/bench invocations over the same
+   * data dir must not race on one overwrite-mode location, and the
+   * returned frame reads the path LAZILY, so in-query deletion is not an
+   * option — exit-time cleanup is (round-10 advisory). */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$prefix").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir.getAbsolutePath
+  }
+
   /**
    * Deterministic stand-in for the Cassandra Murmur3 ring token of a
    * partition key (`token(pk)` in the reference's range-scan CQL).

@@ -250,7 +250,10 @@ object CoreQueries {
         // proportionate while the read-back still exercises ORC pushdown
         // on a second column + the NTZ timestamp/double/string types
         val li = TableIO.read(s, dir, "lineitem").filter(col("l_quantity") > 40)
-        val path = s"/tmp/graft_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        // unique per invocation (TableIO.scratchDir): a fixed /tmp path
+        // raced between concurrent harness/bench runs over the same data
+        // dir, and the overwritten files were never cleaned up
+        val path = TableIO.scratchDir("orc")
         TableIO.writeOrc(li, path)
         TableIO.readOrc(s, path, li.schema)
           .filter(col("l_extendedprice") > 1000)

@@ -453,15 +453,21 @@ object TextQueries {
     // per-doc signal plus the first failing rule, the audit shape that
     // explains WHERE corpus mass went. Pure codegen scan, no shuffle.
     Q("quality_gopher_rules",
+      // word bound 20..80 passed EXPLICITLY: the GopherBounds defaults
+      // are the paper's web-page 50..100k (spec-pinned); the fixture
+      // docs are 20-80-word soup, so the corpus-adapted bound keeps the
+      // rule informative here (every other threshold is the published
+      // default).
       (s, dir) => TextOps.gopherRules(
-          TableIO.read(s, dir, "documents"), "doc_id", "text", Stopwords)
+          TableIO.read(s, dir, "documents"), "doc_id", "text", Stopwords,
+          TextOps.GopherBounds(minWords = 20, maxWords = 80))
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               |sig AS (SELECT doc_id,
               |  CAST(len(w) AS BIGINT) AS n_words,
               |  round(CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE)
               |        / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
-              |  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              |  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
               |        / CAST(len(w) AS DOUBLE), 6) AS frac_alpha,
               |  CAST(len(list_filter(w, x -> x IN (${sqlList(Stopwords)}))) AS BIGINT) AS n_stop,
               |  CASE WHEN len(w) > 0

@@ -373,12 +373,21 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"chunking must not shuffle (got $hashEx hash exchanges):\n${p.take(2500)}")
   }
 
-  test("bigram surprisal: kernel pair stream, three keyed exchanges, text never shuffles") {
+  test("bigram surprisal: kernel pair stream, no window over a raw bigram key, text never shuffles") {
+    // the kernel lives in the PRE-checkpoint instance lineage (staged
+    // once; the registered query's final plan reads the checkpointed RDD)
+    val instP = plan(graft.ext.TextOps.bigramInstances(
+      TableIO.read(spark, Sf, "documents"), "doc_id", "text"))
+    assert(instP.contains("bigram_pairs"), s"BigramPairs kernel not in plan:\n${instP.take(2500)}")
     val p = plan(SparkEntry.queries("lm_bigram_surprisal")(spark, Sf))
-    assert(p.contains("bigram_pairs"), s"BigramPairs kernel not in plan:\n${p.take(2500)}")
-    // bh window, ph window, doc_id aggregate — and nothing else keyed
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashEx == 3, s"expected 3 keyed exchanges (bh, ph, doc), got $hashEx:\n${p.take(3000)}")
+    // the round-10 scale-killer was count().over(partitionBy(bh|ph)):
+    // a window ships EVERY instance row of a hot bigram to one reducer
+    // with no partial aggregation and no AQE split. The fixed shape must
+    // carry NO window over the instance stream — counts come from
+    // map-side-combined groupBys joined back (broadcast or skew-split).
+    assert(!p.contains("Window"), s"instance-stream window reappeared:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"count tables must be partial-aggregated groupBys:\n${p.take(3000)}")
     assert(!"Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).hasNext,
       s"text column crossed an exchange:\n${p.take(3000)}")
   }

@@ -22,7 +22,8 @@ class TextPipelineSpec extends SparkSpec {
       (5L, (1 to 32).map(i => s"word$i").mkString(" ")), // stopwords (0 stops)
       (6L, ("alpha beta the of " * 8).trim)              // 32 words, 4 distinct → repetition
     ).toDF("doc_id", "text")
-    val out = TextOps.gopherRules(docs, "doc_id", "text", stop)
+    val out = TextOps.gopherRules(docs, "doc_id", "text", stop,
+        TextOps.GopherBounds(minWords = 20, maxWords = 80))
       .select($"doc_id", $"fail_reason", $"passes").as[(Long, String, Boolean)]
       .collect().sortBy(_._1).toSeq
     assert(out === Seq(
@@ -37,12 +38,38 @@ class TextPipelineSpec extends SparkSpec {
   test("gopherRules signals are exact on a hand case") {
     val docs = Seq((7L, "aa bbbb cc dd " * 5 + "the of and to in is on a " +
       (1 to 10).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
-    val r = TextOps.gopherRules(docs, "doc_id", "text").collect()(0)
+    val r = TextOps.gopherRules(docs, "doc_id", "text",
+      b = TextOps.GopherBounds(minWords = 20, maxWords = 80)).collect()(0)
     assert(r.getAs[Long]("n_words") === 38L) // 20 + 8 + 10
     assert(r.getAs[Long]("n_stop") === 8L)
     // char sum 50 + 17 + 21 = 88 → 88/38 rounded to 6 dp
     assert(r.getAs[Double]("mean_word_len") === 2.315789)
     assert(r.getAs[String]("fail_reason") === "mean_word_len")
+  }
+
+  test("GopherBounds defaults are the published Table A1 thresholds (arXiv:2112.11446)") {
+    // Rae et al. 2021, Appendix A1.1 quality-filter bounds — pinned so a
+    // refactor cannot silently drift the thresholds that define the
+    // operator. maxDupWordFrac is this library's duplicate-word
+    // adaptation of the paper's separate repetition table (documented on
+    // the case class), pinned at its committed value.
+    val b = TextOps.GopherBounds()
+    assert(b.minWords === 50 && b.maxWords === 100000)
+    assert(b.minMeanWordLen === 3.0 && b.maxMeanWordLen === 10.0)
+    assert(b.minAlphaFrac === 0.8)
+    assert(b.minStopwords === 2)
+    assert(b.maxDupWordFrac === 0.5)
+  }
+
+  test("gopherRules counts all-caps words as alphabetic (Gopher's 'alphabetic character' rule)") {
+    // 30 distinct all-caps words + 2 stops: frac_alpha must be 1.0, not
+    // 2/32 — the round-10 advisory's [a-z]-only regex over-fired
+    // alpha_ratio on shouty but legitimate text
+    val caps = (1 to 30).map(i => s"NASA$i").mkString(" ") + " the of"
+    val r = TextOps.gopherRules(Seq((1L, caps)).toDF("doc_id", "text"),
+      "doc_id", "text", b = TextOps.GopherBounds(minWords = 20, maxWords = 80)).collect()(0)
+    assert(r.getAs[Double]("frac_alpha") === 1.0)
+    assert(r.getAs[String]("fail_reason") === "ok")
   }
 
   // ---- bigramSurprisal ------------------------------------------------
