@@ -39,11 +39,14 @@ object Bpe {
       .orderBy(col("wcount").desc, col("word"))
       .limit(maxTypes)
 
-  /** Driver half: the merge loop over (word, count) types. Each round
-   * recounts adjacent symbol pairs (per-position, weighted by type
-   * count), takes the most frequent (ties → smallest (left, right)),
-   * and rewrites every type greedily left-to-right. Stops early when no
-   * pair occurs twice. O(merges · K · maxWordLen) driver CPU. */
+  /** Driver half, RECOUNT form — the readable reference the incremental
+   * trainer is spec-pinned against (production uses
+   * [[trainFromTypesIncremental]]). Each round recounts adjacent symbol
+   * pairs (per-position, weighted by type count), takes the most
+   * frequent (ties → smallest (left, right)), and rewrites every type
+   * greedily left-to-right. Stops early when no pair occurs twice.
+   * O(merges · K · maxWordLen) driver CPU — fine at tens of merges,
+   * quadratic-infeasible at production merge counts. */
   def trainFromTypes(types: Seq[(String, Long)], merges: Int): Seq[MergeRow] = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     var words: Seq[(Array[String], Long)] =
@@ -70,6 +73,112 @@ object Bpe {
     out.result()
   }
 
+  /**
+   * INCREMENTAL trainer — same result as [[trainFromTypes]] (spec-pinned
+   * equal over adversarial + random corpora), but per merge it touches
+   * ONLY the types containing the merged pair, the published efficient
+   * form (subword-nmt's trainer maintains pair statistics across merges
+   * instead of recounting): the recount loop's O(merges · K · maxWordLen)
+   * driver cost made a production fit — 32 k merges over ~10⁵ types —
+   * ~10¹⁰ operations (the round-10 finding), where this form is
+   * O(K · maxWordLen + merges · touched · maxWordLen + heap log).
+   *
+   * Mechanics: a pair→count map plus a pair→type-ids index are built
+   * once; each round takes the best pair from a lazy-deletion max-heap
+   * (every count CHANGE pushes a fresh heap entry; an entry is valid
+   * only while its count matches the live map — stale entries pop and
+   * drop), rewrites just the indexed types, and applies the per-type
+   * pair-count DELTA (count pairs before/after the rewrite, weighted by
+   * type count). Tie-breaks are the [[trainFromTypes]] contract verbatim:
+   * max count, then lexicographically smallest (left, right) — the heap
+   * ordering encodes exactly that triple.
+   */
+  def trainFromTypesIncremental(types: Seq[(String, Long)], merges: Int): Seq[MergeRow] = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      types.map { case (w, _) => w.map(_.toString).toArray }.toArray
+    val wcount: Array[Long] = types.map(_._2).toArray
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    // type ids that contained the pair at SOME point — may hold stale
+    // ids (a rewrite can remove a pair from a type without unindexing);
+    // the rewrite pass re-checks adjacency, and counts live in
+    // pairCounts, so staleness costs a scan, never correctness
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    final case class Cand(n: Long, l: String, r: String)
+    // max-heap: higher count wins; ties → lexicographically SMALLEST
+    // (l, r) (reverse string comparison makes the smaller string the
+    // greater heap priority)
+    val ord: Ordering[Cand] = (x: Cand, y: Cand) => {
+      val c = java.lang.Long.compare(x.n, y.n)
+      if (c != 0) c
+      else {
+        val cl = y.l.compareTo(x.l)
+        if (cl != 0) cl else y.r.compareTo(x.r)
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[Cand](ord)
+    def bump(p: (String, String), delta: Long): Unit = {
+      val n = pairCounts.getOrElse(p, 0L) + delta
+      if (n == 0L) pairCounts.remove(p) else pairCounts(p) = n
+      if (n > 0L) heap.enqueue(Cand(n, p._1, p._2))
+    }
+    def pairsOf(syms: Array[String]): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length - 1) {
+        m.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + 1L))
+        i += 1
+      }
+      m
+    }
+    var id = 0
+    while (id < words.length) {
+      pairsOf(words(id)).foreach { case (p, k) =>
+        bump(p, k * wcount(id))
+        pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += id
+      }
+      id += 1
+    }
+    val out = Seq.newBuilder[MergeRow]
+    var rank = 0
+    var done = false
+    while (rank < merges && !done) {
+      // pop to the first LIVE entry (count matches the map)
+      var best: Option[Cand] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairCounts.getOrElse((c.l, c.r), 0L) == c.n) best = Some(c)
+      }
+      best match {
+        case Some(c) if c.n >= 2 =>
+          out += MergeRow(rank, c.l, c.r, c.n)
+          val p = (c.l, c.r)
+          val touched = pairWords.remove(p).getOrElse(mutable.ArrayBuffer.empty)
+          val seen = mutable.HashSet.empty[Int]
+          touched.foreach { wid =>
+            if (seen.add(wid)) {
+              val before = pairsOf(words(wid))
+              if (before.contains(p)) { // stale index entries re-checked here
+                val rewritten = applyMerge(words(wid), c.l, c.r)
+                words(wid) = rewritten
+                val after = pairsOf(rewritten)
+                (before.keySet ++ after.keySet).foreach { q =>
+                  val d = after.getOrElse(q, 0L) - before.getOrElse(q, 0L)
+                  if (d != 0L) bump(q, d * wcount(wid))
+                  if (d > 0L)
+                    pairWords.getOrElseUpdate(q, mutable.ArrayBuffer.empty) += wid
+                }
+              }
+            }
+          }
+          rank += 1
+        case _ => done = true // heap drained or best pair seen once
+      }
+    }
+    out.result()
+  }
+
   /** Greedy left-to-right single-merge rewrite (the standard scan: a
    * merged symbol is not re-examined, so "aaa" under (a,a) → ["aa","a"]). */
   def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
@@ -83,12 +192,15 @@ object Bpe {
     b.result()
   }
 
-  /** End-to-end train: distributed count, collect the capped types, loop. */
+  /** End-to-end train: distributed count, collect the capped types, then
+   * the INCREMENTAL merge loop (production path — feasible at real
+   * tokenizer merge counts; [[trainFromTypes]] is the recount reference
+   * it is spec-pinned equal to). */
   def train(df: DataFrame, textCol: String, merges: Int, maxTypes: Int): Seq[MergeRow] = {
     import org.apache.spark.sql.Row
     val types = wordTypes(df, textCol, maxTypes).collect().toSeq
       .map { case Row(w: String, c: Long) => (w, c) }
-    trainFromTypes(types, merges)
+    trainFromTypesIncremental(types, merges)
   }
 
   /** The trained merge list as a frame (the harness-visible artifact). */

@@ -74,6 +74,59 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("incremental trainer equals the recount trainer on adversarial type tables") {
+    // the two factorizations share only applyMerge: recount rebuilds the
+    // full pair map every round, incremental maintains it by per-type
+    // deltas + a lazy-deletion heap — exact agreement (pair, count, and
+    // order) over overlap/tie/early-stop/unicode shapes is the pin
+    val tables: Seq[Seq[(String, Long)]] = Seq(
+      Seq(("aaa", 3L), ("aa", 1L)),                         // overlapping positions
+      Seq(("ab", 2L), ("ba", 2L)),                          // exact tie → (a,b)
+      Seq(("x", 5L), ("y", 4L), ("z", 3L)),                 // nothing repeats → stop
+      Seq(("abcabc", 2L), ("cabca", 1L), ("bcab", 4L)),     // chained merges
+      Seq(("中文", 2L), ("文中", 1L), ("naïve", 2L)),        // non-ASCII
+      Seq(("aaaa", 1L), ("aaa", 1L), ("aa", 7L), ("a", 9L)) // self-pair cascades
+    )
+    for (types <- tables; m <- Seq(1, 3, 10))
+      assert(Bpe.trainFromTypesIncremental(types, m) === Bpe.trainFromTypes(types, m),
+        s"types $types merges $m diverged")
+  }
+
+  test("incremental trainer equals the recount trainer on random type tables") {
+    // deterministic LCG corpus over a 4-letter alphabet: heavy pair
+    // collisions, deep chains, count ties
+    var s = 12345L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 11 }
+    for (trial <- 1 to 5) {
+      val types = (0 until 300).map { _ =>
+        val len = 1 + (nxt() % 10).toInt
+        val w = (0 until len).map(_ => ('a' + (nxt() % 4).toInt).toChar).mkString
+        (w, 1L + (nxt() % 7))
+      }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      assert(Bpe.trainFromTypesIncremental(types, 50) === Bpe.trainFromTypes(types, 50),
+        s"trial $trial diverged")
+    }
+  }
+
+  test("incremental trainer makes production merge counts driver-feasible") {
+    // 2 000 merges over 10 000 types: the recount loop is O(merges · K ·
+    // len) ≈ 2·10⁸ full-map rebuilds (the round-10 scale finding — a real
+    // 32 k-merge fit is ~10¹⁰); the incremental form touches only
+    // indexed types per merge and must complete in seconds, not minutes
+    var s = 98765L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 11 }
+    val types = (0 until 10000).map { i =>
+      val len = 4 + (nxt() % 12).toInt
+      val w = (0 until len).map(_ => ('a' + (nxt() % 5).toInt).toChar).mkString
+      (w + i.toString.takeRight(1), 1L + (nxt() % 100)) // suffix keeps types distinct-ish
+    }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainFromTypesIncremental(types, 2000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size > 500, s"corpus must supply real merge depth, got ${merges.size}")
+    assert(sec < 10.0, s"incremental trainer took $sec s for 2k merges x 10k types")
+  }
+
   test("greedy merge scan: overlapping occurrences are not re-merged") {
     assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
     assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq === Seq("aa", "aa"))
