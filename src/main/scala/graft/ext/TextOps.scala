@@ -455,6 +455,43 @@ object TextOps {
         col("sp.c_len").cast("long").as("c_len"),
         col("sp.c_hash").as("c_hash"))
 
+  /** Default clamp bounds for [[cdcChunksClamped]]: expected chunk 64
+   * chars ([[CdcDivisor]]), normalized to [32, 128] — the ±2× window the
+   * FastCDC evaluation uses around its target size. */
+  val CdcMinLen = 32
+  val CdcMaxLen = 128
+
+  /**
+   * [[cdcChunks]] with min/max chunk-length NORMALIZATION (the FastCDC
+   * production posture): a content boundary counts only once the open
+   * chunk reaches `minLen` code points, and a cut is forced at `maxLen`.
+   * This bounds the two degenerate corpora the unclamped form admits —
+   * adversarial periodic text whose window polynomial hits the divisor
+   * every few chars (chunk table blows up ~divisor/window ×) and
+   * divisor-avoiding text that yields one document-sized chunk. Forced
+   * cuts are position-dependent, so shift-robustness is lost AT a forced
+   * boundary only; content cuts re-synchronize downstream.
+   *
+   * The normalization makes the boundary rule depend on the previous cut
+   * — a sequential scan, NOT ANSI-SQL-expressible per position — so like
+   * the BPE trainer this variant is registered rows-only and spec-pinned
+   * against an independent sequential reference (CdcClampSpec); the
+   * unclamped [[cdcChunks]] stays the oracle-matched face. Same O(len)
+   * codegen kernel, same pure-map scale posture.
+   */
+  def cdcChunksClamped(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = CdcMinLen, maxLen: Int = CdcMaxLen): DataFrame =
+    df.select(col(idCol),
+        posexplode(org.apache.spark.sql.graft.SignatureKernels.cdcSpansClamped(
+          col(textCol), CdcWindow, CdcDivisor, graft.ext.Dedup.P, minLen, maxLen))
+          .as(Seq("chunk_idx", "sp")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.c_start").cast("long").as("c_start"),
+        col("sp.c_len").cast("long").as("c_len"),
+        col("sp.c_hash").as("c_hash"))
+
   /** HOF/SQL-shaped reference formulation of [[cdcChunks]] — the exact
    * expression family the DuckDB oracle evaluates; spec-pinned equal to
    * the kernel. Not for production paths. */

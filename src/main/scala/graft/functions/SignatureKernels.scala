@@ -543,7 +543,8 @@ object TokenHashKernel {
  * sub-window (or empty) document is one whole-document span with hash 0
  * for the empty case.
  */
-case class CdcSpans(child: Expression, window: Int, divisor: Long, p: Long)
+case class CdcSpans(child: Expression, window: Int, divisor: Long, p: Long,
+    minLen: Int = 1, maxLen: Int = 0)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(CdcSpanKernel.SpanType, containsNull = false)
@@ -552,12 +553,13 @@ case class CdcSpans(child: Expression, window: Int, divisor: Long, p: Long)
 
   override def nullSafeEval(input: Any): Any =
     CdcSpanKernel.spans(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window, divisor, p)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      window, divisor, p, minLen, maxLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
       val kernel = "org.apache.spark.sql.graft.CdcSpanKernel"
-      s"${ev.value} = $kernel.spans($x, $window, ${divisor}L, ${p}L);\n"
+      s"${ev.value} = $kernel.spans($x, $window, ${divisor}L, ${p}L, $minLen, $maxLen);\n"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -570,9 +572,31 @@ object CdcSpanKernel {
     StructField("c_len", IntegerType, nullable = false),
     StructField("c_hash", LongType, nullable = false)))
 
-  /** One pass: decode code points, mark boundaries, hash each span. */
+  /** One pass: decode code points, mark boundaries, hash each span.
+   *
+   * `minLen`/`maxLen` are the min/max chunk-length NORMALIZATION
+   * (Muthitacharoen 2001 §LBFS sets both; FastCDC's normalized chunking
+   * generalizes it): a content boundary is accepted only once the open
+   * chunk has reached `minLen` code points, and a cut is FORCED when it
+   * reaches `maxLen` regardless of content. This bounds the chunk-table
+   * blow-up from adversarial periodic text (a repeated `window`-width
+   * pattern aligned with the divisor otherwise degenerates to
+   * ~window-length chunks, ~divisor/window × the expected count) and
+   * bounds the opposite failure (content that never hits the divisor
+   * producing one giant chunk). `minLen = 1, maxLen = 0` (no max)
+   * reproduces the unclamped form bit-for-bit — the oracle-matched
+   * registered query keeps that, the clamped variant is spec-pinned
+   * (sequential reference) like BPE. Forced cuts lose shift-robustness
+   * AT the forced boundary only; content cuts re-synchronize after.
+   * Interior chunks lie in [minLen, maxLen]; the final chunk may run
+   * short (< minLen) but never exceeds maxLen. Requires maxLen = 0 or
+   * maxLen ≥ max(window, minLen) so forced cuts land inside the rolling
+   * region. */
   def spans(u: org.apache.spark.unsafe.types.UTF8String,
-      window: Int, divisor: Long, p: Long): ArrayData = {
+      window: Int, divisor: Long, p: Long, minLen: Int = 1, maxLen: Int = 0): ArrayData = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    require(maxLen == 0 || (maxLen >= window && maxLen >= minLen),
+      s"maxLen must be 0 (off) or >= max(window, minLen), got $maxLen")
     val s = u.toString
     // code-point array (length() / substr() / ascii() all count code
     // points, so the kernel works in that domain, not UTF-16 chars)
@@ -600,13 +624,25 @@ object CdcSpanKernel {
       var q = 0
       while (q < window) { poly = poly * 131L + cps(q); q += 1 }
       var pos = window // 1-based position of the window's last char
+      var lastCut = 0
       while (pos < n) { // interior boundaries only (pos < len)
-        if (poly % divisor == 0L) cuts.add(pos)
+        val len = pos - lastCut
+        // the rolling polynomial is cut-independent, so min/max
+        // normalization only FILTERS/FORCES acceptance — positions stay
+        // independently testable and the unclamped path (minLen=1,
+        // maxLen=0) is bit-identical to the pre-clamp kernel
+        if ((maxLen > 0 && len == maxLen) ||
+            (len >= minLen && poly % divisor == 0L)) {
+          cuts.add(pos)
+          lastCut = pos
+        }
         poly = (poly - cps(pos - window) * topPow) * 131L + cps(pos)
         pos += 1
       }
       // pos == n: window polynomial at the final position is excluded by
-      // the i < len rule — nothing to do
+      // the i < len rule — nothing to do; the final chunk cannot exceed
+      // maxLen (a forced cut would have fired at lastCut + maxLen <= n-1
+      // first, or lands exactly at n)
     }
     cuts.add(n)
     val m = cuts.size() - 1
@@ -731,6 +767,11 @@ object SignatureKernels {
 
   def cdcSpans(text: Column, window: Int, divisor: Long, p: Long): Column =
     ExpressionUtils.column(CdcSpans(ExpressionUtils.expression(text), window, divisor, p))
+
+  def cdcSpansClamped(text: Column, window: Int, divisor: Long, p: Long,
+      minLen: Int, maxLen: Int): Column =
+    ExpressionUtils.column(
+      CdcSpans(ExpressionUtils.expression(text), window, divisor, p, minLen, maxLen))
 
   def bpeSegmentCount(text: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeSegmentCount(ExpressionUtils.expression(text), merges))

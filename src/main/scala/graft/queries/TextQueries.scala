@@ -584,6 +584,20 @@ object TextQueries {
               |FROM h GROUP BY 1 HAVING count(*) > 1
               |ORDER BY n_occurrences DESC, c_hash""".stripMargin)),
 
+    // X4i(c) — CDC with FastCDC-style min/max chunk-length normalization
+    // [32, 128] around the 64-char target: the production posture that
+    // bounds adversarial periodic text (divisor-aligned patterns blow the
+    // unclamped chunk table up ~16×) and divisor-avoiding text (one
+    // doc-sized chunk). The boundary rule now depends on the previous cut
+    // — sequential, not ANSI-SQL-expressible — so rows-only here and
+    // pinned in CdcClampSpec against an independent sequential reference,
+    // the same verification pattern as the BPE trainer.
+    Q("chunk_cdc_clamped",
+      (s, dir) => TextOps.cdcChunksClamped(
+          TableIO.read(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx"),
+      None),
+
     // X21b — REAL BPE merge training (Sennrich 2016): distributed
     // word-type count (capped, deterministic), driver merge loop over
     // the O(K) type table. The merge loop is data-dependent sequential
