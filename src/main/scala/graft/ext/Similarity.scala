@@ -436,6 +436,20 @@ object Similarity {
    */
   def knnGraphMutual(emb: DataFrame, k: Int, planes: Int = LshPlanes,
       bucketCap: Long = 10000L): DataFrame = {
+    val directed = knnDirected(emb, k, planes, bucketCap)
+    directed.as("a")
+      .join(directed.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+  }
+
+  /** The DIRECTED top-k stage of [[knnGraphMutual]] (every node's k
+   * best bucket-mates, before the mutuality filter): (src, dst, cos6).
+   * Exposed because it is the unit the recall audit measures — the
+   * mutuality join is a deliberate filter, not an approximation. */
+  def knnDirected(emb: DataFrame, k: Int, planes: Int = LshPlanes,
+      bucketCap: Long = 10000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
     // The quadratic term lives per bucket: with P planes, expected bucket
@@ -464,13 +478,47 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos6", round(
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
-    val directed = rankTopK(pairs, k)
+    rankTopK(pairs, k)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("cos6"))
-    directed.as("a")
-      .join(directed.as("b"),
-        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
-      .filter(col("a.src") < col("a.dst"))
-      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+  }
+
+  /**
+   * kNN-GRAPH QUALITY AUDIT — the X36 mirror of the text-LSH side's
+   * `lshRecallAudit`: over a deterministic query sample (`vec_id mod
+   * sampleMod = 0` — hash-free, reproducible, never rand()), compare the
+   * bucketed [[knnDirected]] candidates against EXACT brute-force top-k
+   * truth over the full corpus, and report one row: true-edge count,
+   * candidate count, hits, precision and recall in integer ppm (exact
+   * `div`). The plane-scaling rule P ≈ log₂(N/32) and the bucketCap are
+   * operator contract; this turns their recall cost into a measured
+   * number on REAL data, run periodically in production. The truth side
+   * is sample-bounded by construction (the sample broadcasts; the corpus
+   * streams once at full scan parallelism — cost N·|sample| dot
+   * products, the same budget as the registered brute-force topk).
+   *
+   * Both sides rank with the identical (cos6 desc, vec_id) tie-break, so
+   * a perfect bucket assignment audits at exactly 10⁶ ppm.
+   */
+  def knnRecallAudit(emb: DataFrame, k: Int, planes: Int = LshPlanes,
+      bucketCap: Long = 10000L, sampleMod: Long = 20L): DataFrame = {
+    val q = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    val c = emb.withColumn("c_norm", norm(col("embedding")))
+    val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos6", round(
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
+    val truth = rankTopK(pairs, k).select(col("query_id"), col("neighbor_id"))
+    val cand = knnDirected(emb, k, planes, bucketCap)
+      .filter(col("src") % sampleMod === 0)
+      .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+    val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
+        expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))
   }
 
   /** [[lshBucket]] generalized to an arbitrary plane count (long-domain

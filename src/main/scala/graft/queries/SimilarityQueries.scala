@@ -775,6 +775,49 @@ object SimilarityQueries {
               |SELECT cluster, count(*) AS n_members, CAST(min(id) AS BIGINT) AS min_id
               |FROM assign
               |GROUP BY 1
-              |ORDER BY n_members DESC, cluster""".stripMargin))
+              |ORDER BY n_members DESC, cluster""".stripMargin)),
+
+    // X36c — kNN-graph recall/precision audit (the X2h mirror for the
+    // embedding side): deterministic query sample (vec_id % 20 = 0),
+    // exact brute-force top-k truth over the full corpus vs the bucketed
+    // directed candidates under the committed plane rule — recall@k in
+    // exact integer ppm. The truth side is SQL-expressible, so unlike
+    // the LSH parameters themselves this audit is oracle-matched.
+    Q("knn_recall_audit",
+      (s, dir) => graft.ext.Similarity.knnRecallAudit(
+        TableIO.read(s, dir, "embeddings"), k = 4),
+      Some(s"""WITH b0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+              |            FROM embeddings),
+              |b AS (SELECT vec_id, embedding, bucket FROM b0
+              |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
+              |p AS (
+              |  SELECT q.vec_id AS src, e.vec_id AS dst,
+              |         ${cosSql("q.embedding", "e.embedding")} AS cos6
+              |  FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id),
+              |d AS (SELECT src, dst FROM (
+              |        SELECT src, dst,
+              |               row_number() OVER (PARTITION BY src ORDER BY cos6 DESC, dst) AS rk
+              |        FROM p)
+              |      WHERE rk <= 4),
+              |cand AS (SELECT src AS query_id, dst AS neighbor_id FROM d
+              |         WHERE src % 20 = 0),
+              |tp AS (
+              |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |         ${cosSql("q.embedding", "e.embedding")} AS cos6
+              |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+              |  WHERE q.vec_id % 20 = 0),
+              |tr AS (SELECT query_id, neighbor_id FROM (
+              |         SELECT query_id, neighbor_id,
+              |                row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rk
+              |         FROM tp)
+              |       WHERE rk <= 4),
+              |h AS (SELECT * FROM cand JOIN tr USING (query_id, neighbor_id)),
+              |n AS (SELECT (SELECT count(*) FROM tr) AS n_true,
+              |             (SELECT count(*) FROM cand) AS n_candidates,
+              |             (SELECT count(*) FROM h) AS n_hits)
+              |SELECT n_true, n_candidates, n_hits,
+              |       (n_hits * 1000000) // greatest(n_candidates, 1) AS precision_ppm,
+              |       (n_hits * 1000000) // greatest(n_true, 1) AS recall_ppm
+              |FROM n""".stripMargin))
   )
 }

@@ -596,6 +596,32 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(again === edges.sorted)
   }
+
+  test("knnRecallAudit: ppm invariants on the fixture; perfect buckets audit at 10^6") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val r = Similarity.knnRecallAudit(emb, k = 4).collect()(0)
+    val (nTrue, nCand, nHits) =
+      (r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"))
+    assert(nTrue > 0 && nHits <= nCand && nHits <= nTrue)
+    assert(r.getAs[Long]("recall_ppm") === nHits * 1000000L / nTrue)
+    assert(r.getAs[Long]("precision_ppm") === nHits * 1000000L / math.max(nCand, 1L))
+    // two tight same-direction clusters, one plane: bucketing is exact →
+    // every true neighbor shares the query's bucket → recall = 10^6 ppm
+    val dim = Similarity.VecDim
+    val clustered = (0L until 40L).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      // plane 0's components alternate sign; align cluster direction with
+      // it exactly: v = sign * planeComponent(0, d) (+ tiny id jitter on
+      // one dim to break cosine ties deterministically)
+      (i, (0 until dim).map(d =>
+        sign * Similarity.planeComponent(0, d) +
+          (if (d == 0) sign * (i % 7).toFloat else 0f)).toArray)
+    }.toDF("vec_id", "embedding")
+    val rc = Similarity.knnRecallAudit(clustered, k = 3, planes = 1, sampleMod = 4L)
+      .collect()(0)
+    assert(rc.getAs[Long]("recall_ppm") === 1000000L,
+      s"perfect bucketing must audit at full recall: $rc")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
