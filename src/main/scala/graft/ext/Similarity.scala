@@ -483,6 +483,72 @@ object Similarity {
   }
 
   /**
+   * INCREMENTAL kNN-graph maintenance — the batch-vs-corpus face of X36,
+   * mirroring the minhash family's incremental pair stage: a production
+   * pipeline ingests embedding batches continuously and must NOT re-run
+   * the corpus-wide bucket self-join per batch. Exactness argument, per
+   * bucket (a vector belongs to exactly ONE bucket, a pure function of
+   * its embedding): a bucket receiving no delta rows has identical
+   * membership, size, and cap status as at base-build time, so its
+   * members' directed top-k edges are preserved VERBATIM from
+   * `baseDirected` (the stored [[knnDirected]] state); a bucket touched
+   * by the delta is recomputed whole from the union index — which also
+   * handles cap FLIPS exactly (a bucket pushed over `bucketCap` by the
+   * delta is dropped whole, members' edges vanish, just as a full
+   * rebuild would). The result is spec-pinned equal to
+   * [[knnGraphMutual]] over the unioned corpus.
+   *
+   * Scale shape: the quadratic, embedding-carrying candidate join runs
+   * ONLY over touched buckets (expected delta-proportional: |delta| ·
+   * avg bucket size); untouched-bucket work is one anti-join of the
+   * O(N·k) slim edge state against the O(touched) bucket list. The
+   * final mutuality self-join is over the slim int edge list (linear,
+   * no embeddings) — at extreme N even that can be restricted to edges
+   * touching recomputed nodes and merged with stored mutual edges, a
+   * further state trade documented rather than taken here. `planes` and
+   * `bucketCap` must match the base build (they are operator contract,
+   * like the P ≈ log₂(N/32) growth rule — grow planes by REBUILDING,
+   * not mid-stream).
+   */
+  def knnGraphIncremental(base: DataFrame, delta: DataFrame, baseDirected: DataFrame,
+      k: Int, planes: Int = LshPlanes, bucketCap: Long = 10000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def bucketed(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      lshBucketPlanes(col("embedding"), planes).as("bucket"))
+    val bb = bucketed(base)
+    val bd = bucketed(delta)
+    val touched = bd.select("bucket").distinct()
+    val u = bb.union(bd)
+    // bucket sizes over the UNION: cap semantics identical to a rebuild
+    val sizes = u.groupBy("bucket").agg(count(lit(1)).as("__bsize"))
+    val touchedSizes = sizes.join(touched, Seq("bucket"))
+    val affected = u.join(broadcast(touchedSizes), Seq("bucket"))
+      .filter(col("__bsize") <= bucketCap)
+      .drop("__bsize")
+    val pairs = affected.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("bucket"))
+      .join(affected.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos6", round(
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
+    val recomputed = rankTopK(pairs, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("cos6"))
+    // untouched-bucket members: edge state carried over unchanged
+    val preservedSrc = bb.join(broadcast(touched), Seq("bucket"), "left_anti")
+      .select(col("vec_id").as("src"))
+    val directed = baseDirected.join(preservedSrc, "src")
+      .select(col("src"), col("dst"), col("cos6"))
+      .union(recomputed)
+    directed.as("a")
+      .join(directed.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+  }
+
+  /**
    * kNN-GRAPH QUALITY AUDIT — the X36 mirror of the text-LSH side's
    * `lshRecallAudit`: over a deterministic query sample (`vec_id mod
    * sampleMod = 0` — hash-free, reproducible, never rand()), compare the

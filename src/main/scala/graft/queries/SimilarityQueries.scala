@@ -777,6 +777,38 @@ object SimilarityQueries {
               |GROUP BY 1
               |ORDER BY n_members DESC, cluster""".stripMargin)),
 
+    // X36d — INCREMENTAL kNN-graph maintenance: a 20% delta batch
+    // (vec_id % 5 = 4) joins the stored base-graph state (bucket index +
+    // directed edges) — only delta-touched buckets recompute, untouched
+    // buckets carry their edges verbatim. The oracle is a FULL REBUILD
+    // over the unioned corpus (identical SQL to knn_graph_mutual), so
+    // the hash-match IS the incremental-equals-rebuild proof at sf scale.
+    Q("knn_graph_incremental",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 5 =!= 4)
+        val delta = emb.filter(col("vec_id") % 5 === 4)
+        val state = graft.ext.Similarity.knnDirected(base, k = 4)
+        graft.ext.Similarity.knnGraphIncremental(base, delta, state, k = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH b0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+              |            FROM embeddings),
+              |b AS (SELECT vec_id, embedding, bucket FROM b0
+              |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
+              |p AS (
+              |  SELECT q.vec_id AS src, e.vec_id AS dst,
+              |         ${cosSql("q.embedding", "e.embedding")} AS cos6
+              |  FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id),
+              |r AS (SELECT src, dst, cos6,
+              |        row_number() OVER (PARTITION BY src ORDER BY cos6 DESC, dst) AS rk
+              |      FROM p),
+              |d AS (SELECT src, dst, cos6 FROM r WHERE rk <= 4)
+              |SELECT a.src AS id_a, a.dst AS id_b, a.cos6
+              |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
+              |WHERE a.src < a.dst
+              |ORDER BY 1, 2""".stripMargin)),
+
     // X36c — kNN-graph recall/precision audit (the X2h mirror for the
     // embedding side): deterministic query sample (vec_id % 20 = 0),
     // exact brute-force top-k truth over the full corpus vs the bucketed

@@ -597,6 +597,43 @@ class SimilaritySpec extends SparkSpec {
     assert(again === edges.sorted)
   }
 
+  test("knnGraphIncremental equals a full rebuild, including a delta-induced cap flip") {
+    // fixture: 20% delta batch vs full rebuild over the union
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val delta = emb.filter($"vec_id" % 5 === 4)
+    val inc = Similarity.knnGraphIncremental(
+        base, delta, Similarity.knnDirected(base, k = 4), k = 4)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val full = Similarity.knnGraphMutual(emb, k = 4)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(inc === full && full.nonEmpty)
+    // cap flip: one plane → two buckets; the delta pushes the positive
+    // bucket over the cap, so a full rebuild drops it whole — the
+    // incremental path must drop those members' edges identically (the
+    // exactness case a merge-old-top-k design would get wrong)
+    val dim = Similarity.VecDim
+    def clustered(ids: Seq[Long]) = ids.map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i, (0 until dim).map(d =>
+        sign * Similarity.planeComponent(0, d) +
+          (if (d == 0) sign * (i % 7).toFloat else 0f)).toArray)
+    }.toDF("vec_id", "embedding")
+    val base2 = clustered(0L until 10L)         // 5 per bucket
+    val delta2 = clustered(Seq(10L, 12L, 14L))  // 3 more positives → 8 > cap
+    val state2 = Similarity.knnDirected(base2, k = 3, planes = 1, bucketCap = 6L)
+    val inc2 = Similarity.knnGraphIncremental(base2, delta2, state2,
+        k = 3, planes = 1, bucketCap = 6L)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val full2 = Similarity.knnGraphMutual(base2.union(delta2),
+        k = 3, planes = 1, bucketCap = 6L)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(inc2 === full2)
+    // the flipped (positive) bucket contributes nothing; the untouched
+    // negative bucket's edges survive verbatim
+    assert(full2.nonEmpty && full2.forall { case (a, b, _) => a % 2 == 1 && b % 2 == 1 })
+  }
+
   test("knnRecallAudit: ppm invariants on the fixture; perfect buckets audit at 10^6") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val r = Similarity.knnRecallAudit(emb, k = 4).collect()(0)
