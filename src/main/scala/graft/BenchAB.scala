@@ -133,6 +133,22 @@ object BenchAB {
       time("lm: inst (with ph)", 3)(inst)
       time("lm: full", 3)(TextOps.bigramSurprisal(docs, "doc_id", "text"))
     }
+    if (which("probe_pr")) {
+      // decomposition of the pagerank floor: fixture-graph prep alone,
+      // 1 round, 5 rounds — the (5r − 1r)/4 delta is the true per-round
+      // cost; prep + scheduling is the rest
+      def edges = {
+        val e0 = TableIO.read(s, sfDir, "lineitem")
+          .select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      time("pr: edge prep only", 3)(edges)
+      time("pr: 1 round", 3)(graft.ext.Graph.pageRankFixed(edges, "src", "dst", iters = 1))
+      time("pr: 3 rounds", 3)(graft.ext.Graph.pageRankFixed(edges, "src", "dst", iters = 3))
+      time("pr: 5 rounds", 3)(graft.ext.Graph.pageRankFixed(edges, "src", "dst", iters = 5))
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

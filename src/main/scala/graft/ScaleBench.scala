@@ -69,6 +69,81 @@ object ScaleBench {
       concat(lit("l"), pmod(id, lit(12))).as("lang"))
   }
 
+  /** Zipfian-bigram word soup: every 8th token position is the hot token,
+   * so ONE bigram (hot, hot) carries ~1/64 ≈ 1.6 % of ALL bigram
+   * instances and the hot CONTEXT ~1/8 — the realistic-frequency shape
+   * the uniform 50 k-vocabulary family can't produce. This is the corpus
+   * that killed the round-10 window-count surprisal shape (every hot
+   * instance row on one reducer); the groupBy+join shape must stay
+   * linear here. */
+  private def zipfDocs(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val len = (pmod(xxhash64(id), lit(40)) + lit(20)).cast("int")
+    spark.range(n).select(
+      id.as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), len),
+        i => when(pmod(xxhash64(id * 1000 + i), lit(8)) === 0, lit("zipfhot"))
+          .otherwise(concat(lit("w"),
+            pmod(xxhash64(id * 1000 + i), lit(50000)))))).as("text"))
+  }
+
+  /** Pathological quality-filter corpus: every 997th doc is a 20 000-word
+   * monster (~140 KB — the per-row work skew a pure-map scan must absorb
+   * without a straggler), every 13th is EMPTY (the zero-guard edges), and
+   * every 17th is punctuation-only (alpha-ratio all-fail path). */
+  private def pathDocs(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val len = when(pmod(id, lit(997)) === 0, lit(20000))
+      .when(pmod(id, lit(13)) === 0, lit(0))
+      .otherwise((pmod(xxhash64(id), lit(40)) + lit(20)).cast("int"))
+    spark.range(n).select(
+      id.as("doc_id"),
+      when(len > 0,
+        concat_ws(" ", transform(sequence(lit(1), len),
+          i => when(pmod(id, lit(17)) === 0, lit("..."))
+            .otherwise(concat(lit("w"), pmod(xxhash64(id * 1000 + i), lit(50000)))))))
+        .otherwise(lit("")).as("text"))
+  }
+
+  /** Extreme-ratio strata: ten single-row strata under one mega stratum
+   * holding everything else — a 10⁶× count ratio at the top size. The
+   * aggregate stays O(strata) and the ppm thresholds must not overflow
+   * or zero out. */
+  private def skewStrata(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") < 10, concat(lit("tiny"), col("id")))
+        .otherwise(lit("mega")).as("lang"))
+
+  /** Long-token corpus for the BPE segmenter: 20 words of 100-400 chars
+   * over a 4-letter alphabet (merges actually fire), the per-row cost
+   * profile a whitespace fixture can't exercise. */
+  private def longTokenDocs(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    spark.range(n).select(
+      id.as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(20)), w => {
+        val wlen = pmod(xxhash64(id * 31 + w), lit(300)) + lit(100)
+        array_join(transform(sequence(lit(1), wlen),
+          c => elt((pmod(xxhash64(id * 1000 + w * 37 + c), lit(4)) + 1).cast("int"),
+            lit("a"), lit("b"), lit("c"), lit("d"))), "")
+      })).as("text"))
+  }
+
+  /** Deterministic merge table for the segmenter family: trained once on
+   * a driver-side synthetic type table over the same 4-letter alphabet
+   * (instant with the incremental trainer; content is representative,
+   * the KERNEL scan is the thing under measurement). */
+  private lazy val longTokenMerges: Seq[graft.ext.Bpe.MergeRow] = {
+    var s = 7L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 11 }
+    val types = (0 until 2000).map { _ =>
+      val len = 3 + (nxt() % 10).toInt
+      ((0 until len).map(_ => ('a' + (nxt() % 4).toInt).toChar).mkString, 1L + (nxt() % 9))
+    }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+    graft.ext.Bpe.trainFromTypesIncremental(types, 32)
+  }
+
   /** Chain-heavy candidate graph: blocks of 1000 sequential edges (depth
    * a propagation algorithm would need 1000 rounds for — exactly what
    * large-star/small-star's O(log n) exists to kill) plus 2% random
@@ -281,6 +356,33 @@ object ScaleBench {
       ("bigram_surprisal", Seq(5000L, 50000L, 500000L),
         (s, n) => TextOps.bigramSurprisal(
           staged(s, "docs", n)(docs(s, n)), "doc_id", "text")),
+      // the round-11 surprisal shape under a HOT bigram (~1.6 % of all
+      // instances on one bh key, ~12.5 % on one ph key): the groupBy
+      // count tables collapse the hot keys map-side; the joins back are
+      // skew-splittable. Linear CPU here is what the round-10 window
+      // shape could not deliver.
+      ("bigram_surprisal_zipf", Seq(5000L, 50000L, 500000L),
+        (s, n) => graft.ext.TextOps.bigramSurprisal(
+          staged(s, "zipfdocs", n)(zipfDocs(s, n)), "doc_id", "text")),
+      // gopherRules over pathological docs (20k-word monsters, empties,
+      // punctuation-only): a shuffle-free scan whose per-row work skews
+      // 1000× — cost must track total BYTES, heap must stay flat
+      ("gopher_pathological", Seq(5000L, 50000L, 500000L),
+        (s, n) => graft.ext.TextOps.gopherRules(
+          staged(s, "pathdocs", n)(pathDocs(s, n)), "doc_id", "text")),
+      // temperature sampling with a 10^6x stratum-count ratio: the
+      // O(strata) broadcast aggregate and integer-ppm thresholds under
+      // the most extreme mixture a multilingual corpus plausibly has
+      ("temperature_sample_skew", Seq(100000L, 1000000L, 10000000L),
+        (s, n) => graft.ext.Curation.temperatureAnnotate(
+          staged(s, "skewstrata", n)(skewStrata(s, n)), "lang", col("doc_id"))),
+      // BPE segmenter kernel on 100-400-char tokens under 32 trained
+      // merges: per-row cost is merges x chars — the long-token profile
+      // the 4-8-char fixture vocabulary never exercises
+      ("bpe_segment_long", Seq(1000L, 10000L, 100000L),
+        (s, n) => graft.ext.Bpe.segmentCounts(
+          staged(s, "longtok", n)(longTokenDocs(s, n)), "doc_id", "text",
+          longTokenMerges)),
       // mutual k-NN graph: the per-bucket quadratic is the risk — the
       // plane count must grow with N (P = log2(N/32) here, the operator's
       // documented scaling rule) and 3% of vectors collapse onto one hot

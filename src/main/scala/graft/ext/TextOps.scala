@@ -375,19 +375,33 @@ object TextOps {
    * to one row per map task before the shuffle) joined back to the
    * staged instance frame — and a JOIN, unlike a window, is
    * AQE-skew-splittable (the instance side of a hot key can be divided
-   * across tasks with the one matching count row replicated), and in
-   * practice broadcast: the tables are O(distinct bigrams) « O(instances).
-   * The instance frame is staged once (localCheckpoint) so the
-   * scan→kernel→explode lineage still executes exactly once across its
-   * three consumers — the reason the window shape was originally chosen.
-   * Verified linear under a hot-bigram corpus (≥1 % single-bigram mass)
-   * in ScaleBench's `bigram_surprisal_zipf` family.
+   * across tasks with the one matching count row replicated). The
+   * instance frame is staged once (localCheckpoint) so the
+   * scan→kernel→explode lineage executes exactly once across its three
+   * consumers, and the count-table joins are SHUFFLE_HASH-hinted (see
+   * inline note). Cost vs the skew-broken window shape at the 500 k-doc
+   * ScaleBench point: 97 vs 72 CPU-s (+35 %), wall 7.6 vs 7.0 s — the
+   * price of the hot-key safety; measured LINEAR on the hot-bigram
+   * corpus (≥1 % single-bigram mass) in `bigram_surprisal_zipf`.
    */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Staged eagerly (localCheckpoint): THREE consumers read the
+    // instance stream and Spark does not reuse the exchange across them
+    // (verified in the plan — the kernel scan ran 3× unstaged).
     val inst = bigramInstances(df, idCol, textCol).localCheckpoint()
+    // Map-side-combined count tables: a hot key collapses to one row per
+    // map task before the shuffle (the groupBy property the window
+    // lacked). The context table is VOCABULARY-sized (distinct ph ≤
+    // distinct tokens), so its join broadcasts under AQE; the bigram
+    // table is larger (distinct bigrams) — SHUFFLE_HASH-hinted, because
+    // the default sort-merge join would re-sort the full instance stream
+    // AND the count table (measured +60 CPU-s at 500 k ScaleBench docs)
+    // where a per-partition hash build of the count side costs neither
+    // sort. Both joins stay AQE-skew-splittable (the hot key's instance
+    // rows divide across tasks; the one matching count row replicates).
     val bc = inst.groupBy("bh").agg(count(lit(1)).as("big_n"))
     val cc = inst.groupBy("ph").agg(count(lit(1)).as("ctx_n"))
-    inst.join(bc, "bh").join(cc, "ph")
+    inst.join(bc.hint("SHUFFLE_HASH"), "bh").join(cc.hint("SHUFFLE_HASH"), "ph")
       .withColumn("surprisal",
         (length(bin(col("ctx_n"))) - length(bin(col("big_n")))).cast("long"))
       .groupBy(col(idCol))
