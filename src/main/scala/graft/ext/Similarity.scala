@@ -483,6 +483,101 @@ object Similarity {
   }
 
   /**
+   * BANDED multi-bucket kNN candidates — the recall fix the single-bucket
+   * scheme structurally can't reach (all P planes fold into ONE bucket
+   * id, so two vectors disagreeing on ANY plane never meet; the audit
+   * measured ~3 % directed recall at P=8 on near-random vectors). Same
+   * idea as the minhash b×r banding: `bands` independent groups of
+   * `bandPlanes` planes each (plane j of band b is global plane
+   * b·bandPlanes+j — disjoint, deterministic), a pair is a candidate if
+   * it shares a bucket in ANY band. Per-pair probability rises from
+   * p^P to 1−(1−p^P)^B.
+   *
+   * Shape: per band, a SLIM id-pair bucket self-join (no embeddings
+   * carried); the union dedups (a near-dup pair co-occurs in several
+   * bands) BEFORE the cosine is computed — embeddings re-attach via two
+   * vec_id equi-joins, so each surviving pair pays exactly one dot
+   * product. Cost is ~`bands`× the single-bucket candidate volume plus
+   * the dedup shuffle; the per-band `bucketCap` bounds dense regions
+   * exactly as before. At corpus scale bandPlanes follows the same
+   * log₂(N/32) growth rule per band.
+   */
+  def knnDirectedBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
+      bucketCap: Long = 10000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(bands >= 1 && bands * bandPlanes <= 62,
+      s"bands*bandPlanes must be in [1,62], got ${bands * bandPlanes}")
+    val slim = emb.select(col("vec_id"), col("embedding"))
+    val candIds = (0 until bands).map { b =>
+      val bb = slim.select(col("vec_id"),
+          lshBucketBand(col("embedding"), b, bandPlanes).as("bucket"))
+        .withColumn("__bsize", count(lit(1)).over(Window.partitionBy("bucket")))
+        .filter(col("__bsize") <= bucketCap)
+        .drop("__bsize")
+      bb.select(col("vec_id").as("query_id"), col("bucket"))
+        .join(bb.select(col("vec_id"), col("bucket")), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+    }.reduce(_ union _).distinct()
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
+    val c = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_norm"))
+    val pairs = candIds.join(q, "query_id").join(c, "vec_id")
+      .withColumn("cos6", round(
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
+    rankTopK(pairs, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("cos6"))
+  }
+
+  /** Banded-candidate mutual kNN graph: [[knnDirectedBanded]] +
+   * the same reversed-pair mutuality join as [[knnGraphMutual]]. */
+  def knnGraphBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
+      bucketCap: Long = 10000L): DataFrame = {
+    val directed = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap)
+    directed.as("a")
+      .join(directed.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+  }
+
+  /** [[knnRecallAudit]] against the BANDED candidate generator — the
+   * measured half of the recall story: same sample, same exact truth,
+   * candidates from [[knnDirectedBanded]]. */
+  def knnRecallAuditBanded(emb: DataFrame, k: Int, bands: Int = 4,
+      bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
+      sampleMod: Long = 20L): DataFrame = {
+    val q = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    val c = emb.withColumn("c_norm", norm(col("embedding")))
+    val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos6", round(
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
+    val truth = rankTopK(pairs, k).select(col("query_id"), col("neighbor_id"))
+    val cand = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap)
+      .filter(col("src") % sampleMod === 0)
+      .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+    val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
+        expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))
+  }
+
+  /** Bucket id of band `b`: `bandPlanes` planes starting at global plane
+   * b·bandPlanes (disjoint across bands, same deterministic component
+   * arithmetic as [[lshBucketPlanes]]). */
+  def lshBucketBand(emb: Column, band: Int, bandPlanes: Int): Column =
+    (0 until bandPlanes).map { j =>
+      val plane = array((0 until VecDim).map(i =>
+        lit(planeComponent(band * bandPlanes + j, i))): _*)
+      when(dot(emb, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
    * INCREMENTAL kNN-graph maintenance — the batch-vs-corpus face of X36,
    * mirroring the minhash family's incremental pair stage: a production
    * pipeline ingests embedding batches continuously and must NOT re-run

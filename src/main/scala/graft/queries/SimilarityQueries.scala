@@ -102,6 +102,42 @@ object SimilarityQueries {
       .map(j => s"CASE WHEN ${planeDotSql(emb, j)} > 0 THEN ${1 << j} ELSE 0 END")
       .mkString("(", " + ", ")")
 
+  /** Band `b`'s bucket (disjoint plane group b·P..b·P+P−1), mirroring
+   * Similarity.lshBucketBand. */
+  private def bandBucketSql(emb: String, band: Int, bandPlanes: Int): String =
+    (0 until bandPlanes)
+      .map(j => s"CASE WHEN ${planeDotSql(emb, band * bandPlanes + j)} > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** Shared CTE chain for the banded-candidate queries: per-band capped
+   * bucket self-joins, slim id-pair union + DISTINCT, cosine attached
+   * once per surviving pair, per-src rank. Ends with CTE `d` =
+   * directed top-4 edges (src, dst, cos6). */
+  private def bandedDirectedCtes(bands: Int): String = {
+    val perBand = (0 until bands).map { b =>
+      s"""b$b AS (SELECT vec_id, ${bandBucketSql("embedding", b, Similarity.LshPlanes)} AS bucket
+         |        FROM embeddings),
+         |f$b AS (SELECT vec_id, bucket FROM b$b
+         |        QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
+         |p$b AS (SELECT q.vec_id AS query_id, e.vec_id
+         |        FROM f$b q JOIN f$b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (0 until bands).map(b => s"SELECT * FROM p$b").mkString(" UNION ALL ")
+    s"""WITH $perBand,
+       |cand AS (SELECT DISTINCT query_id, vec_id FROM ($unions)),
+       |sc AS (
+       |  SELECT c.query_id AS src, c.vec_id AS dst,
+       |         ${cosSql("qe.embedding", "ce.embedding")} AS cos6
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+       |r AS (SELECT src, dst, cos6,
+       |        row_number() OVER (PARTITION BY src ORDER BY cos6 DESC, dst) AS rk
+       |      FROM sc),
+       |d AS (SELECT src, dst, cos6 FROM r WHERE rk <= 4)""".stripMargin
+  }
+
   /** Synthetic hot key for the skew-stress pair: 90% of lineitem rows on
    * key 0, the rest across 96 cold keys. */
   private def skewedLineitem(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -808,6 +844,52 @@ object SimilarityQueries {
               |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
               |WHERE a.src < a.dst
               |ORDER BY 1, 2""".stripMargin)),
+
+    // X36e — BANDED multi-bucket mutual kNN graph (the b×r banding idea
+    // applied to hyperplane LSH): 4 disjoint 8-plane bands, a pair is a
+    // candidate when ANY band agrees — the structural recall fix for the
+    // single-bucket scheme's all-planes-must-agree weakness. Slim
+    // id-pair candidates dedup BEFORE the cosine; per-band caps bound
+    // dense regions.
+    Q("knn_graph_banded",
+      (s, dir) => graft.ext.Similarity.knnGraphBanded(
+          TableIO.read(s, dir, "embeddings"), k = 4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""${bandedDirectedCtes(4)}
+              |SELECT a.src AS id_a, a.dst AS id_b, a.cos6
+              |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
+              |WHERE a.src < a.dst
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // X36e(b) — the banded variant under the SAME recall audit as
+    // knn_recall_audit: one row proving the banding buys its recall
+    // (single-bucket measured 3% directed recall on the fixture; the
+    // 4-band form must land far above it — the committed number is the
+    // oracle-matched row itself).
+    Q("knn_recall_banded",
+      (s, dir) => graft.ext.Similarity.knnRecallAuditBanded(
+        TableIO.read(s, dir, "embeddings"), k = 4),
+      Some(s"""${bandedDirectedCtes(4)},
+              |cd AS (SELECT src AS query_id, dst AS neighbor_id FROM d
+              |       WHERE src % 20 = 0),
+              |tp AS (
+              |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |         ${cosSql("q.embedding", "e.embedding")} AS cos6
+              |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+              |  WHERE q.vec_id % 20 = 0),
+              |tr AS (SELECT query_id, neighbor_id FROM (
+              |         SELECT query_id, neighbor_id,
+              |                row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rk
+              |         FROM tp)
+              |       WHERE rk <= 4),
+              |h AS (SELECT * FROM cd JOIN tr USING (query_id, neighbor_id)),
+              |n AS (SELECT (SELECT count(*) FROM tr) AS n_true,
+              |             (SELECT count(*) FROM cd) AS n_candidates,
+              |             (SELECT count(*) FROM h) AS n_hits)
+              |SELECT n_true, n_candidates, n_hits,
+              |       (n_hits * 1000000) // greatest(n_candidates, 1) AS precision_ppm,
+              |       (n_hits * 1000000) // greatest(n_true, 1) AS recall_ppm
+              |FROM n""".stripMargin)),
 
     // X36c — kNN-graph recall/precision audit (the X2h mirror for the
     // embedding side): deterministic query sample (vec_id % 20 = 0),

@@ -634,6 +634,22 @@ class SimilaritySpec extends SparkSpec {
     assert(full2.nonEmpty && full2.forall { case (a, b, _) => a % 2 == 1 && b % 2 == 1 })
   }
 
+  test("banded kNN candidates contain the single-bucket candidates; recall strictly helped") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    // band 0's plane group IS the single-bucket plane set (global planes
+    // 0..7), so the banded candidate set is a superset by construction
+    // and measured recall can only rise
+    val single = Similarity.knnRecallAudit(emb, k = 4).collect()(0)
+    val banded = Similarity.knnRecallAuditBanded(emb, k = 4).collect()(0)
+    assert(banded.getAs[Long]("recall_ppm") >= single.getAs[Long]("recall_ppm"))
+    assert(banded.getAs[Long]("n_candidates") >= single.getAs[Long]("n_candidates"))
+    // mutual graph face runs and is canonical
+    val edges = Similarity.knnGraphBanded(emb, k = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(edges.nonEmpty && edges.forall { case (a, b, _) => a < b })
+    assert(edges.map(e => (e._1, e._2)).distinct.size === edges.size)
+  }
+
   test("knnRecallAudit: ppm invariants on the fixture; perfect buckets audit at 10^6") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val r = Similarity.knnRecallAudit(emb, k = 4).collect()(0)
