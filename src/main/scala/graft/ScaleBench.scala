@@ -144,6 +144,21 @@ object ScaleBench {
     graft.ext.Bpe.trainFromTypesIncremental(types, 32)
   }
 
+  /** 64-dim embedding corpus shared by the kNN families: 3% of vectors
+   * collapse onto one hot direction (the bucketCap path), the rest are
+   * hash-uniform in [-1, 1]. */
+  private def knnEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        when(pmod(col("id"), lit(33)) === 0,
+            // hot cluster: same direction, tiny deterministic jitter
+            (pmod(xxhash64(i), lit(1000)) / lit(1000.0f) +
+              pmod(xxhash64(col("id") * 64 + i), lit(7)) / lit(1000.0f)).cast("float"))
+          .otherwise(
+            ((pmod(xxhash64(col("id") * 64 + i), lit(2001)) - lit(1000)) / lit(1000.0f))
+              .cast("float"))).as("embedding"))
+
   /** Chain-heavy candidate graph: blocks of 1000 sequential edges (depth
    * a propagation algorithm would need 1000 rounds for — exactly what
    * large-star/small-star's O(log n) exists to kill) plus 2% random
@@ -383,6 +398,42 @@ object ScaleBench {
         (s, n) => graft.ext.Bpe.segmentCounts(
           staged(s, "longtok", n)(longTokenDocs(s, n)), "doc_id", "text",
           longTokenMerges)),
+      // banded multi-bucket kNN under the banded plane-growth contract:
+      // per-band planes = single-bucket rule + ceil(log2(bands)), so the
+      // TOTAL candidate volume (B · N²/2^P′) matches the single-bucket
+      // budget while recall rises (any-band-agrees). Without the
+      // correction the first measurement tripled the candidate stream
+      // and the dedup/rank stages spilled ~97 GB at 500 k rows.
+      ("knn_banded", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
+          val bands = 3
+          val rule = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
+          val bandPlanes = math.min(rule + (math.log(bands.toDouble) / math.log(2)).ceil.toInt, 20)
+          graft.ext.Similarity.knnGraphBanded(emb, k = 4, bands = bands,
+            bandPlanes = bandPlanes, bucketCap = 2000L)
+        }),
+      // incremental kNN maintenance with a realistic 1% ingest batch;
+      // the stored state (base directed edges) is STAGED — the measured
+      // cost is the per-batch ingest. The op's floor is one linear
+      // corpus re-bucketing scan (production stores the bucket index as
+      // state and skips even that); the SAVINGS are in the quadratic
+      // candidate stage, which runs only over the delta's bucket
+      // footprint — a 10% delta at these bucket counts touches
+      // essentially every bucket and degenerates to rebuild cost
+      // (measured: 155 vs 108 rebuild CPU-s at 500 k), which is exactly
+      // the regime boundary the operator contract documents
+      ("knn_incremental", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
+          val planes = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
+          val base = emb.filter(pmod(col("vec_id"), lit(100)) =!= 99)
+          val delta = emb.filter(pmod(col("vec_id"), lit(100)) === 99)
+          val state = staged(s, s"knnstate_p$planes", n)(
+            graft.ext.Similarity.knnDirected(base, k = 4, planes = planes, bucketCap = 2000L))
+          graft.ext.Similarity.knnGraphIncremental(base, delta, state,
+            k = 4, planes = planes, bucketCap = 2000L)
+        }),
       // mutual k-NN graph: the per-bucket quadratic is the risk — the
       // plane count must grow with N (P = log2(N/32) here, the operator's
       // documented scaling rule) and 3% of vectors collapse onto one hot
@@ -390,16 +441,7 @@ object ScaleBench {
       // under GROWING P is the claim being measured.
       ("knn_graph", Seq(5000L, 50000L, 500000L),
         (s, n) => {
-          val emb = staged(s, "embs", n)(s.range(n).select(
-            col("id").as("vec_id"),
-            transform(sequence(lit(1), lit(64)), i =>
-              when(pmod(col("id"), lit(33)) === 0,
-                  // hot cluster: same direction, tiny deterministic jitter
-                  (pmod(xxhash64(i), lit(1000)) / lit(1000.0f) +
-                    pmod(xxhash64(col("id") * 64 + i), lit(7)) / lit(1000.0f)).cast("float"))
-                .otherwise(
-                  ((pmod(xxhash64(col("id") * 64 + i), lit(2001)) - lit(1000)) / lit(1000.0f))
-                    .cast("float"))).as("embedding")))
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
           val planes = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
           graft.ext.Similarity.knnGraphMutual(emb, k = 4, planes = planes, bucketCap = 2000L)
         }))

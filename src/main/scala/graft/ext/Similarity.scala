@@ -478,8 +478,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos6", round(
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
-    rankTopK(pairs, k)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("cos6"))
+    // native GroupTopK, not the two-phase window rank: the bounded
+    // per-partition heaps cap output at k rows per query BEFORE any
+    // exchange, so the candidate-pair stream never shuffles — same
+    // (cos6 desc, vec_id asc) ordering, identical rows
+    org.apache.spark.sql.graft.plans.GroupTopK
+      .topkPerKey(pairs.select("query_id", "vec_id", "cos6"), Seq("query_id"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
   }
 
   /**
@@ -493,40 +499,65 @@ object Similarity {
    * it shares a bucket in ANY band. Per-pair probability rises from
    * p^P to 1−(1−p^P)^B.
    *
-   * Shape: per band, a SLIM id-pair bucket self-join (no embeddings
-   * carried); the union dedups (a near-dup pair co-occurs in several
-   * bands) BEFORE the cosine is computed — embeddings re-attach via two
-   * vec_id equi-joins, so each surviving pair pays exactly one dot
-   * product. Cost is ~`bands`× the single-bucket candidate volume plus
-   * the dedup shuffle; the per-band `bucketCap` bounds dense regions
-   * exactly as before. At corpus scale bandPlanes follows the same
-   * log₂(N/32) growth rule per band.
+   * Shape: per band, an embedding-carrying bucket self-join exactly like
+   * the single-bucket path (so per-band cost ≈ the single-bucket
+   * candidate volume), cosine computed IN the band join; the union then
+   * dedups on the SLIM (query, candidate, cos6) stream — a pair
+   * co-occurring in several bands pays a duplicate 64-mul dot product
+   * (cheap) but the dedup/rank shuffles carry 24-byte rows, never
+   * embeddings. The first cut did the opposite — slim id-pairs deduped
+   * before the cosine, embeddings re-attached via two equi-joins — and
+   * shuffled the whole multi-million-pair stream twice with 256-byte
+   * embedding payloads: 14× CPU per 10× rows at ScaleBench sizes. The
+   * per-band `bucketCap` bounds dense regions exactly as before.
+   *
+   * BANDED PLANE-GROWTH CONTRACT: at corpus scale use `bandPlanes` =
+   * log₂(N/32) + ⌈log₂(bands)⌉ — the +⌈log₂ B⌉ keeps the TOTAL
+   * candidate volume (B · N²/2^P′) equal to the single-bucket budget
+   * while the any-band-agrees rule still raises recall (measured in
+   * ScaleBench: without the correction the tripled pair stream spilled
+   * ~97 GB through the dedup/rank stages at 500 k rows; with it the
+   * family is linear and spill-free).
    */
   def knnDirectedBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
       bucketCap: Long = 10000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(bands >= 1 && bands * bandPlanes <= 62,
       s"bands*bandPlanes must be in [1,62], got ${bands * bandPlanes}")
-    val slim = emb.select(col("vec_id"), col("embedding"))
-    val candIds = (0 until bands).map { b =>
-      val bb = slim.select(col("vec_id"),
-          lshBucketBand(col("embedding"), b, bandPlanes).as("bucket"))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val topk = org.apache.spark.sql.graft.plans.GroupTopK
+    // per band: bucket join → pairs → NATIVE GroupTopK (bounded heaps;
+    // the partial exec caps each partition's output at k rows per query
+    // BEFORE any exchange — the massive pair stream never shuffles).
+    // Global top-k over the deduped union of band candidates equals the
+    // merge of per-band top-k's: a band's candidates are a subset of the
+    // union's, so any globally-top-k pair is top-k in every band that
+    // produced it.
+    val perBand = (0 until bands).map { b =>
+      val bb = base.withColumn("bucket", lshBucketBand(col("embedding"), b, bandPlanes))
         .withColumn("__bsize", count(lit(1)).over(Window.partitionBy("bucket")))
         .filter(col("__bsize") <= bucketCap)
         .drop("__bsize")
-      bb.select(col("vec_id").as("query_id"), col("bucket"))
-        .join(bb.select(col("vec_id"), col("bucket")), Seq("bucket"))
+      val pairs = bb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_norm"), col("bucket"))
+        .join(bb.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
+          col("bucket")), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"))
-    }.reduce(_ union _).distinct()
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      norm(col("embedding")).as("q_norm"))
-    val c = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_norm"))
-    val pairs = candIds.join(q, "query_id").join(c, "vec_id")
-      .withColumn("cos6", round(
-        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
-    rankTopK(pairs, k)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("cos6"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosineFrom(dot(col("q_emb"), col("embedding")),
+            col("q_norm"), col("c_norm")), 6).as("cos6"))
+      topk.topkPerKey(pairs, Seq("query_id"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
+    }
+    // cross-band dedup over ≤ bands·k rows per query (a pair co-occurring
+    // in several bands carries the same cos6 — max = dedup), then the
+    // final merge rank
+    val merged = perBand.reduce(_ union _)
+      .groupBy("query_id", "vec_id").agg(max("cos6").as("cos6"))
+    topk.topkPerKey(merged, Seq("query_id"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
   }
 
   /** Banded-candidate mutual kNN graph: [[knnDirectedBanded]] +
@@ -628,8 +659,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos6", round(
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
-    val recomputed = rankTopK(pairs, k)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("cos6"))
+    // native GroupTopK (see knnDirected) — identical rows, no pair shuffle
+    val recomputed = org.apache.spark.sql.graft.plans.GroupTopK
+      .topkPerKey(pairs.select("query_id", "vec_id", "cos6"), Seq("query_id"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
     // untouched-bucket members: edge state carried over unchanged
     val preservedSrc = bb.join(broadcast(touched), Seq("bucket"), "left_anti")
       .select(col("vec_id").as("src"))

@@ -151,4 +151,51 @@ class PipelinePropertySpec extends SparkSpec {
       s"${falsePositives.size} candidate pairs between unrelated documents: " +
         falsePositives.take(5).mkString(", "))
   }
+
+  test("property: incremental kNN graph equals a full rebuild over random corpora and splits") {
+    // random embeddings + random split fraction per seed; small plane
+    // count and a cap low enough that cap interactions actually occur —
+    // the exactness claim (untouched buckets verbatim, touched buckets
+    // whole, cap flips handled) must hold on EVERY draw, not just the
+    // fixture
+    val dim = Similarity.VecDim
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 3) {
+      val n = 60 + rnd.nextInt(60)
+      val splitMod = 3 + rnd.nextInt(4)
+      val emb = (0L until n.toLong).map { i =>
+        (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      }.toDF("vec_id", "embedding")
+      val base = emb.filter($"vec_id" % splitMod =!= 0)
+      val delta = emb.filter($"vec_id" % splitMod === 0)
+      val planes = 3 + rnd.nextInt(3)
+      val cap = 8L + rnd.nextInt(12)
+      val state = Similarity.knnDirected(base, k = 3, planes = planes, bucketCap = cap)
+      val inc = Similarity.knnGraphIncremental(base, delta, state,
+          k = 3, planes = planes, bucketCap = cap)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val full = Similarity.knnGraphMutual(emb, k = 3, planes = planes, bucketCap = cap)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(inc === full, s"trial $trial (n=$n splitMod=$splitMod planes=$planes cap=$cap)")
+    }
+  }
+
+  test("property: banded kNN candidates are a superset of single-bucket candidates") {
+    // band 0's plane group IS the single-bucket plane set, so every
+    // single-bucket candidate pair must appear among banded candidates
+    // at the PAIR level (top-k can reorder; the candidate sets cannot)
+    val dim = Similarity.VecDim
+    val rnd = new scala.util.Random(777L)
+    val emb = (0L until 80L).map { i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    // k large enough that the rank stage keeps everything: directed
+    // edges ARE the candidate sets
+    val single = Similarity.knnDirected(emb, k = 200, planes = Similarity.LshPlanes)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val banded = Similarity.knnDirectedBanded(emb, k = 200, bands = 3)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(banded),
+      s"missing ${(single -- banded).size} single-bucket pairs")
+  }
 }
