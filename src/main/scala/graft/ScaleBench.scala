@@ -349,9 +349,13 @@ object ScaleBench {
       // adversarial edge set as star-CC: 1000-deep chains + hot star at
       // node 0 + shortcuts). Per-round cost must be linear in |E|; the
       // broadcast-vs-shuffle strategy flips on the node-count threshold.
+      // localMaxEdges = 0: this family measures the DISTRIBUTED rounds —
+      // the default small-graph local path (spec-pinned bit-equal) would
+      // otherwise absorb every size here
       ("pagerank", Seq(20000L, 200000L, 2000000L),
         (s, n) => graft.ext.Graph.pageRankFixed(
-          staged(s, "edges", n)(edges(s, n)), "id_a", "id_b", iters = 5)),
+          staged(s, "edges", n)(edges(s, n)), "id_a", "id_b", iters = 5,
+          localMaxEdges = 0L)),
       // content-defined chunking + corpus-wide repeat rollup: the
       // CdcSpans kernel is a per-row O(len) scan, then ONE shuffle on the
       // chunk hash; near-dup chains (every 10th doc) and the hot cluster

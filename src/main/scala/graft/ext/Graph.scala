@@ -56,9 +56,11 @@ object Graph {
    */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L, dampPct: Int = 85,
-      checkpointEvery: Int = 4, broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
+      checkpointEvery: Int = 4, broadcastMaxNodes: Long = BroadcastMaxNodes,
+      localMaxEdges: Long = LocalMaxEdges): DataFrame =
     pageRankCore(edges, srcCol, dstCol, iters, scale, dampPct, checkpointEvery,
-      seedPred = None, broadcastMaxNodes = broadcastMaxNodes)
+      seedPred = None, broadcastMaxNodes = broadcastMaxNodes,
+      localMaxEdges = localMaxEdges)
 
   /**
    * PERSONALIZED (topic-sensitive) PageRank — Haveliwala 2002: the
@@ -73,9 +75,11 @@ object Graph {
   def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
       seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       iters: Int = 5, scale: Long = 1000000000000L, dampPct: Int = 85,
-      checkpointEvery: Int = 4, broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
+      checkpointEvery: Int = 4, broadcastMaxNodes: Long = BroadcastMaxNodes,
+      localMaxEdges: Long = LocalMaxEdges): DataFrame =
     pageRankCore(edges, srcCol, dstCol, iters, scale, dampPct, checkpointEvery,
-      seedPred = Some(seedPred), broadcastMaxNodes = broadcastMaxNodes)
+      seedPred = Some(seedPred), broadcastMaxNodes = broadcastMaxNodes,
+      localMaxEdges = localMaxEdges)
 
   /**
    * Default node-count ceiling for the per-round broadcast strategy. A
@@ -89,13 +93,50 @@ object Graph {
    */
   val BroadcastMaxNodes = 1000000L
 
+  /**
+   * Edge-count ceiling for the SMALL-GRAPH LOCAL path: when the edge set
+   * fits comfortably on the driver (2 M edges ≈ 32 MB of id pairs), the
+   * whole iteration runs as an in-memory int64 loop — the same adaptive
+   * regime choice as broadcast-vs-shuffle joins. The iterative
+   * distributed form pays a ~0.6 s/round scheduling floor regardless of
+   * data volume (decomposed in SCALING.md); an in-process engine pays
+   * none, so matching it on the SAME small-graph regime requires the
+   * same execution locality. Bit-identical results: contributions are
+   * associative int64 adds (order-free), `div` is nonneg truncation in
+   * both forms — property-pinned local == distributed on random graphs.
+   * Pass 0 to disable (ScaleBench measures the distributed path
+   * explicitly); GRAFT_PR_NO_LOCAL=1 is the env escape for A/B runs.
+   */
+  val LocalMaxEdges = 2000000L
+
   private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long, dampPct: Int, checkpointEvery: Int,
       seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
-      broadcastMaxNodes: Long)
+      broadcastMaxNodes: Long, localMaxEdges: Long)
       : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in [0,100], got $dampPct")
+    if (localMaxEdges > 0 && !sys.env.get("GRAFT_PR_NO_LOCAL").contains("1")) {
+      // limit+1 probe instead of a separate count(): ONE evaluation of
+      // the (possibly expensive) edge lineage when the local path wins;
+      // an over-limit graph wastes one bounded collect and falls
+      // through. Seed flags ride the same probe (every node appears on
+      // some edge, so per-endpoint evaluation of the caller's Column
+      // predicate covers the node set — no second job).
+      val s64 = col(srcCol).cast("long")
+      val d64 = col(dstCol).cast("long")
+      val probeCols = seedPred match {
+        case None => Seq(s64, d64)
+        case Some(p) => Seq(s64, d64, p(s64), p(d64))
+      }
+      val probe = edges.select(probeCols: _*)
+        .limit(math.min(localMaxEdges + 1, Int.MaxValue.toLong - 1).toInt).collect()
+      if (probe.length <= localMaxEdges)
+        return pageRankLocal(edges.sparkSession,
+          probe.map(r => (r.getLong(0), r.getLong(1))),
+          seedFlags = seedPred.map(_ => probe.map(r => (r.getBoolean(2), r.getBoolean(3)))),
+          iters, scale, dampPct)
+    }
     val src = col(srcCol).cast("long")
     val dst = col(dstCol).cast("long")
 
@@ -185,5 +226,70 @@ object Graph {
     edgesDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
+  }
+
+  /** Small-graph in-memory iteration (see [[LocalMaxEdges]]): identical
+   * arithmetic to the distributed rounds — per-edge contribution
+   * rank div out_deg accumulated by int64 adds (associative, so the
+   * array-order accumulation equals any shuffle order), then
+   * teleport + (dampPct·acc) div 100 per node. Duplicate edge rows act
+   * as parallel edges in BOTH forms (out-degree counts instances,
+   * contributions emit per instance). `seedFlags` carries the caller's
+   * Column predicate pre-evaluated per edge endpoint (by the probe job,
+   * so Column semantics stay authoritative) — every node appears on
+   * some edge, so endpoint coverage is node coverage. */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)], seedFlags: Option[Array[(Boolean, Boolean)]],
+      iters: Int, scale: Long, dampPct: Int)
+      : DataFrame = {
+    require(edges.nonEmpty, "pageRankFixed: empty edge set")
+    val idx = new java.util.HashMap[Long, Integer]()
+    val nodeIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def ix(v: Long): Int = {
+      val g = idx.get(v)
+      if (g != null) g.intValue
+      else { idx.put(v, nodeIds.size); nodeIds += v; nodeIds.size - 1 }
+    }
+    val m = edges.length
+    val srcIdx = new Array[Int](m)
+    val dstIdx = new Array[Int](m)
+    var i = 0
+    while (i < m) { srcIdx(i) = ix(edges(i)._1); dstIdx(i) = ix(edges(i)._2); i += 1 }
+    val n = nodeIds.size
+    val outDeg = new Array[Long](n)
+    i = 0
+    while (i < m) { outDeg(srcIdx(i)) += 1L; i += 1 }
+    val isSeed: Array[Boolean] = seedFlags match {
+      case None => null
+      case Some(flags) =>
+        val arr = new Array[Boolean](n)
+        var j = 0
+        while (j < m) {
+          arr(srcIdx(j)) = flags(j)._1
+          arr(dstIdx(j)) = flags(j)._2
+          j += 1
+        }
+        arr
+    }
+    val nBase = if (isSeed == null) n.toLong else isSeed.count(identity).toLong
+    require(nBase > 0, "pageRankPersonalized: no node satisfies seedPred")
+    val init = scale / nBase
+    val teleport = (init * (100L - dampPct)) / 100L
+    var rank = Array.tabulate(n)(v => if (isSeed == null || isSeed(v)) init else 0L)
+    var it = 0
+    while (it < iters) {
+      val acc = new Array[Long](n)
+      var j = 0
+      while (j < m) {
+        acc(dstIdx(j)) += rank(srcIdx(j)) / outDeg(srcIdx(j))
+        j += 1
+      }
+      rank = Array.tabulate(n)(v =>
+        (if (isSeed == null || isSeed(v)) teleport else 0L) + (dampPct.toLong * acc(v)) / 100L)
+      it += 1
+    }
+    import spark.implicits._
+    nodeIds.toSeq.zipWithIndex
+      .map { case (v, k) => (v, rank(k)) }.toDF("node", "rank")
   }
 }

@@ -84,4 +84,30 @@ class GraphSpec extends SparkSpec {
     assert(total <= Scale && total >= Scale * 4 / 5 - 6L)
     assert(r(99L) > r(1L) && r(1L) > r(2L) && r(2L) === r(5L))
   }
+
+  test("small-graph local path is bit-identical to the distributed rounds on random graphs") {
+    // localMaxEdges = 0 forces the distributed path; default takes the
+    // local loop — both must agree to the last picorank unit on random
+    // graphs (duplicate edges, dangling nodes, self-loops, hubs) and for
+    // both the uniform and personalized faces
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(40)
+      val m = 20 + rnd.nextInt(200)
+      val es = (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val edges = es.toDF("src", "dst")
+      val local = Graph.pageRankFixed(edges, "src", "dst", iters = 4)
+        .as[(Long, Long)].collect().toMap
+      val dist = Graph.pageRankFixed(edges, "src", "dst", iters = 4, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local === dist, s"trial $trial uniform diverged")
+      val localP = Graph.pageRankPersonalized(edges, "src", "dst",
+          seedPred = node => node % 3 === 0, iters = 4)
+        .as[(Long, Long)].collect().toMap
+      val distP = Graph.pageRankPersonalized(edges, "src", "dst",
+          seedPred = node => node % 3 === 0, iters = 4, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(localP === distP, s"trial $trial personalized diverged")
+    }
+  }
 }
