@@ -246,9 +246,11 @@ object ScaleBench {
         (s, n) => Dedup.minhashPairsBanded(
           Dedup.withBandKeys(staged(s, "docs", n)(docs(s, n)), "text"),
           "doc_id", bucketCap = 50)),
+      // localMaxEdges = 0: measure the DISTRIBUTED O(log n) rounds — the
+      // default small-graph union-find path would absorb every size here
       ("dedup_clusters_star", Seq(20000L, 200000L, 2000000L),
         (s, n) => Dedup.connectedComponentsStar(
-          staged(s, "edges", n)(edges(s, n)), "id_a", "id_b")),
+          staged(s, "edges", n)(edges(s, n)), "id_a", "id_b", localMaxEdges = 0L)),
       ("fuzzy_match_nn", Seq(20000L, 200000L, 2000000L),
         (s, n) => Linkage.nearestInBlock(
           staged(s, "names", n)(names(s, n)), "rec_id", "name",

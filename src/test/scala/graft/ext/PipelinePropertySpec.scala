@@ -152,6 +152,34 @@ class PipelinePropertySpec extends SparkSpec {
         falsePositives.take(5).mkString(", "))
   }
 
+  test("property: local union-find CC equals both distributed loops on random graphs") {
+    // random multigraphs with duplicate edges, reversed duplicates, and
+    // self-loops; localMaxEdges=0 forces the distributed loops. The two
+    // variants differ ONLY on self-loop-only nodes (star drops them,
+    // propagation keeps them as singletons) — the local path must mirror
+    // each exactly.
+    val rnd = new scala.util.Random(90210L)
+    for (trial <- 1 to 3) {
+      val n = 15 + rnd.nextInt(50)
+      val m = 10 + rnd.nextInt(120)
+      val es = (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq((n.toLong + 5, n.toLong + 5)) // a guaranteed self-loop-only node
+      val pairs = es.toDF("id_a", "id_b")
+      val localStar = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val distStar = Dedup.connectedComponentsStar(pairs, "id_a", "id_b", localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(localStar === distStar, s"trial $trial star diverged")
+      val localProp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val distProp = Dedup.connectedComponents(pairs, "id_a", "id_b", localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(localProp === distProp, s"trial $trial propagation diverged")
+      // the self-loop-only node: kept by propagation, dropped by star
+      assert(localProp.exists(_._1 == n.toLong + 5) && !localStar.exists(_._1 == n.toLong + 5))
+    }
+  }
+
   test("property: incremental kNN graph equals a full rebuild over random corpora and splits") {
     // random embeddings + random split fraction per seed; small plane
     // count and a cap low enough that cap interactions actually occur —
