@@ -638,6 +638,22 @@ object Similarity {
    */
   def knnGraphIncremental(base: DataFrame, delta: DataFrame, baseDirected: DataFrame,
       k: Int, planes: Int = LshPlanes, bucketCap: Long = 10000L): DataFrame = {
+    val directed = knnDirectedIncremental(base, delta, baseDirected, k, planes, bucketCap)
+    directed.as("a")
+      .join(directed.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+  }
+
+  /** The updated DIRECTED edge state after ingesting `delta` — what a
+   * continuous-ingest loop carries batch to batch (fold: state′ =
+   * knnDirectedIncremental(corpus, batch, state); corpus′ = corpus ∪
+   * batch). Spec-pinned equal to [[knnDirected]] over the union after
+   * every batch of a multi-batch fold. [[knnGraphIncremental]] is this
+   * plus the mutuality join. */
+  def knnDirectedIncremental(base: DataFrame, delta: DataFrame, baseDirected: DataFrame,
+      k: Int, planes: Int = LshPlanes, bucketCap: Long = 10000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def bucketed(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
@@ -667,14 +683,9 @@ object Similarity {
     // untouched-bucket members: edge state carried over unchanged
     val preservedSrc = bb.join(broadcast(touched), Seq("bucket"), "left_anti")
       .select(col("vec_id").as("src"))
-    val directed = baseDirected.join(preservedSrc, "src")
+    baseDirected.join(preservedSrc, "src")
       .select(col("src"), col("dst"), col("cos6"))
       .union(recomputed)
-    directed.as("a")
-      .join(directed.as("b"),
-        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
-      .filter(col("a.src") < col("a.dst"))
-      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
   }
 
   /**

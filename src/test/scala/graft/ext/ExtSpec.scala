@@ -634,6 +634,29 @@ class SimilaritySpec extends SparkSpec {
     assert(full2.nonEmpty && full2.forall { case (a, b, _) => a % 2 == 1 && b % 2 == 1 })
   }
 
+  test("knnDirectedIncremental folds a multi-batch ingest to the exact rebuild state") {
+    // the continuous-ingest loop a production pipeline runs: corpus and
+    // directed-edge state fold batch by batch; after EVERY batch the
+    // carried state must equal a from-scratch knnDirected over the
+    // corpus so far (state drift would compound silently otherwise).
+    // The state is localCheckpointed per batch exactly as a foreachBatch
+    // sink would persist it — each batch's plan starts from materialized
+    // state, not the whole fold's lineage.
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val batches = (0 until 4).map(b => emb.filter($"vec_id" % 4 === b))
+    var corpus = batches.head
+    var state = Similarity.knnDirected(corpus, k = 3).localCheckpoint()
+    for ((batch, i) <- batches.tail.zipWithIndex) {
+      state = Similarity.knnDirectedIncremental(corpus, batch, state, k = 3)
+        .localCheckpoint()
+      corpus = corpus.union(batch)
+      val rebuilt = Similarity.knnDirected(corpus, k = 3)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val carried = state.as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(carried === rebuilt, s"state drifted after batch ${i + 1}")
+    }
+  }
+
   test("banded kNN candidates contain the single-bucket candidates; recall strictly helped") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     // band 0's plane group IS the single-bucket plane set (global planes
