@@ -932,6 +932,62 @@ object SimilarityQueries {
               |SELECT n_true, n_candidates, n_hits,
               |       (n_hits * 1000000) // greatest(n_candidates, 1) AS precision_ppm,
               |       (n_hits * 1000000) // greatest(n_true, 1) AS recall_ppm
-              |FROM n""".stripMargin))
+              |FROM n""".stripMargin)),
+
+    // X37 — top principal direction of the embedding second-moment
+    // matrix by int64 fixed-point power iteration (graft.ext.Linalg):
+    // the corpus-sized work is ONE SecondMomentAgg pass (a 32 KiB
+    // partial buffer per partition — no intermediate rows); the 5-round
+    // power loop runs driver-side over the collected 64×64 matrix.
+    // Oracle = the same loop unrolled into chained CTEs by the Scala
+    // generator below — the PageRank exactness discipline applied to
+    // linear algebra (float power iteration is partition-order
+    // sensitive from the first sum; the µ-unit integer form is not).
+    Q("embedding_pca_power",
+      (s, dir) => graft.ext.Linalg.pcaTopDirection(
+          TableIO.read(s, dir, "embeddings"), "embedding")
+        .select(col("dim").cast("long").as("dim"), col("v_fixed"))
+        .orderBy("dim"),
+      Some(s"""${pcaCteChain(rounds = 5)}
+              |SELECT dim, v AS v_fixed FROM v5 ORDER BY dim""".stripMargin)),
+
+    // X37b — projection face: every vector's integer coordinate along
+    // the trained direction (µ·scale units, shuffle-free per-row dot
+    // against the inlined direction literal) — the cheap embedding-
+    // space outlier / stratification key.
+    Q("embedding_pca_project",
+      (s, dir) => graft.ext.Linalg.pcaProjectTop(
+          TableIO.read(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some(s"""${pcaCteChain(rounds = 5)}
+              |SELECT el.vec_id, CAST(sum(el.x * v5.v) AS BIGINT) AS proj_fixed
+              |FROM el JOIN v5 ON el.i = v5.dim
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** DuckDB mirror of Linalg.pcaTopDirection: quantize → exact integer
+   * second-moment → truncating average → `rounds` unrolled
+   * matrix-vector/renormalize rounds (divide-by-quotient normalization —
+   * see Linalg.powerLoop's overflow note). `//` in DuckDB and `div`/
+   * Java `/` in the engine both truncate toward zero, so the chain is
+   * bit-identical to the driver-side loop. */
+  private def pcaCteChain(rounds: Int, scale: Long = 10000L): String = {
+    val iters = (1 to rounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""w$r AS (SELECT c.i AS dim, CAST(sum(c.c * v.v) AS BIGINT) AS w
+         |        FROM cavg c JOIN $prev v ON c.j = v.dim GROUP BY 1),
+         |v$r AS (SELECT dim,
+         |        CAST(w // greatest(1, (SELECT max(abs(w)) FROM w$r) // $scale) AS BIGINT) AS v
+         |        FROM w$r)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |el AS (SELECT vec_id, unnest(range(0, len(xq))) AS i, unnest(xq) AS x FROM q),
+       |cov AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS c
+       |        FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
+       |cavg AS (SELECT i, j, c // (SELECT count(*) FROM q) AS c FROM cov),
+       |v0 AS (SELECT DISTINCT i AS dim, CAST($scale AS BIGINT) AS v FROM cavg),
+       |$iters""".stripMargin
+  }
 }
