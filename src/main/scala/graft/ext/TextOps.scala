@@ -549,4 +549,82 @@ object TextOps {
     text.substr(pos.cast("int"), lit(1).cast("int"))
 
   private def pow131(k: Int): Long = Seq.fill(k)(131L).product
+
+  // ---------------------------------------------------------------------
+  // X38 — BM25 lexical retrieval (Robertson & Spärck Jones; the Okapi
+  // tf-saturation form with k1 = 1.2, b = 0.75), made cross-engine exact:
+  // the transcendental idf log₂((N)/(df)) becomes the INTEGER binary
+  // digit-count floor bitlen(N) − bitlen(df) (the bigramSurprisal
+  // device), and the tf-saturation ratio — rational in (tf, dl, avgdl)
+  // for rational k1, b — is evaluated as one integer division in
+  // micro-units. Both engines compute the identical int64 score.
+  // ---------------------------------------------------------------------
+
+  /**
+   * "More-like-this" BM25: each document with id < `nQueries` is a
+   * query (its distinct term set); every other document is scored by
+   * Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), and
+   * the top `k` per query survive. Output: (query_id, rank, doc_id,
+   * score_fixed) with score_fixed in µ-units.
+   *
+   * Terms are the engine's 3-gram shingle HASHES ([[Dedup.withShingleHashes]]),
+   * not raw unigrams: int64 terms mean text never crosses the
+   * inverted-index shuffle, and shingles stay discriminative on
+   * small-vocabulary corpora where every unigram is a stopword (the
+   * fixture's 31-word vocabulary puts every unigram in ~80 % of
+   * documents — unigram BM25 there is all idf≈0 ties). Documents
+   * shorter than 3 tokens have no shingles and drop out of both corpus
+   * statistics and scoring, in both engines.
+   *
+   * Integer form (exact in both engines; A_c = ⌊100·Σdl/N⌋ is avgdl in
+   * hundredths, idf = bitlen(N) − bitlen(df) ≥ 0):
+   *   contrib_µ = (idf · 22·tf·A_c · 10⁶) div (10·A_c·tf + 3·A_c + 900·dl)
+   * — numerator/denominator are the BM25 ratio scaled by 10·A_c (k1+1 =
+   * 11/5, k1·(1−b) = 3/10, k1·b = 9/10). Overflow: safe while
+   * idf·22·tf·A_c·10⁶ < 2⁶³, i.e. tf·avgdl ≲ 6·10⁹ — any real document
+   * family (a 10⁵-token doc against a 10⁴-token average is 10⁹).
+   *
+   * Scale posture: the postings join is the inverted-index shuffle,
+   * token-keyed — and token frequencies are Zipfian, so the operator
+   * takes `maxDf` (a document-frequency ceiling) exactly where
+   * production BM25 drops stopwords: a term in more than maxDf docs
+   * carries idf ≈ 0 relevance but O(maxDf) posting rows, so the ceiling
+   * bounds every posting list BEFORE the query join (same device as
+   * sparseCosinePairs' maxTermDf). The query side is broadcast (query
+   * term sets are tiny by construction); final ranking goes through the
+   * native GroupTopK — bounded per-partition heaps, so the candidate
+   * stream never shuffles unranked.
+   */
+  def bm25MoreLikeThis(df: DataFrame, idCol: String, textCol: String,
+      nQueries: Int = 5, k: Int = 10, maxDf: Long = 20L): DataFrame = {
+    val terms = graft.ext.Dedup.withShingleHashes(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), explode(col(graft.ext.Dedup.ShinglesCol)).as("token"))
+    val tf = terms.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // one tiny stat row: corpus doc count and the avgdl hundredths
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+      .select(col("n_docs"), expr("(n_tok * 100) div n_docs").as("a_c"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val queries = tf.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col("token"))
+    val cand = tf.join(dfreq, "token")
+      .join(broadcast(queries), "token")
+      .filter(col(idCol) =!= col("query_id"))
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
+      .withColumn("contrib",
+        expr("(idf * 22 * tf * a_c * 1000000) div (10 * a_c * tf + 3 * a_c + 900 * dl)"))
+    val scored = cand.groupBy(col("query_id"), col(idCol).as("doc_id"))
+      .agg(sum("contrib").as("score_fixed"))
+    org.apache.spark.sql.graft.plans.GroupTopK
+      .topkPerKey(scored, Seq("query_id"),
+        Seq(col("score_fixed").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score_fixed").desc, col("doc_id").asc)))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score_fixed"))
+  }
 }

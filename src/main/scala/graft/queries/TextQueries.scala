@@ -624,6 +624,43 @@ object TextQueries {
         graft.ext.Bpe.segmentCounts(docs, "doc_id", "text", merges)
           .orderBy("doc_id")
       },
-      None)
+      None),
+
+    // X38 — BM25 more-like-this retrieval (Okapi k1=1.2, b=0.75) in
+    // all-integer µ-units: digit-count idf (the bigramSurprisal device)
+    // × one-integer-division tf saturation, df-ceiling postings (the
+    // Zipf stopword guard), broadcast query sets, native-GroupTopK
+    // ranking. Both engines compute the identical int64 score.
+    Q("bm25_topk",
+      (s, dir) => TextOps.bm25MoreLikeThis(
+          TableIO.read(s, dir, "documents"), "doc_id", "text",
+          nQueries = 5, k = 10, maxDf = 20L)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH terms AS (
+             |  SELECT doc_id, unnest(${OracleSql.shingles}) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |              (sum(dl) * 100) // count(*) AS a_c FROM dl),
+             |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1
+             |          HAVING count(*) <= 20),
+             |q AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id < 5),
+             |cand AS (
+             |  SELECT q.query_id, t.doc_id,
+             |    CAST((CAST(length(bin(st.n_docs)) - length(bin(d.df)) AS BIGINT)
+             |          * 22 * t.tf * st.a_c * 1000000)
+             |      // (10 * st.a_c * t.tf + 3 * st.a_c + 900 * dl.dl) AS BIGINT) AS contrib
+             |  FROM tf t JOIN dfreq d USING (token) JOIN q USING (token)
+             |  JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+             |  WHERE t.doc_id <> q.query_id),
+             |sc AS (SELECT query_id, doc_id,
+             |       CAST(sum(contrib) AS BIGINT) AS score_fixed FROM cand GROUP BY 1, 2)
+             |SELECT query_id,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |       ORDER BY score_fixed DESC, doc_id) AS BIGINT) AS rank,
+             |  doc_id, score_fixed
+             |FROM sc
+             |QUALIFY rank <= 10
+             |ORDER BY query_id, rank""".stripMargin))
   )
 }
