@@ -404,6 +404,27 @@ object ScaleBench {
         (s, n) => graft.ext.Bpe.segmentCounts(
           staged(s, "longtok", n)(longTokenDocs(s, n)), "doc_id", "text",
           longTokenMerges)),
+      // BM25 more-like-this over the hot-cluster corpus: every 97th doc
+      // shares doc 0's text, so each of its shingles reaches df ≈ n/97 —
+      // 250× the maxDf=20 ceiling at the top size. The ceiling must drop
+      // those posting lists BEFORE the query join (the Zipf stopword
+      // guard; without it the hot postings × query-term product is the
+      // quadratic), while the near-dup chains supply the df 2-3 terms
+      // that actually score. Linear postings volume under Zipfian df is
+      // the claim measured.
+      ("bm25", Seq(5000L, 50000L, 500000L),
+        (s, n) => TextOps.bm25MoreLikeThis(
+          staged(s, "docs", n)(docs(s, n)), "doc_id", "text",
+          nQueries = 8, k = 10, maxDf = 20L)),
+      // fixed-point PCA end-to-end (second-moment pass + driver-side
+      // power loop + projection pass): two linear scans of the corpus;
+      // the aggregation shuffle must carry ONE (1+d²)-long buffer per
+      // partition REGARDLESS of rows — flat shuffle bytes alongside
+      // linear CPU is the claim; the hot cluster (every 33rd vector on
+      // one direction) makes the recovered top direction real.
+      ("pca_project", Seq(20000L, 200000L, 2000000L),
+        (s, n) => graft.ext.Linalg.pcaProjectTop(
+          staged(s, "embs", n)(knnEmbeddings(s, n)), "vec_id", "embedding")),
       // banded multi-bucket kNN under the banded plane-growth contract:
       // per-band planes = single-bucket rule + ceil(log2(bands)), so the
       // TOTAL candidate volume (B · N²/2^P′) matches the single-bucket

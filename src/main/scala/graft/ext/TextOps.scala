@@ -568,8 +568,8 @@ object TextOps {
    * score_fixed) with score_fixed in µ-units.
    *
    * Terms are the engine's 3-gram shingle HASHES ([[Dedup.withShingleHashes]]),
-   * not raw unigrams: int64 terms mean text never crosses the
-   * inverted-index shuffle, and shingles stay discriminative on
+   * not raw unigrams: int64 terms keep posting rows slim (text never
+   * leaves its scan), and shingles stay discriminative on
    * small-vocabulary corpora where every unigram is a stopword (the
    * fixture's 31-word vocabulary puts every unigram in ~80 % of
    * documents — unigram BM25 there is all idf≈0 ties). Documents
@@ -584,34 +584,51 @@ object TextOps {
    * idf·22·tf·A_c·10⁶ < 2⁶³, i.e. tf·avgdl ≲ 6·10⁹ — any real document
    * family (a 10⁵-token doc against a 10⁴-token average is 10⁹).
    *
-   * Scale posture: the postings join is the inverted-index shuffle,
-   * token-keyed — and token frequencies are Zipfian, so the operator
-   * takes `maxDf` (a document-frequency ceiling) exactly where
-   * production BM25 drops stopwords: a term in more than maxDf docs
-   * carries idf ≈ 0 relevance but O(maxDf) posting rows, so the ceiling
-   * bounds every posting list BEFORE the query join (same device as
-   * sparseCosinePairs' maxTermDf). The query side is broadcast (query
-   * term sets are tiny by construction); final ranking goes through the
-   * native GroupTopK — bounded per-partition heaps, so the candidate
-   * stream never shuffles unranked.
+   * Scale posture — ZERO corpus-sized shuffles. Every (doc, term) tf is
+   * computed INSIDE the row that already holds all the doc's shingles
+   * (the `HashCounts` kernel: one O(k log k) sort+run-length pass per
+   * doc — the O(k²) HOF form is a straggler on long documents), so the
+   * classic inverted-index groupBy exchange never exists; dl rides the
+   * same row as `size(shingles)`. The per-doc frame is staged once
+   * (localCheckpoint — three consumers, and Spark does not reuse the
+   * scan across them), then: corpus stats are one map-side-combined
+   * aggregate; the posting stream is restricted to QUERY terms by a
+   * broadcast semi-join before anything wide (only t ∈ q ∩ d can score,
+   * so df needs counting only for query terms — over all their postings,
+   * which the semi-join keeps); df comes from a map-side-combined
+   * groupBy over that restricted stream (≤ nQueries·|q| distinct keys);
+   * and a Zipfian-hot query term (df ≈ O(N)) costs one linear
+   * scan-and-drop — the `maxDf` ceiling (production's stopword drop,
+   * sparseCosinePairs' device) removes it in the broadcast df join, so
+   * surviving candidates are ≤ nQueries·|q|·maxDf rows INDEPENDENT of
+   * corpus size. Ranking goes through the native GroupTopK — bounded
+   * per-partition heaps, candidates never shuffle unranked. Measured in
+   * the `bm25` ScaleBench family (hot-cluster corpus, 250× maxDf terms).
    */
   def bm25MoreLikeThis(df: DataFrame, idCol: String, textCol: String,
       nQueries: Int = 5, k: Int = 10, maxDf: Long = 20L): DataFrame = {
-    val terms = graft.ext.Dedup.withShingleHashes(df.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), explode(col(graft.ext.Dedup.ShinglesCol)).as("token"))
-    val tf = terms.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val K = org.apache.spark.sql.graft.SignatureKernels
+    val sh = col(graft.ext.Dedup.ShinglesCol)
+    // per-doc inverted-index rows, built row-locally: (id, dl, [(h, c)])
+    val docTf = graft.ext.Dedup.withShingleHashes(df.select(col(idCol), col(textCol)), textCol)
+      .filter(size(sh) > 0)
+      .select(col(idCol), size(sh).cast("long").as("dl"), K.hashCounts(sh).as("tfs"))
+      .localCheckpoint()
     // one tiny stat row: corpus doc count and the avgdl hundredths
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+    val stats = docTf.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
       .select(col("n_docs"), expr("(n_tok * 100) div n_docs").as("a_c"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    val tf = docTf.select(col(idCol), col("dl"), explode(col("tfs")).as("tc"))
+      .select(col(idCol), col("dl"), col("tc.h").as("token"), col("tc.c").as("tf"))
     val queries = tf.filter(col(idCol) < nQueries)
       .select(col(idCol).as("query_id"), col("token"))
-    val cand = tf.join(dfreq, "token")
+    val qtok = queries.select("token").distinct()
+    // all postings of query terms — and nothing else crosses this point
+    val posting = tf.join(broadcast(qtok), "token")
+    val dfreq = posting.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val cand = posting.join(broadcast(dfreq), "token")
       .join(broadcast(queries), "token")
       .filter(col(idCol) =!= col("query_id"))
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("idf", (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
       .withColumn("contrib",

@@ -422,6 +422,61 @@ object BigramPairKernel {
 }
 
 /**
+ * Distinct-hash run-length counts over an array<bigint>: the per-ROW
+ * inverted-index build. Output is (h, c) structs sorted by h ascending —
+ * a deterministic pure function of the multiset, independent of input
+ * order. One sort + one linear pass (O(k log k)); the HOF formulation
+ * `transform(array_distinct(sh), t -> struct(t, size(filter(sh, x ->
+ * x = t))))` is O(k²) per row — a straggler on long documents (a
+ * 20 k-token doc is 4·10⁸ comparisons), which is why the kernel exists.
+ * Used by BM25 (X38): every per-(doc, term) tf is computed INSIDE the
+ * row that already holds all the doc's shingles, so the inverted index
+ * needs no corpus-wide groupBy exchange at all.
+ */
+case class HashCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(HashCountKernel.CountType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hash_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    HashCountKernel.counts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val kernel = "org.apache.spark.sql.graft.HashCountKernel"
+      s"${ev.value} = $kernel.counts($x);\n"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashCountKernel {
+  val CountType: StructType = StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("c", LongType, nullable = false)))
+
+  def counts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 16))
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j) == a(i)) j += 1
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a(i), (j - i).toLong))
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/**
  * Fixed-stride chunk rolling hashes over an array<bigint> of token
  * hashes: chunk c (c = 0..n/size-1) folds its `size` token hashes
  * through acc = (acc·131 + h) mod p from acc = 0; arrays shorter than
@@ -761,6 +816,9 @@ object SignatureKernels {
 
   def bigramPairs(tokenHashes: Column, p: Long): Column =
     ExpressionUtils.column(BigramPairs(ExpressionUtils.expression(tokenHashes), p))
+
+  def hashCounts(hashes: Column): Column =
+    ExpressionUtils.column(HashCounts(ExpressionUtils.expression(hashes)))
 
   def chunkHashes(tokenHashes: Column, chunkSize: Int, p: Long): Column =
     ExpressionUtils.column(ChunkHashes(ExpressionUtils.expression(tokenHashes), chunkSize, p))

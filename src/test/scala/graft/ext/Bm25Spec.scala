@@ -81,6 +81,23 @@ class Bm25Spec extends SparkSpec {
     assert(run(maxDf = 1L).isEmpty)
   }
 
+  test("HashCounts kernel is bit-identical to the HOF formulation") {
+    // adversarial arrays: empty, singleton, all-equal, negative hashes,
+    // unsorted input with interleaved repeats, plus real corpus shingles
+    val arrays = Seq(
+      Seq.empty[Long], Seq(7L), Seq(5L, 5L, 5L), Seq(-3L, 9L, -3L, 0L, 9L, -3L),
+      Seq(2L, 1L, 2L, 1L, 3L)).toDF("sh") union
+      Dedup.withShingleHashes(docs, "text").select(col(Dedup.ShinglesCol).as("sh"))
+    val hof = expr(
+      "transform(array_sort(array_distinct(sh)), t -> struct(t AS h, CAST(size(filter(sh, x -> x = t)) AS BIGINT) AS c))")
+    val diff = arrays
+      .withColumn("fast", org.apache.spark.sql.graft.SignatureKernels.hashCounts(col("sh")))
+      .withColumn("ref", hof)
+      .filter(!(col("fast") <=> col("ref")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("plan: broadcast query side and native TopKPerKey, no full-stream window") {
     val plan = TextOps.bm25MoreLikeThis(docs, "doc_id", "text", 1, 10, 20L)
       .queryExecution.executedPlan.toString
