@@ -416,6 +416,19 @@ object ScaleBench {
         (s, n) => TextOps.bm25MoreLikeThis(
           staged(s, "docs", n)(docs(s, n)), "doc_id", "text",
           nQueries = 8, k = 10, maxDf = 20L)),
+      // Naive Bayes train + classify end-to-end over the 12-label,
+      // 50 k-vocabulary corpus: training's groupBy(label, h) output is
+      // VOCABULARY-bounded (600 k rows at every corpus size — the
+      // map-side combine claim), the pruned model (12 k rows) broadcasts,
+      // and classification shuffles only (doc, class)-collapsed rows
+      // keyed by doc_id — a Zipfian-hot token is never a shuffle key.
+      ("nb_classify", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val d = staged(s, "docs", n)(docs(s, n))
+          graft.ext.NaiveBayes.classify(
+            d, graft.ext.NaiveBayes.train(d, "doc_id", "text", "lang"),
+            "doc_id", "text")
+        }),
       // fixed-point PCA end-to-end (second-moment pass + driver-side
       // power loop + projection pass): two linear scans of the corpus;
       // the aggregation shuffle must carry ONE (1+d²)-long buffer per

@@ -661,6 +661,73 @@ object TextQueries {
              |  doc_id, score_fixed
              |FROM sc
              |QUALIFY rank <= 10
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // X39 — integer-exact multinomial Naive Bayes (the learned
+    // language/quality classifier stage): trained on the doc_id%5!=0
+    // split, pruned to 20 features/class (count-desc, hash-asc — the
+    // native GroupTopK), digit-count surprisal scoring. Both engines
+    // compute the identical model counts and identical predictions.
+    Q("nb_train_model",
+      (s, dir) => graft.ext.NaiveBayes.train(
+          TableIO.read(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", "lang", vocabPerClass = 20)
+        .feat.orderBy(col("label"), col("cnt").desc, col("h")),
+      Some(s"""${nbCtes}
+             |SELECT label, h, cnt FROM feat ORDER BY label, cnt DESC, h""".stripMargin)),
+
+    Q("nb_classify_confusion",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val test = docs.filter(col("doc_id") % 5 === 0)
+        val m = graft.ext.NaiveBayes.train(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", "lang", vocabPerClass = 20)
+        graft.ext.NaiveBayes.classify(test, m, "doc_id", "text")
+          .join(test.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+          .groupBy("actual", "predicted").agg(count(lit(1)).as("n_docs"))
+          .orderBy("actual", "predicted")
+      },
+      Some(s"""${nbCtes}
+             |, voc AS (SELECT count(DISTINCT h) AS v FROM cnt),
+             |cls AS (SELECT lang AS label, count(*) AS n_docs,
+             |               CAST(sum(dl) + (SELECT v FROM voc) AS BIGINT) AS t_c
+             |        FROM dlt WHERE doc_id % 5 <> 0 GROUP BY 1),
+             |corp AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cls),
+             |hits AS (SELECT t.doc_id, f.label,
+             |                CAST(sum(t.tf * (length(bin(f.cnt + 1)) - 1)) AS BIGINT) AS hit_sum
+             |         FROM tf t JOIN feat f USING (h)
+             |         WHERE t.doc_id % 5 = 0 GROUP BY 1, 2),
+             |grid AS (SELECT d.doc_id, d.lang AS actual, c.label,
+             |                CAST((length(bin(corp.n_total)) - length(bin(c.n_docs)))
+             |                  + d.dl * (length(bin(c.t_c)) - 1)
+             |                  - coalesce(h.hit_sum, 0) AS BIGINT) AS surp
+             |         FROM dlt d CROSS JOIN cls c CROSS JOIN corp
+             |         LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = c.label
+             |         WHERE d.doc_id % 5 = 0),
+             |pred AS (SELECT doc_id, actual, label AS predicted,
+             |                row_number() OVER (PARTITION BY doc_id
+             |                  ORDER BY surp, label) AS rk
+             |         FROM grid)
+             |SELECT actual, predicted, count(*) AS n_docs FROM pred WHERE rk = 1
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
+
+  /** Shared NB oracle prelude: token-hash tf stream, doc lengths, the
+   * train-split class-conditional counts, and the pruned model (mirror
+   * of NaiveBayes.train at vocabPerClass = 20). */
+  private lazy val nbCtes: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT doc_id, lang, CAST(${hSql("t")} AS BIGINT) AS h,
+       |              CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY 1, 2, 3),
+       |dlt AS (SELECT doc_id, lang,
+       |               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |cnt AS (SELECT lang AS label, h, CAST(sum(tf) AS BIGINT) AS cnt
+       |        FROM tf WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+       |feat AS (SELECT label, h, cnt FROM (
+       |           SELECT label, h, cnt,
+       |                  row_number() OVER (PARTITION BY label
+       |                    ORDER BY cnt DESC, h) AS rk
+       |           FROM cnt) WHERE rk <= 20)""".stripMargin
 }
