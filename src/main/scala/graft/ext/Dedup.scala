@@ -602,6 +602,39 @@ object Dedup {
         col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /**
+   * X40 — eval-contamination (split-leakage) audit: verified near-dup
+   * pairs that CROSS a deterministic train/eval split. Benchmark
+   * contamination is near-duplication across the split boundary (an
+   * eval doc whose near-copy sits in training data scores as memorized
+   * — Lee et al. 2021 §6.2, the GPT-3/PaLM eval-decontamination step),
+   * so the audit is exactly [[verifiedNearDupPairs]] (banded-LSH recall,
+   * exact-Jaccard precision) composed with the repo's standard
+   * deterministic ppm draw (`((id mod 2³¹)·2654435761) mod 10⁶ <
+   * evalPpm` — a pure function of the id, so the split predicate is a
+   * shuffle-free map over the pair stream, never a join). Output: one
+   * row per contaminated pair, oriented (eval_id, train_id), with the
+   * LSH band votes and the exact overlap evidence.
+   *
+   * Scale posture inherits X2/X2e: candidates only ever come from
+   * capped LSH buckets (never all-pairs), the exact intersection
+   * touches candidate pairs only, and the split filter drops ~2·p·(1−p)
+   * of pairs before output. Production decontamination inverts this
+   * list into a drop-set join against the training split.
+   */
+  def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
+      evalPpm: Long = 100000L, minJaccard: Double = 0.5,
+      bucketCap: Int = 50): DataFrame = {
+    def isEval(c: Column): Column =
+      pmod(pmod(c.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(1000000L)) < lit(evalPpm)
+    verifiedNearDupPairs(df, idCol, textCol, minJaccard, bucketCap)
+      .filter(isEval(col("id_a")) =!= isEval(col("id_b")))
+      .select(
+        when(isEval(col("id_a")), col("id_a")).otherwise(col("id_b")).as("eval_id"),
+        when(isEval(col("id_a")), col("id_b")).otherwise(col("id_a")).as("train_id"),
+        col("n_bands"), col("n_common"), col("jaccard"))
+  }
+
   /** Internal staging column for per-row fixed-stride chunk hashes. */
   val ChunksCol = "__chunks"
 

@@ -453,6 +453,51 @@ object DedupQueries {
               |WHERE greatest(containment_a, containment_b) >= 0.8
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // X40 — eval-contamination audit: verified near-dup pairs CROSSING
+    // the deterministic 20%-eval ppm split (Lee et al. 2021 §6.2 —
+    // an eval doc near-duplicated in training data is memorization, not
+    // generalization). Split membership is a pure function of the id
+    // (the repo's Knuth-hash ppm draw), so the filter is a map over the
+    // verified pair stream; output is oriented (eval_id, train_id).
+    Q("split_leakage_audit",
+      (s, dir) => Dedup.splitLeakageAudit(
+          TableIO.read(s, dir, "documents"), "doc_id", "text",
+          evalPpm = 200000L, minJaccard = 0.5, bucketCap = 50)
+        .orderBy("eval_id", "train_id"),
+      Some(s"""WITH b AS (
+              |  ${(0 until Dedup.LshBands)
+                    .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM documents")
+                    .mkString("\n  UNION ALL\n  ")}),
+              |sized AS (
+              |  SELECT doc_id, band, bkey,
+              |         count(*) OVER (PARTITION BY band, bkey) AS bsize
+              |  FROM b),
+              |capped AS (SELECT * FROM sized WHERE bsize <= 50),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+              |  FROM capped a JOIN capped b
+              |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents),
+              |v AS (
+              |  SELECT id_a, id_b, n_bands,
+              |         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+              |         CAST(len(sa.sh) AS BIGINT) AS n_a, CAST(len(sb.sh) AS BIGINT) AS n_b
+              |  FROM p JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+              |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              |          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+              |e AS (
+              |  SELECT *,
+              |    (((id_a % 2147483648) * 2654435761) % 1000000 < 200000) AS ea,
+              |    (((id_b % 2147483648) * 2654435761) % 1000000 < 200000) AS eb
+              |  FROM v)
+              |SELECT CASE WHEN ea THEN id_a ELSE id_b END AS eval_id,
+              |       CASE WHEN ea THEN id_b ELSE id_a END AS train_id,
+              |       n_bands, n_common,
+              |       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+              |FROM e WHERE ea <> eb
+              |ORDER BY eval_id, train_id""".stripMargin)),
+
     // X2f — span-level boilerplate accounting: 8-token chunk hashes, a
     // global df per chunk, per-doc boilerplate fraction (the block-level
     // form of exact-substring dedup, Lee et al. 2021).
