@@ -385,6 +385,20 @@ object ScaleBench {
       ("bigram_surprisal_zipf", Seq(5000L, 50000L, 500000L),
         (s, n) => graft.ext.TextOps.bigramSurprisal(
           staged(s, "zipfdocs", n)(zipfDocs(s, n)), "doc_id", "text")),
+      // stupid-backoff trigram LM on the Zipfian corpus (one bigram at
+      // ~1.6 % of all instances, hot token at 12.5 %): train counts on
+      // 80 %, score the held-out 20 % — five SHUFFLE_HASH joins against
+      // map-side-combined count tables, the X4h skew discipline at
+      // trigram cardinality (distinct trigrams grow ~linearly with the
+      // corpus, so the count tables are the large side here).
+      ("trigram_backoff_zipf", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val d = staged(s, "zipfdocs", n)(zipfDocs(s, n))
+          TextOps.trigramBackoffSurprisal(
+            d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+            d.filter(pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id", "text")
+        }),
       // gopherRules over pathological docs (20k-word monsters, empties,
       // punctuation-only): a shuffle-free scan whose per-row work skews
       // 1000× — cost must track total BYTES, heap must stay flat

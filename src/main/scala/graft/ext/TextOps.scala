@@ -550,6 +550,90 @@ object TextOps {
 
   private def pow131(k: Int): Long = Seq.fill(k)(131L).product
 
+  /**
+   * X4j — trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large
+   * Language Models in Machine Translation" — the backoff scheme
+   * designed for MapReduce-scale counts: no discounting state, just
+   * relative frequencies with a constant backoff factor α). Counts are
+   * trained on `train` and score every ≥3-token document of `score` —
+   * the held-out novelty/perplexity profile a curation pipeline uses
+   * (CCNet's LM filter stage), with per-level backoff counts as the
+   * audit signal (how much of a doc is three-gram-predictable vs novel).
+   *
+   * Integer-exact cross-engine form: −log₂ relative frequencies become
+   * binary digit-count differences (the X4h device), and α = 1/2 — a
+   * power of two — makes each backoff level cost EXACTLY one extra bit:
+   *
+   *   tri seen:      surp = bitlen(cnt(c2)) − bitlen(cnt(tri))
+   *   else big seen: surp = 1 + bitlen(cnt(c1)) − bitlen(cnt(big))
+   *   else:          surp = 2 + bitlen(N) − bitlen(cnt(w) + 1)
+   *
+   * (the unigram floor is Laplace add-one so out-of-vocabulary tokens
+   * stay finite; a seen trigram implies its context bigram is seen and
+   * a seen bigram implies its first token is seen, so the taken branch
+   * never reads a null count). Σ over a doc's positions, with
+   * tri/bigram/unigram level tallies.
+   *
+   * Shape (the X4h discipline): the train hash arrays are staged once
+   * (localCheckpoint — four count consumers); trigram counts come from
+   * the EXISTING ShingleHashes3 stream and bigram counts from
+   * BigramPairs' bh (the kernel formulas are shared by construction —
+   * see [[org.apache.spark.sql.graft.TrigramTuples]]); all three count
+   * tables are map-side-combined groupBys; the scorer's five per-
+   * position keys come from ONE TrigramTuples kernel pass and join the
+   * count tables SHUFFLE_HASH (a sort-merge would re-sort the full
+   * instance stream per join; hash builds cost neither sort and stay
+   * AQE-skew-splittable on Zipfian-hot n-grams).
+   */
+  def trigramBackoffSurprisal(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val K = org.apache.spark.sql.graft.SignatureKernels
+    val P = graft.ext.Dedup.P
+    def hashed(d: DataFrame) =
+      d.select(col(idCol), K.tokenHashes(tokens(col(textCol)), P).as("th"))
+    val tr = hashed(train).localCheckpoint()
+    val tc = tr.select(explode(K.shingleHashes3(col("th"), P)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("tri_n"))
+    val bc = tr.select(explode(K.bigramPairs(col("th"), P)).as("pr"))
+      .select(col("pr.bh").as("bh"))
+      .groupBy("bh").agg(count(lit(1)).as("big_n"))
+    val uc = tr.select(explode(col("th")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("uni_n"))
+    val nTok = tr.agg(sum(size(col("th"))).cast("long").as("n_tok"))
+    val inst = hashed(score)
+      .select(col(idCol), explode(K.trigramTuples(col("th"), P)).as("t"))
+      .select(col(idCol), col("t.tri").as("tri"), col("t.c2").as("c2"),
+        col("t.fb").as("fb"), col("t.c1").as("c1"), col("t.w").as("wt"))
+    def bl(c: Column): Column = length(bin(c)).cast("long")
+    val scored = inst
+      .join(tc.hint("SHUFFLE_HASH"), inst("tri") === tc("tri"), "left_outer")
+      .join(bc.select(col("bh").as("__c2"), col("big_n").as("c2_n")).hint("SHUFFLE_HASH"),
+        col("c2") === col("__c2"), "left_outer")
+      .join(bc.select(col("bh").as("__fb"), col("big_n").as("fb_n")).hint("SHUFFLE_HASH"),
+        col("fb") === col("__fb"), "left_outer")
+      .join(uc.select(col("u").as("__c1"), col("uni_n").as("c1_n")).hint("SHUFFLE_HASH"),
+        col("c1") === col("__c1"), "left_outer")
+      .join(uc.select(col("u").as("__wt"), col("uni_n").as("w_n")).hint("SHUFFLE_HASH"),
+        col("wt") === col("__wt"), "left_outer")
+      .crossJoin(broadcast(nTok))
+      .withColumn("lvl",
+        when(col("tri_n").isNotNull, lit(0))
+          .when(col("fb_n").isNotNull, lit(1)).otherwise(lit(2)))
+      .withColumn("surp",
+        when(col("lvl") === 0, bl(col("c2_n")) - bl(col("tri_n")))
+          .when(col("lvl") === 1, lit(1L) + bl(col("c1_n")) - bl(col("fb_n")))
+          .otherwise(lit(2L) + bl(col("n_tok")) - bl(coalesce(col("w_n"), lit(0L)) + 1)))
+    scored.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_big_backoffs"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_uni_backoffs"),
+        sum("surp").as("surprisal_sum"))
+      .withColumn("avg_surprisal",
+        round(col("surprisal_sum").cast("double") / col("n_scored").cast("double"), 6))
+  }
+
   // ---------------------------------------------------------------------
   // X38 — BM25 lexical retrieval (Robertson & Spärck Jones; the Okapi
   // tf-saturation form with k1 = 1.2, b = 0.75), made cross-engine exact:

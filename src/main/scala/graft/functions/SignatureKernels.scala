@@ -422,6 +422,69 @@ object BigramPairKernel {
 }
 
 /**
+ * Per-position trigram-backoff tuples over an array<bigint> of token
+ * hashes: for each position i = 0..n−3 (scoring token i+2 given its
+ * two-token context) emit the FIVE keys a stupid-backoff trigram LM
+ * needs in one pass — (tri, c2, fb, c1, w) where tri is the
+ * ShingleHashes3 trigram hash, c2 the (i, i+1) context-bigram hash and
+ * fb the (i+1, i+2) fallback-bigram hash (both in BigramPairs' bh
+ * formula (a·10007 + b) mod p), c1 = th[i+1], w = th[i+2]. The
+ * formula-sharing is the point: trigram counts come from the existing
+ * shingle stream and bigram counts from the existing pair stream, so
+ * one kernel family feeds both the LM counts and the LM scorer. The
+ * per-position multi-key struct exists for the same reason BigramPairs
+ * does — indexing parallel arrays through an explode drags O(tokens²)
+ * bytes per doc through the Generate.
+ */
+case class TrigramTuples(child: Expression, p: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(TrigramTupleKernel.TupleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "trigram_tuples"
+
+  override def nullSafeEval(input: Any): Any =
+    TrigramTupleKernel.tuples(input.asInstanceOf[ArrayData], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val kernel = "org.apache.spark.sql.graft.TrigramTupleKernel"
+      s"${ev.value} = $kernel.tuples($x, ${p}L);\n"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TrigramTupleKernel {
+  val TupleType: StructType = StructType(Seq(
+    StructField("tri", LongType, nullable = false),
+    StructField("c2", LongType, nullable = false),
+    StructField("fb", LongType, nullable = false),
+    StructField("c1", LongType, nullable = false),
+    StructField("w", LongType, nullable = false)))
+
+  def tuples(arr: ArrayData, p: Long): ArrayData = {
+    val n = arr.numElements()
+    val m = if (n < 3) 0 else n - 2
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val a = arr.getLong(i)
+      val b = arr.getLong(i + 1)
+      val c = arr.getLong(i + 2)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          (a * 10007L + b * 131L + c) % p,
+          (a * 10007L + b) % p,
+          (b * 10007L + c) % p,
+          b, c))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
  * Distinct-hash run-length counts over an array<bigint>: the per-ROW
  * inverted-index build. Output is (h, c) structs sorted by h ascending —
  * a deterministic pure function of the multiset, independent of input
@@ -819,6 +882,9 @@ object SignatureKernels {
 
   def hashCounts(hashes: Column): Column =
     ExpressionUtils.column(HashCounts(ExpressionUtils.expression(hashes)))
+
+  def trigramTuples(tokenHashes: Column, p: Long): Column =
+    ExpressionUtils.column(TrigramTuples(ExpressionUtils.expression(tokenHashes), p))
 
   def chunkHashes(tokenHashes: Column, chunkSize: Int, p: Long): Column =
     ExpressionUtils.column(ChunkHashes(ExpressionUtils.expression(tokenHashes), chunkSize, p))

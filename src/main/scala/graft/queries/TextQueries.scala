@@ -663,6 +663,67 @@ object TextQueries {
              |QUALIFY rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // X4j — trigram LM with stupid backoff (Brants 2007; α = 1/2 ⇒ one
+    // exact bit per backoff level): counts trained on the doc_id%5!=0
+    // split, held-out docs scored with per-level backoff tallies — the
+    // novelty/perplexity curation profile. Both engines compute the
+    // identical integer surprisals.
+    Q("lm_trigram_backoff",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        TextOps.trigramBackoffSurprisal(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH th AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '),
+              |    x -> CAST(${hSql("x")} AS BIGINT)) AS h
+              |  FROM documents),
+              |tr AS (SELECT doc_id, h FROM th WHERE doc_id % 5 <> 0),
+              |tc AS (SELECT (h[i]*10007 + h[i+1]*131 + h[i+2]) % ${graft.ext.Dedup.P} AS tri,
+              |              CAST(count(*) AS BIGINT) AS tri_n
+              |       FROM tr, unnest(range(1, len(h) - 1)) AS u(i) GROUP BY 1),
+              |bc AS (SELECT (h[i]*10007 + h[i+1]) % ${graft.ext.Dedup.P} AS bh,
+              |              CAST(count(*) AS BIGINT) AS big_n
+              |       FROM tr, unnest(range(1, len(h))) AS u(i) GROUP BY 1),
+              |uc AS (SELECT u, CAST(count(*) AS BIGINT) AS uni_n
+              |       FROM (SELECT unnest(h) AS u FROM tr) GROUP BY 1),
+              |n AS (SELECT CAST(sum(len(h)) AS BIGINT) AS n_tok FROM tr),
+              |inst AS (
+              |  SELECT doc_id,
+              |    (h[i]*10007 + h[i+1]*131 + h[i+2]) % ${graft.ext.Dedup.P} AS tri,
+              |    (h[i]*10007 + h[i+1]) % ${graft.ext.Dedup.P} AS c2,
+              |    (h[i+1]*10007 + h[i+2]) % ${graft.ext.Dedup.P} AS fb,
+              |    h[i+1] AS c1, h[i+2] AS wt
+              |  FROM th, unnest(range(1, len(h) - 1)) AS u(i)
+              |  WHERE doc_id % 5 = 0),
+              |sc AS (
+              |  SELECT i.doc_id,
+              |    CASE WHEN tc.tri_n IS NOT NULL THEN 0
+              |         WHEN bcf.big_n IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+              |    CASE WHEN tc.tri_n IS NOT NULL
+              |           THEN length(bin(bc2.big_n)) - length(bin(tc.tri_n))
+              |         WHEN bcf.big_n IS NOT NULL
+              |           THEN 1 + length(bin(uc1.uni_n)) - length(bin(bcf.big_n))
+              |         ELSE 2 + length(bin(n.n_tok)) - length(bin(coalesce(ucw.uni_n, 0) + 1))
+              |    END AS surp
+              |  FROM inst i
+              |  LEFT JOIN tc ON tc.tri = i.tri
+              |  LEFT JOIN bc bc2 ON bc2.bh = i.c2
+              |  LEFT JOIN bc bcf ON bcf.bh = i.fb
+              |  LEFT JOIN uc uc1 ON uc1.u = i.c1
+              |  LEFT JOIN uc ucw ON ucw.u = i.wt
+              |  CROSS JOIN n)
+              |SELECT doc_id, count(*) AS n_scored,
+              |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+              |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_backoffs,
+              |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
+              |  CAST(sum(surp) AS BIGINT) AS surprisal_sum,
+              |  round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS avg_surprisal
+              |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // X39 — integer-exact multinomial Naive Bayes (the learned
     // language/quality classifier stage): trained on the doc_id%5!=0
     // split, pruned to 20 features/class (count-desc, hash-asc — the
