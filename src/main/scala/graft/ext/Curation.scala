@@ -363,6 +363,58 @@ object Curation {
 
   /** Filtering face of [[temperatureAnnotate]]: the surviving rows with
    * the audit columns dropped. */
+  /**
+   * X41 — data-mixture / epoch planner: the per-source sampling table a
+   * training run is launched with (the Llama/GPT "data mixture" table).
+   * Given per-source token inventories, temperature-smoothed weights
+   * w_s ∝ √n_s (the X12t exponential-smoothing face, α = ½) allocate a
+   * token BUDGET across sources; a source whose allocation exceeds its
+   * inventory is repeated over multiple epochs (data-constrained
+   * scaling, Muennighoff et al. 2023 — up-sampling small high-quality
+   * sources is the standard mixture move), with the final partial
+   * epoch's keep rate in ppm.
+   *
+   * Integer-exactness: s_s = floor(√n_s) (one exactly-rounded IEEE sqrt
+   * + floor — bit-deterministic in both engines, the X12t device),
+   * W = Σ s_s, and the budget share uses the floor-division identity
+   *   (B·s_s) div W = (B div W)·s_s + ((B mod W)·s_s) div W
+   * which is EXACT (B = qW + r ⇒ the qW·s term is a multiple of W) and
+   * int64-overflow-safe where the naive product is not: at 100 TB-corpus
+   * scale B·s_s can exceed 2⁶³ (B ≈ 10¹³ tokens × s_s ≈ 5·10⁶), while
+   * the identity's largest intermediate is r·s_s < W·s_s — bounded by
+   * sources · s_max², far inside int64 for any real source census.
+   * epochs = ceil(target/n_s) and the last-epoch ppm keep rate follow in
+   * integer div/mod.
+   *
+   * Shape: ONE map-side-combined groupBy(source) over the corpus (the
+   * only corpus-sized work — counting), then O(|sources|) arithmetic on
+   * the driver-tiny plan table. Composes with [[temperatureSample]] /
+   * [[stratifiedSample]] as the execution face of the plan.
+   */
+  def mixtureEpochPlan(df: DataFrame, sourceCol: String, tokensPerRow: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
+    val inv = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensPerRow).cast("long").as("n_tokens"))
+      .withColumn("s_w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = inv.agg(sum("s_w").as("w_total"))
+    inv.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr("(s_w * 1000000) div w_total"))
+      .withColumn("target_tokens",
+        expr(s"($budgetTokens div w_total) * s_w + (($budgetTokens % w_total) * s_w) div w_total"))
+      .withColumn("epochs", expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .withColumn("last_epoch_keep_ppm",
+        // (r·10⁶) with r up to a 100 TB source's token count exceeds
+        // int64 — this one term goes through an exact DECIMAL(38,0)
+        // intermediate (HUGEINT in the oracle), floor-div back to int64
+        expr("CASE WHEN target_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "WHEN target_tokens % n_tokens = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE CAST((CAST(target_tokens % n_tokens AS DECIMAL(38,0)) * 1000000) " +
+          "div n_tokens AS BIGINT) END"))
+      .select("source", "n_docs", "n_tokens", "weight_ppm", "target_tokens",
+        "epochs", "last_epoch_keep_ppm")
+  }
+
   def temperatureSample(df: DataFrame, strataCol: String, idCol: Column): DataFrame =
     temperatureAnnotate(df, strataCol, idCol)
       .filter(col("keep"))

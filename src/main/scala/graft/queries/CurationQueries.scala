@@ -397,6 +397,37 @@ object CurationQueries {
              |SELECT d.lang, count(*) AS n_docs, max(keep_ppm) AS keep_ppm,
              |       CAST(sum(CASE WHEN u < keep_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM d JOIN k ON d.lang = k.lang
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // X41 — data-mixture/epoch planner: √n-weighted token allocation of
+    // a fixed 200k-token budget across sources, with repeat epochs for
+    // over-allocated sources (Muennighoff 2023) and the final partial
+    // epoch's ppm keep rate. The floor-division identity keeps the
+    // budget share int64-exact in both engines without overflow.
+    Q("mixture_epoch_plan",
+      (s, dir) => Curation.mixtureEpochPlan(
+          TableIO.read(s, dir, "documents"), "source",
+          size(split(col("text"), " ")).cast("long"),
+          budgetTokens = 200000L)
+        .orderBy("source"),
+      Some("""WITH inv AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT source, n_docs, n_tokens,
+             |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s_w
+             |      FROM inv),
+             |t AS (SELECT CAST(sum(s_w) AS BIGINT) AS w_total FROM w),
+             |p AS (SELECT source, n_docs, n_tokens,
+             |        (s_w * 1000000) // w_total AS weight_ppm,
+             |        (200000 // w_total) * s_w + ((200000 % w_total) * s_w) // w_total AS target_tokens
+             |      FROM w CROSS JOIN t)
+             |SELECT source, n_docs, n_tokens, weight_ppm, target_tokens,
+             |       (target_tokens + n_tokens - 1) // n_tokens AS epochs,
+             |       CAST(CASE WHEN target_tokens = 0 THEN 0
+             |            WHEN target_tokens % n_tokens = 0 THEN 1000000
+             |            ELSE (CAST(target_tokens % n_tokens AS HUGEINT) * 1000000) // n_tokens END
+             |         AS BIGINT) AS last_epoch_keep_ppm
+             |FROM p ORDER BY source""".stripMargin))
   )
 }

@@ -187,4 +187,46 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(again == out.map { case (k, v) => k -> v._4 })
   }
+
+  test("mixtureEpochPlan matches exact BigInt arithmetic incl. the 100 TB-scale budget") {
+    import spark.implicits._
+    // token inventories up to 2.5e13 (a 100 TB-scale source): the naive
+    // B*s_w product overflows int64 here; the floor-division identity
+    // must still equal exact BigInt floor(B*s/W)
+    val rows = Seq(
+      ("web", 5L, 25000000000000L),   // s_w = 5e6
+      ("books", 3L, 4000000000000L),  // s_w = 2e6
+      ("code", 2L, 1000000000000L),   // s_w = 1e6
+      ("tiny", 1L, 100L)              // repeat-epochs source
+    )
+    val budget = 15000000000000L // 1.5e13 tokens
+    val df = rows.flatMap { case (s, d, t) =>
+      // d docs carrying t tokens total (first doc takes the remainder)
+      (0L until d).map(i => (s, if (i == 0) t - (d - 1) * (t / d) else t / d))
+    }.toDF("source", "n_tok")
+    val got = Curation.mixtureEpochPlan(df, "source", col("n_tok"), budget)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val sw = rows.map { case (_, _, t) => math.sqrt(t.toDouble).floor.toLong }
+    val w = sw.sum
+    rows.zip(sw).foreach { case ((s, _, t), sv) =>
+      val target = (BigInt(budget) * sv / w).toLong
+      val (nTok, wppm, tgt, epochs, keep) = got(s)
+      assert(nTok == t)
+      assert(wppm == (BigInt(sv) * 1000000 / w).toLong)
+      assert(tgt == target, s"$s: identity must equal exact BigInt floor")
+      assert(epochs == (target + t - 1) / t)
+      val expKeep = if (target == 0) 0L
+        else if (target % t == 0) 1000000L
+        else (BigInt(target % t) * 1000000 / t).toLong
+      assert(keep == expKeep)
+    }
+    // the tiny source is genuinely multi-epoch
+    assert(got("tiny")._4 > 1L, s"tiny source must repeat: ${got("tiny")}")
+    // budget 0: all-zero plan, keep rate 0 (not the full-epoch 1e6)
+    Curation.mixtureEpochPlan(df, "source", col("n_tok"), 0L)
+      .collect().foreach { r =>
+        assert(r.getLong(4) == 0L && r.getLong(5) == 0L && r.getLong(6) == 0L)
+      }
+  }
 }
