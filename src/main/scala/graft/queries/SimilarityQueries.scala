@@ -962,7 +962,21 @@ object SimilarityQueries {
       Some(s"""${pcaCteChain(rounds = 5)}
               |SELECT el.vec_id, CAST(sum(el.x * v5.v) AS BIGINT) AS proj_fixed
               |FROM el JOIN v5 ON el.i = v5.dim
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // X37c — top-2 directions via staged-integer Hotelling deflation
+    // (the staging IS the committed formula; oracle = the same ops as
+    // unrolled CTEs), then 5 more power rounds on the deflated matrix.
+    Q("embedding_pca_top2",
+      (s, dir) => graft.ext.Linalg.pcaTop2Directions(
+          TableIO.read(s, dir, "embeddings"), "embedding")
+        .select(col("component"), col("dim").cast("long").as("dim"), col("v_fixed"))
+        .orderBy("component", "dim"),
+      Some(s"""${pcaTop2Chain(rounds = 5)}
+              |SELECT CAST(1 AS BIGINT) AS component, dim, v AS v_fixed FROM v5
+              |UNION ALL
+              |SELECT CAST(2 AS BIGINT) AS component, dim, v AS v_fixed FROM u5
+              |ORDER BY component, dim""".stripMargin))
   )
 
   /** DuckDB mirror of Linalg.pcaTopDirection: quantize → exact integer
@@ -971,23 +985,50 @@ object SimilarityQueries {
    * see Linalg.powerLoop's overflow note). `//` in DuckDB and `div`/
    * Java `/` in the engine both truncate toward zero, so the chain is
    * bit-identical to the driver-side loop. */
-  private def pcaCteChain(rounds: Int, scale: Long = 10000L): String = {
-    val iters = (1 to rounds).map { r =>
-      val prev = s"v${r - 1}"
-      s"""w$r AS (SELECT c.i AS dim, CAST(sum(c.c * v.v) AS BIGINT) AS w
-         |        FROM cavg c JOIN $prev v ON c.j = v.dim GROUP BY 1),
-         |v$r AS (SELECT dim,
-         |        CAST(w // greatest(1, (SELECT max(abs(w)) FROM w$r) // $scale) AS BIGINT) AS v
-         |        FROM w$r)"""
-    }.mkString(",\n")
+  private def pcaCteChain(rounds: Int, scale: Long = 10000L): String =
+    s"""${pcaPrelude(scale)},
+       |${pcaIters("v", "cavg", rounds, scale)}""".stripMargin
+
+  /** Shared prelude: quantize → exact integer second moment →
+   * truncating average → the all-`scale` start iterate v0. */
+  private def pcaPrelude(scale: Long): String =
     s"""WITH q AS (SELECT vec_id,
        |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
        |  FROM embeddings),
        |el AS (SELECT vec_id, unnest(range(0, len(xq))) AS i, unnest(xq) AS x FROM q),
        |cov AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS c
        |        FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
-       |cavg AS (SELECT i, j, c // (SELECT count(*) FROM q) AS c FROM cov),
-       |v0 AS (SELECT DISTINCT i AS dim, CAST($scale AS BIGINT) AS v FROM cavg),
-       |$iters""".stripMargin
-  }
+       |cavg AS MATERIALIZED (SELECT i, j, c // (SELECT count(*) FROM q) AS c FROM cov),
+       |v0 AS (SELECT DISTINCT i AS dim, CAST($scale AS BIGINT) AS v FROM cavg)""".stripMargin
+
+  /** `rounds` unrolled power rounds named ${pfx}1..${pfx}rounds over
+   * covariance table `cov`, starting from ${pfx}0. */
+  private def pcaIters(pfx: String, cov: String, rounds: Int, scale: Long): String =
+    (1 to rounds).map { r =>
+      s"""${pfx}w$r AS (SELECT c.i AS dim, CAST(sum(c.c * v.v) AS BIGINT) AS w
+         |        FROM $cov c JOIN $pfx${r - 1} v ON c.j = v.dim GROUP BY 1),
+         |$pfx$r AS (SELECT dim,
+         |        CAST(w // greatest(1, (SELECT max(abs(w)) FROM ${pfx}w$r) // $scale) AS BIGINT) AS v
+         |        FROM ${pfx}w$r)"""
+    }.mkString(",\n")
+
+  /** Mirror of Linalg.deflate + the second power stage: the STAGED
+   * integer deflation (per-component pre-division for λ, the
+   * floor-identity staging for w2 — the staging IS the committed
+   * formula, shared operation-for-operation with the Scala loop) and
+   * `rounds` more iterations over the deflated matrix, named u1..uN. */
+  private def pcaTop2Chain(rounds: Int, scale: Long = 10000L): String =
+    s"""${pcaCteChain(rounds, scale)},
+       |vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v$rounds),
+       |dw AS (SELECT c.i AS dim, CAST(sum(c.c * v.v) AS BIGINT) AS w
+       |       FROM cavg c JOIN v$rounds v ON c.j = v.dim GROUP BY 1),
+       |lam AS (SELECT CAST(sum(f.v * (dw.w // vv.vv)) AS BIGINT) AS lam
+       |        FROM dw JOIN v$rounds f ON dw.dim = f.dim CROSS JOIN vv),
+       |w2 AS (SELECT f.dim,
+       |       CAST((lam.lam // vv.vv) * f.v + ((lam.lam % vv.vv) * f.v) // vv.vv AS BIGINT) AS w2
+       |       FROM v$rounds f CROSS JOIN lam CROSS JOIN vv),
+       |cavg2 AS MATERIALIZED (SELECT c.i, c.j, CAST(c.c - wi.w2 * vj.v AS BIGINT) AS c
+       |          FROM cavg c JOIN w2 wi ON wi.dim = c.i JOIN v$rounds vj ON vj.dim = c.j),
+       |u0 AS (SELECT DISTINCT i AS dim, CAST($scale AS BIGINT) AS v FROM cavg2),
+       |${pcaIters("u", "cavg2", rounds, scale)}""".stripMargin
 }

@@ -68,6 +68,45 @@ class LinalgSpec extends SparkSpec {
     assert(mx >= 5000L && mx <= 20000L, s"renormalized band violated: max|v|=$mx")
   }
 
+  test("deflation recovers the SECOND eigendirection and matches the staged-integer recipe") {
+    // Diagonal with a clear spectrum: after deflating e₀, the iterate
+    // must align with e₁ and suppress both e₀ (deflated) and e₂ (weak).
+    val c = Array(
+      Array(1000000000000L, 0L, 0L),
+      Array(0L, 100000000000L, 0L),
+      Array(0L, 0L, 10000000000L))
+    val v1 = Linalg.powerLoop(c, rounds = 5, scale = 10000L)
+    val c2 = Linalg.deflate(c, v1)
+    val v2 = Linalg.powerLoop(c2, rounds = 5, scale = 10000L)
+    assert(math.abs(v2(1)) >= 10000L, s"second axis not dominant: ${v2.mkString(",")}")
+    assert(math.abs(v2(0)) <= math.abs(v2(1)) / 100,
+      s"deflated top axis survived: ${v2.mkString(",")}")
+    assert(math.abs(v2(2)) <= math.abs(v2(1)) / 100,
+      s"weak axis survived: ${v2.mkString(",")}")
+    // the staged recipe, re-derived independently step for step (the
+    // staging IS the committed formula — this pins every truncation)
+    val d = c.length
+    val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v1(j)).sum)
+    val vv = v1.map(x => x * x).sum
+    val lam = (0 until d).map(i => v1(i) * (w(i) / vv)).sum
+    val w2 = v1.map(vi => (lam / vv) * vi + ((lam % vv) * vi) / vv)
+    for (i <- 0 until d; j <- 0 until d)
+      assert(c2(i)(j) == c(i)(j) - w2(i) * v1(j), s"staged recipe diverges at ($i,$j)")
+    // end-to-end on the fixture: two components, both in the
+    // renormalized band, near-orthogonal after normalization
+    val rows = Linalg.pcaTop2Directions(emb, "embedding")
+      .orderBy("component", "dim").collect()
+    val f1 = rows.filter(_.getLong(0) == 1L).map(_.getLong(2)).map(_.toDouble)
+    val f2 = rows.filter(_.getLong(0) == 2L).map(_.getLong(2)).map(_.toDouble)
+    assert(f1.length == 64 && f2.length == 64)
+    def norm(x: Array[Double]) = math.sqrt(x.map(a => a * a).sum)
+    val cos = f1.zip(f2).map { case (a, b) => a * b }.sum / (norm(f1) * norm(f2))
+    // loose band on the near-random fixture: its spectrum is nearly
+    // flat, so 5 rounds leave some mixing (measured ~0.105); the sharp
+    // orthogonality evidence is the synthetic-diagonal assertions above
+    assert(math.abs(cos) < 0.25, s"components not near-orthogonal: cos=$cos")
+  }
+
   test("projection face: shuffle-free plan, values match a local recompute") {
     val v = Linalg.powerLoop(
       Array(Array(4L, 1L), Array(1L, 2L)), rounds = 5, scale = 10000L)
