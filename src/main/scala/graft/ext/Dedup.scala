@@ -213,21 +213,21 @@ object Dedup {
   /**
    * X2 — banded LSH candidate pairs with a per-bucket size cap.
    *
-   * Melt (id, band0..band{b-1}) to (id, band, bkey), count bucket sizes
-   * with a window (one shuffle on (band, bkey); the self-join reuses that
-   * partitioning, so the whole pair stage is a single exchange), drop
-   * buckets over `bucketCap` — the robustness bound: a mass-duplicated
-   * boilerplate bucket would otherwise emit O(bucket²) pairs — then
-   * self-join within buckets and OR across bands (`n_bands` = number of
-   * agreeing bands per surviving pair). Never all-pairs.
+   * Melt (id, band0..band{b-1}) to (id, band, bkey), drop buckets over
+   * `bucketCap` — the robustness bound: a mass-duplicated boilerplate
+   * bucket would otherwise emit O(bucket²) pairs — via the hot-key-safe
+   * [[HotKeys.dropOverCap]] shape (map-side-combined count + broadcast
+   * over-cap anti-join: the mega-bucket's rows never shuffle, where the
+   * previous count-over-Window shipped them all to one reducer and
+   * sorted them just to drop them), then self-join within buckets and OR
+   * across bands (`n_bands` = number of agreeing bands per surviving
+   * pair). Never all-pairs.
    */
   def minhashPairsBanded(banded: DataFrame, idCol: String, bucketCap: Int = 50): DataFrame = {
     val bandCols = (0 until LshBands).map(j => s"band$j")
     val melted = banded
       .select(col(idCol), posexplode(array(bandCols.map(col): _*)).as(Seq("band", "bkey")))
-    val capped = melted
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bsize") <= bucketCap)
+    val capped = HotKeys.dropOverCap(melted, Seq("band", "bkey"), bucketCap)
     val left = capped.select(col(idCol).as("id_a"), col("band"), col("bkey"))
     val right = capped.select(col(idCol).as("id_b"), col("band"), col("bkey"))
     left.join(right, Seq("band", "bkey"))
@@ -253,10 +253,7 @@ object Dedup {
     val bandCols = (0 until LshBands).map(j => s"band$j")
     def melt(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), posexplode(array(bandCols.map(col): _*)).as(Seq("band", "bkey")))
-    val corpus = melt(corpusBanded, "id_corpus")
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bsize") <= bucketCap)
-      .drop("bsize")
+    val corpus = HotKeys.dropOverCap(melt(corpusBanded, "id_corpus"), Seq("band", "bkey"), bucketCap)
     melt(batchBanded, "id_new").join(corpus, Seq("band", "bkey"))
       // a re-ingested document present on BOTH sides would otherwise pair
       // with itself and be "deduplicated" against itself downstream
@@ -556,9 +553,7 @@ object Dedup {
       col(idCol), col("__sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("__sh"), b * blockBits).bitwiseAND(lit(blockMask))): _*)).as(Seq("block", "bval")))
-    val capped = blocks
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("block", "bval")))
-      .filter(col("bsize") <= bucketCap)
+    val capped = HotKeys.dropOverCap(blocks, Seq("block", "bval"), bucketCap)
     val left = capped.select(col(idCol).as("id_a"), col("__sh").as("sh_a"), col("block"), col("bval"))
     val right = capped.select(col(idCol).as("id_b"), col("__sh").as("sh_b"), col("block"), col("bval"))
     left.join(right, Seq("block", "bval"))
@@ -664,7 +659,7 @@ object Dedup {
    * the number of DISTINCT documents containing it — exceeds `maxChunkDf`)
    * and the fraction that survives span-level dedup. Three shuffles, all
    * map-side-combined and none over text: (doc, chunk) collapse, chunk-df
-   * window, doc-id rollup. Documents shorter than one chunk report
+   * count table (joined back SHUFFLE_HASH), doc-id rollup. Documents shorter than one chunk report
    * n_chunks = 0 and keep_frac 1.0 (nothing to dedup).
    */
   def chunkBoilerplate(df: DataFrame, idCol: String, textCol: String,
@@ -680,8 +675,12 @@ object Dedup {
     // marks boilerplate, matching Lee et al.-style span dedup. Every
     // occurrence still counts toward n_chunks/n_boiler.
     val perDocChunk = chunks.groupBy(col(idCol), col("chunk")).agg(count(lit(1)).as("__occ"))
-    val perDoc = perDocChunk
-      .withColumn("__cdf", count(lit(1)).over(Window.partitionBy("chunk")))
+    // chunk df joined back as a VALUE (the boilerplate flag needs it per
+    // row), hot-key-safe: map-side-combined count table + SHUFFLE_HASH
+    // join (AQE-skew-splittable, unlike the previous count-over-Window
+    // which shipped every row of a corpus-wide boilerplate chunk — the
+    // exact chunk this operator exists to flag — to a single reducer)
+    val perDoc = HotKeys.withKeyCounts(perDocChunk, Seq("chunk"), "__cdf")
       .groupBy(idCol)
       .agg(
         sum(col("__occ")).as("n_chunks"),
@@ -796,12 +795,21 @@ object Dedup {
       .withColumnRenamed("pos", "__idx")
       .withColumnRenamed("col", "__chunk")
       .filter(col("__chunk").isNotNull)
-    val byChunk = Window.partitionBy("__chunk").orderBy(idCol, "__idx")
-    val prevDoc = lag(col(idCol), 1).over(byChunk)
+    // a chunk is dup iff it appears in >= 2 DISTINCT documents — a
+    // per-chunk constant. The previous form derived it with lag + sum
+    // over Window.partitionBy(__chunk), which ships every occurrence of
+    // a corpus-wide boilerplate chunk to one reducer and sorts it; this
+    // shape is two map-side-combined groupBys (the (chunk, doc) collapse
+    // shuffles on a well-spread composite key, the per-chunk doc count
+    // combines map-side) + a SHUFFLE_HASH flag join that AQE can
+    // skew-split. Identical __dup values.
+    val dupChunks = chunks.select(col("__chunk"), col(idCol)).distinct()
+      .groupBy("__chunk").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1L)
+      .select(col("__chunk"), lit(true).as("__dup0"))
     val flagged = chunks
-      .withColumn("__newdoc",
-        when(prevDoc.isNull || prevDoc =!= col(idCol), 1L).otherwise(0L))
-      .withColumn("__dup", sum("__newdoc").over(Window.partitionBy("__chunk")) > 1L)
+      .join(dupChunks.hint("SHUFFLE_HASH"), Seq("__chunk"), "left_outer")
+      .withColumn("__dup", coalesce(col("__dup0"), lit(false)))
     // when() without otherwise yields nulls, which collect_list DROPS —
     // so every chunked doc keeps its group row even when all chunks are
     // dup (kept list just comes back empty, not absent)
@@ -844,10 +852,7 @@ object Dedup {
     val exploded = withShingleHashes(df, textCol)
       .select(col(idCol), explode_outer(array_distinct(col(ShinglesCol))).as("shingle"))
       .filter(col("shingle").isNotNull)
-    val shingled = exploded
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("__df") <= maxShingleDf)
-      .drop("__df")
+    val shingled = HotKeys.dropOverCap(exploded, Seq("shingle"), maxShingleDf)
     val counts = shingled.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
 
     val a = shingled.withColumnRenamed(idCol, "id_a")
