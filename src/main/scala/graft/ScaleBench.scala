@@ -144,6 +144,16 @@ object ScaleBench {
     graft.ext.Bpe.trainFromTypesIncremental(types, 32)
   }
 
+  /** (id, key, payload) rows with ONE key holding 1 % of all rows and the
+   * rest uniform over n/50 keys (~50 rows each) — the adversarial mass
+   * concentration for the hotkey_megabucket families. */
+  private def hotKeyed(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id"),
+      when(pmod(col("id"), lit(100)) === 0, lit(-1L))
+        .otherwise(pmod(xxhash64(col("id")), lit(math.max(n / 50, 1L)))).as("key"),
+      xxhash64(col("id") + 7).as("payload"))
+
   /** 64-dim embedding corpus shared by the kNN families: 3% of vectors
    * collapse onto one hot direction (the bucketCap path), the rest are
    * hash-uniform in [-1, 1]. */
@@ -498,6 +508,34 @@ object ScaleBench {
           val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
           val planes = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
           graft.ext.Similarity.knnGraphMutual(emb, k = 4, planes = planes, bucketCap = 2000L)
+        }),
+      // THE hot-key cap enforcement itself, isolated: ONE key carries 1 %
+      // of corpus mass (a mega LSH bucket / stop shingle / degenerate
+      // linkage block — the mass concentration every cap in this library
+      // exists to drop), the rest spread uniformly (~50 rows/key). The
+      // claim under measurement: HotKeys.dropOverCap (map-side-combined
+      // count + broadcast anti-join over a staged input) keeps CPU linear
+      // and per-task peak FLAT as the hot key grows 1x/10x/100x, because
+      // the hot key's rows collapse map-side and never shuffle. The
+      // _window companion family below is the shape it replaced — its
+      // one-reducer funnel is the curve to contrast in SCALING.md.
+      ("hotkey_megabucket", Seq(1000000L, 10000000L, 100000000L),
+        (s, n) => {
+          val in = staged(s, "hotkey", n)(hotKeyed(s, n))
+          graft.ext.HotKeys.dropOverCap(in, Seq("key"), cap = 1000L)
+            .groupBy("key").agg(count(lit(1)).as("n"), sum("payload").as("p"))
+        }),
+      // window contrast at 1x/10x only: the point is the SLOPE (per-task
+      // peak grows with the hot key's mass; the survivors still pay the
+      // full-corpus window sort) — 100x would just burn minutes proving
+      // the pathology a third time
+      ("hotkey_megabucket_window", Seq(1000000L, 10000000L),
+        (s, n) => {
+          val in = staged(s, "hotkey", n)(hotKeyed(s, n))
+          in.withColumn("__n", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("key")))
+            .filter(col("__n") <= 1000L).drop("__n")
+            .groupBy("key").agg(count(lit(1)).as("n"), sum("payload").as("p"))
         }))
 
     val only: Option[Set[String]] =

@@ -790,11 +790,16 @@ object Dedup {
    */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 8): DataFrame = {
+    // staged ONCE (lazy localCheckpoint): the dup-chunk table and the
+    // flag join both consume this frame — unstaged, Catalyst would
+    // re-chunk and re-hash the full corpus per branch (the round-12
+    // regression pattern this file's dupSpanStats docstring warns about)
     val chunks = withChunkHashes(df, textCol, chunkSize)
       .select(col(idCol), posexplode_outer(col(ChunksCol)))
       .withColumnRenamed("pos", "__idx")
       .withColumnRenamed("col", "__chunk")
       .filter(col("__chunk").isNotNull)
+      .localCheckpoint(eager = false)
     // a chunk is dup iff it appears in >= 2 DISTINCT documents — a
     // per-chunk constant. The previous form derived it with lag + sum
     // over Window.partitionBy(__chunk), which ships every occurrence of

@@ -131,7 +131,13 @@ object Graph {
       }
       val probe = edges.select(probeCols: _*)
         .limit(math.min(localMaxEdges + 1, Int.MaxValue.toLong - 1).toInt).collect()
-      if (probe.length <= localMaxEdges)
+      // null gate: a null endpoint (or a null seed-predicate result) is a
+      // legal node key in the distributed path — Column semantics
+      // propagate it — but the local arrays unbox to primitives and would
+      // NPE. Any null in the probe falls through to the distributed form
+      // rather than diverging from it.
+      val localSafe = probe.forall(r => (0 until r.length).forall(!r.isNullAt(_)))
+      if (probe.length <= localMaxEdges && localSafe)
         return pageRankLocal(edges.sparkSession,
           probe.map(r => (r.getLong(0), r.getLong(1))),
           seedFlags = seedPred.map(_ => probe.map(r => (r.getBoolean(2), r.getBoolean(3)))),

@@ -15,32 +15,39 @@ import org.apache.spark.sql.functions._
  * keys the caps exist to drop) funnels ALL of its rows through the one
  * reducer that owns it, pays a per-partition sort, and only THEN gets
  * dropped. Invisible at sf0.1; a straggler/spill at 100 TB when one key
- * carries 1 % of corpus mass (measured in the `bigram_surprisal_zipf`
- * ScaleBench family before this shape was fixed in
- * [[TextOps.bigramSurprisal]] — this object applies the same fix
- * library-wide).
+ * carries 1 % of corpus mass (measured in the `hotkey_megabucket`
+ * ScaleBench family: the window form's reducer time grows with the hot
+ * key's mass; this shape's stays flat).
  *
  * The safe shape:
- *  1. `groupBy(key).count()` — map-side combined, so a hot key collapses
+ *  1. STAGE the input once (lazy `localCheckpoint` — the
+ *     [[TextOps.bigramSurprisal]] idiom): the count branch and the
+ *     filter/join-back branch both consume `df`, and without staging
+ *     Catalyst re-executes the caller's whole lineage — for the LSH/
+ *     simhash/chunk callers that is a second full pass of the signature
+ *     kernels over the corpus (the round-12 regression: every touched
+ *     query slowed 1.6–2.6×). Callers whose frame is already staged or
+ *     is a cheap pruned scan pass `stage = false`.
+ *  2. `groupBy(key).count()` — map-side combined, so a hot key collapses
  *     to ONE row per map task before its (tiny) count shuffle;
- *  2. keep only keys with count > cap — by construction there are at
+ *  3. keep only keys with count > cap — by construction there are at
  *     most `totalRows / cap` of them, and in practice a handful (they
  *     are the pathological mass concentrations the cap targets);
- *  3. broadcast that over-cap key list and LEFT ANTI join it map-side —
- *     the hot key's instance rows then never shuffle at all.
+ *  4. broadcast that over-cap key list and LEFT ANTI join it map-side —
+ *     the hot key's instance rows then never shuffle at all. The
+ *     broadcast is GATED (SURVEY §7.5 rule 8: broadcast only behind size
+ *     checks): the over-cap key count is measured first, and above
+ *     `maxBroadcastKeys` the anti-join falls back to a SHUFFLE_HASH
+ *     join — still AQE-skew-splittable, never a driver OOM. Hitting the
+ *     gate means more than `maxBroadcastKeys × cap` rows are
+ *     pathological mass — a data-quality fire worth surfacing, which is
+ *     why the fallback logs through the plan (the join strategy is
+ *     visible in `explain`) rather than silently absorbing it.
  *
  * Null keys match the window semantics exactly: the anti-join condition
  * uses null-safe equality (`<=>`), so an over-cap null-key group is
  * dropped just as `Window.partitionBy` (which groups nulls together)
  * would have dropped it.
- *
- * Bound on the broadcast: |over-cap keys| <= totalRows / cap. If that
- * ever exceeds the broadcast budget, more than `broadcastLimit × cap`
- * rows are pathological mass — a data-quality fire the pipeline should
- * surface, not silently absorb; the join-back face
- * ([[withKeyCounts]], the [[TextOps.bigramSurprisal]] idiom) is the
- * escape hatch because a shuffled join, unlike a window, stays
- * AQE-skew-splittable.
  */
 object HotKeys {
 
@@ -49,16 +56,36 @@ object HotKeys {
    * in `df`. Bit-equivalent to
    * `withColumn(n, count(*).over(Window.partitionBy(keys))).filter(n <= cap)`
    * but the hot keys' rows never shuffle (see object doc).
+   *
+   * Runs one small job at CONSTRUCTION time (the over-cap key count that
+   * gates the broadcast); with `stage = true` that job also materializes
+   * the staged input, which every downstream consumer then reuses.
+   *
+   * @param stage stage `df` once (lazy localCheckpoint) so the count
+   *              branch does not re-execute the caller's lineage. Set
+   *              false only when `df` is already staged/cached or its
+   *              lineage is a cheap pruned scan.
+   * @param maxBroadcastKeys gate on the broadcast anti-join: above this
+   *              many over-cap key rows, fall back to SHUFFLE_HASH.
    */
-  def dropOverCap(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+  def dropOverCap(df: DataFrame, keyCols: Seq[String], cap: Long,
+      stage: Boolean = true, maxBroadcastKeys: Int = 4000000): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(cap >= 1, s"cap must be positive, got $cap")
-    val over = df.groupBy(keyCols.map(col): _*)
+    require(maxBroadcastKeys >= 0 && maxBroadcastKeys < Int.MaxValue,
+      s"maxBroadcastKeys out of range: $maxBroadcastKeys")
+    val src = if (stage) df.localCheckpoint(eager = false) else df
+    val over = src.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__hk_n"))
       .filter(col("__hk_n") > cap)
       .select(keyCols.map(k => col(k).as(s"__hk_$k")): _*)
     val cond = keyCols.map(k => col(k) <=> col(s"__hk_$k")).reduce(_ && _)
-    df.join(broadcast(over), cond, "left_anti")
+    // the gate count is an agg over the staged input — it materializes
+    // the checkpoint (paying the caller's lineage exactly once) and
+    // returns at most maxBroadcastKeys+1 rows of counting work beyond it
+    val nOver = over.limit(maxBroadcastKeys + 1).count()
+    if (nOver <= maxBroadcastKeys) src.join(broadcast(over), cond, "left_anti")
+    else src.join(over.hint("SHUFFLE_HASH"), cond, "left_anti")
   }
 
   /**
@@ -71,14 +98,18 @@ object HotKeys {
    * instance rows divide across tasks with the one matching count row
    * replicated. Inner join on a null-safe key equality so null-key rows
    * keep their group count, matching `Window.partitionBy` semantics.
+   * `stage` as in [[dropOverCap]] (here it is the only thing preventing
+   * a second full pass of the caller's lineage for the count table).
    */
-  def withKeyCounts(df: DataFrame, keyCols: Seq[String], countCol: String): DataFrame = {
+  def withKeyCounts(df: DataFrame, keyCols: Seq[String], countCol: String,
+      stage: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val counts = df.groupBy(keyCols.map(col): _*)
+    val src = if (stage) df.localCheckpoint(eager = false) else df
+    val counts = src.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as(countCol))
       .select(col(countCol) +: keyCols.map(k => col(k).as(s"__hk_$k")): _*)
     val cond = keyCols.map(k => col(k) <=> col(s"__hk_$k")).reduce(_ && _)
-    df.join(counts.hint("SHUFFLE_HASH"), cond)
+    src.join(counts.hint("SHUFFLE_HASH"), cond)
       .drop(keyCols.map(k => s"__hk_$k"): _*)
   }
 }

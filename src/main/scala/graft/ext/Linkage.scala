@@ -55,10 +55,13 @@ object Linkage {
     Seq(probe, matchSide).foreach(graft.ops.SqlTypes.requireFreeColumns(_,
       Seq("__bsize", "__fan", "__rk", "dist", "match_id", "match_str")))
     val cols = (Seq(idCol, strCol) ++ blockCols).distinct.map(col)
-    def capped(df: DataFrame): DataFrame = df.select(cols: _*)
-      .withColumn("__bsize", count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
-      .filter(col("__bsize") <= blockCap)
-      .drop("__bsize")
+    // hot-key-safe block cap (HotKeys doc): a degenerate block's rows are
+    // dropped map-side by the broadcast anti-join instead of all funneling
+    // through the one reducer that owned it under count-over-Window; the
+    // slim (id, str, blockCols) projection is staged once inside
+    // dropOverCap so the cap count does not re-scan the input
+    def capped(df: DataFrame): DataFrame =
+      HotKeys.dropOverCap(df.select(cols: _*), blockCols, blockCap)
 
     // FAN-OUT: blocking keys are low-cardinality by design (that is what
     // makes them blocks), so the comparison join would otherwise run on

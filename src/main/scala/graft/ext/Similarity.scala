@@ -467,10 +467,14 @@ object Similarity {
     val b0 = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       lshBucketPlanes(col("embedding"), planes).as("bucket"))
-    val b = b0
-      .withColumn("__bsize", count(lit(1)).over(Window.partitionBy("bucket")))
-      .filter(col("__bsize") <= bucketCap)
-      .drop("__bsize")
+    // hot-key-safe cap (HotKeys doc): the count branch map-side-combines,
+    // so only (bucket, n) rows ever shuffle — the 256-byte embedding rows
+    // of a dense bucket never ride the hot key the way the previous
+    // count-over-Window shipped them (all to one reducer, sorted, then
+    // dropped). dropOverCap stages b0 once; the pair self-join below
+    // reads the same staged frame twice instead of re-scanning parquet
+    // and re-hashing the planes per side.
+    val b = HotKeys.dropOverCap(b0, Seq("bucket"), bucketCap)
     val pairs = b.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("bucket"))
       .join(b.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"), col("bucket")),
@@ -518,14 +522,36 @@ object Similarity {
    * ScaleBench: without the correction the tripled pair stream spilled
    * ~97 GB through the dedup/rank stages at 500 k rows; with it the
    * family is linear and spill-free).
+   *
+   * WITHIN-BAND MULTI-PROBE (`probes` ∈ {1, 2, 4} — Lv et al. 2007,
+   * "Multi-Probe LSH"): a true neighbor lost to a band usually disagrees
+   * on the band's LOWEST-|margin| plane (the projection closest to the
+   * hyperplane — exactly the sign most likely to flip between near
+   * vectors). Each QUERY vector therefore also probes the bucket with
+   * its lowest-|margin| bit flipped (probes = 2), or all four patterns
+   * over its two lowest-margin bits (probes = 4); the INDEX side is
+   * unchanged (vectors live in their one true bucket, caps and all).
+   * Candidate volume scales by ≤ probes× per band while recall rises
+   * the way only extra bands otherwise could — probes are the cheap
+   * recall lever because they reuse the same index. The margin argmin is
+   * deterministic cross-engine: the plane dots are the bit-identical
+   * double fold both engines compute, ties break to the lowest plane
+   * index on both.
    */
   def knnDirectedBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
-      bucketCap: Long = 10000L): DataFrame = {
+      bucketCap: Long = 10000L, probes: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(bands >= 1 && bands * bandPlanes <= 62,
-      s"bands*bandPlanes must be in [1,62], got ${bands * bandPlanes}")
+    require(bands >= 1 && bandPlanes >= 1 && bands * bandPlanes <= 62,
+      s"bands >= 1, bandPlanes >= 1, bands*bandPlanes <= 62 required, " +
+        s"got bands=$bands bandPlanes=$bandPlanes")
+    require(Set(1, 2, 4).contains(probes), s"probes must be 1, 2 or 4, got $probes")
+    require(probes == 1 || bandPlanes >= 2, "multi-probe needs at least 2 planes per band")
+    // staged ONCE for all bands (norm computed once; each band's three
+    // consumers — cap count + two join sides — re-derive only the cheap
+    // per-band bucket hash from the cache, never the parquet scan)
     val base = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
+      .localCheckpoint(eager = false)
     val topk = org.apache.spark.sql.graft.plans.GroupTopK
     // per band: bucket join → pairs → NATIVE GroupTopK (bounded heaps;
     // the partial exec caps each partition's output at k rows per query
@@ -535,14 +561,61 @@ object Similarity {
     // union's, so any globally-top-k pair is top-k in every band that
     // produced it.
     val perBand = (0 until bands).map { b =>
-      val bb = base.withColumn("bucket", lshBucketBand(col("embedding"), b, bandPlanes))
-        .withColumn("__bsize", count(lit(1)).over(Window.partitionBy("bucket")))
-        .filter(col("__bsize") <= bucketCap)
-        .drop("__bsize")
-      val pairs = bb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_norm"), col("bucket"))
-        .join(bb.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
-          col("bucket")), Seq("bucket"))
+      // plane dots staged as columns so the bucket bits and the probe
+      // margins share one evaluation per consumer
+      val dcols = (0 until bandPlanes).map(j => s"__d$j")
+      val dotted = base.select(
+        col("vec_id") +: col("embedding") +: col("nrm") +:
+          (0 until bandPlanes).map { j =>
+            val plane = array((0 until VecDim).map(i =>
+              lit(planeComponent(b * bandPlanes + j, i))): _*)
+            dot(col("embedding"), plane).as(s"__d$j")
+          }: _*)
+        .withColumn("bucket",
+          dcols.zipWithIndex.map { case (d, j) =>
+            when(col(d) > 0, lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _))
+      // hot-key-safe per-band cap on the TRUE bucket; stage = false
+      // because `base` is already checkpointed above (re-staging per band
+      // would cache the embedding frame `bands` times over)
+      val bb = HotKeys.dropOverCap(dotted, Seq("bucket"), bucketCap, stage = false)
+      val idx = bb.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
+        col("bucket"))
+      val qry =
+        if (probes == 1)
+          bb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_norm"), col("bucket"))
+        else {
+          // margin argmin: first occurrence of the minimum — ties break
+          // to the lowest plane index in both engines
+          val withM = bb
+            .withColumn("__mg", array(dcols.map(d => abs(col(d))): _*))
+            .withColumn("__m1",
+              (array_position(col("__mg"), array_min(col("__mg"))) - 1).cast("int"))
+          val probed =
+            if (probes == 2)
+              withM.withColumn("__pb", array(col("bucket"),
+                expr("bucket ^ shiftleft(CAST(1 AS BIGINT), __m1)")))
+            else
+              // second-lowest margin: mask slot m1 to +inf, argmin again
+              withM
+                .withColumn("__mm", expr(
+                  s"""transform(sequence(0, ${bandPlanes - 1}), j ->
+                     |  CASE WHEN j = __m1 THEN CAST('Infinity' AS DOUBLE)
+                     |       ELSE element_at(__mg, j + 1) END)""".stripMargin))
+                .withColumn("__m2",
+                  (array_position(col("__mm"), array_min(col("__mm"))) - 1).cast("int"))
+                .withColumn("__pb", expr(
+                  """array(bucket,
+                    |  bucket ^ shiftleft(CAST(1 AS BIGINT), __m1),
+                    |  bucket ^ shiftleft(CAST(1 AS BIGINT), __m2),
+                    |  bucket ^ shiftleft(CAST(1 AS BIGINT), __m1)
+                    |         ^ shiftleft(CAST(1 AS BIGINT), __m2))""".stripMargin))
+          probed.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_norm"), explode(col("__pb")).as("bucket"))
+        }
+      val pairs = qry
+        .join(idx, Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           round(cosineFrom(dot(col("q_emb"), col("embedding")),
@@ -563,8 +636,8 @@ object Similarity {
   /** Banded-candidate mutual kNN graph: [[knnDirectedBanded]] +
    * the same reversed-pair mutuality join as [[knnGraphMutual]]. */
   def knnGraphBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
-      bucketCap: Long = 10000L): DataFrame = {
-    val directed = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap)
+      bucketCap: Long = 10000L, probes: Int = 1): DataFrame = {
+    val directed = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap, probes)
     directed.as("a")
       .join(directed.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
@@ -577,7 +650,7 @@ object Similarity {
    * candidates from [[knnDirectedBanded]]. */
   def knnRecallAuditBanded(emb: DataFrame, k: Int, bands: Int = 4,
       bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
-      sampleMod: Long = 20L): DataFrame = {
+      sampleMod: Long = 20L, probes: Int = 1): DataFrame = {
     val q = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_norm"))
@@ -586,7 +659,7 @@ object Similarity {
       .withColumn("cos6", round(
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
     val truth = rankTopK(pairs, k).select(col("query_id"), col("neighbor_id"))
-    val cand = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap)
+    val cand = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap, probes)
       .filter(col("src") % sampleMod === 0)
       .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
     val hits = cand.join(truth, Seq("query_id", "neighbor_id"))

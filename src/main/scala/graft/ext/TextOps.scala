@@ -217,18 +217,22 @@ object TextOps {
    * appears in d documents (O(d²) rows otherwise); norms are computed
    * over the SAME ceiled term set, so the reported cosine is
    * consistently "cosine over non-stop terms"; `minDot` prunes the pair
-   * stream before the norm joins. The df window shuffles on `tok`, the
-   * key the self-join needs — the partitioning is reused.
+   * stream before the norm joins. The ceiling is enforced hot-key-safely
+   * ([[graft.ext.HotKeys.dropOverCap]]): a stop term collapses map-side
+   * to one count row and its instances are anti-joined away before any
+   * shuffle, instead of funneling through the reducer that owns it.
    */
   def sparseCosinePairs(df: org.apache.spark.sql.DataFrame, idCol: String, termsCol: String,
       minDot: Long, maxTermDf: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol), explode_outer(col(termsCol)).as("tok"))
       .filter(col("tok").isNotNull)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val filtered = tf
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("tok")))
-      .filter(col("__df") <= maxTermDf).drop("__df")
+    // hot-key-safe df ceiling (HotKeys doc): a stop term's rows are
+    // dropped map-side by the broadcast anti-join instead of all funneling
+    // through one reducer under count-over-Window; the slim (id, tok, tf)
+    // frame is staged once inside dropOverCap, and norms + both join
+    // sides below read that same staged frame
+    val filtered = graft.ext.HotKeys.dropOverCap(tf, Seq("tok"), maxTermDf)
     val norms = filtered.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("n2"))
     val a = filtered.select(col(idCol).as("id_a"), col("tok"), col("tf").as("tf_a"))
     val b = filtered.select(col(idCol).as("id_b"), col("tok"), col("tf").as("tf_b"))
@@ -619,9 +623,17 @@ object TextOps {
       .withColumn("lvl",
         when(col("tri_n").isNotNull, lit(0))
           .when(col("fb_n").isNotNull, lit(1)).otherwise(lit(2)))
+      // collision floor: a tri/fb hash can hit the count table while the
+      // CONTEXT hash misses (different trigram in train shares the hash).
+      // An uncoalesced NULL context count nulls the whole surprisal —
+      // sum() then skips the instance while n_scored counts it, silently
+      // deflating avg_surprisal. Floor at the matched n-gram count (in an
+      // uncollided model count(context) >= count(ngram), so the floor is
+      // the tightest value that keeps surp >= 0). Oracle mirrors it.
       .withColumn("surp",
-        when(col("lvl") === 0, bl(col("c2_n")) - bl(col("tri_n")))
-          .when(col("lvl") === 1, lit(1L) + bl(col("c1_n")) - bl(col("fb_n")))
+        when(col("lvl") === 0, bl(coalesce(col("c2_n"), col("tri_n"))) - bl(col("tri_n")))
+          .when(col("lvl") === 1,
+            lit(1L) + bl(coalesce(col("c1_n"), col("fb_n"))) - bl(col("fb_n")))
           .otherwise(lit(2L) + bl(col("n_tok")) - bl(coalesce(col("w_n"), lit(0L)) + 1)))
     scored.groupBy(col(idCol))
       .agg(

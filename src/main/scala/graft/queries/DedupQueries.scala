@@ -488,8 +488,10 @@ object DedupQueries {
               |          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
               |e AS (
               |  SELECT *,
-              |    (((id_a % 2147483648) * 2654435761) % 1000000 < 200000) AS ea,
-              |    (((id_b % 2147483648) * 2654435761) % 1000000 < 200000) AS eb
+              |    (((((id_a % 2147483648) + 2147483648) % 2147483648 * 2654435761)
+              |        % 1000000 + 1000000) % 1000000 < 200000) AS ea,
+              |    (((((id_b % 2147483648) + 2147483648) % 2147483648 * 2654435761)
+              |        % 1000000 + 1000000) % 1000000 < 200000) AS eb
               |  FROM v)
               |SELECT CASE WHEN ea THEN id_a ELSE id_b END AS eval_id,
               |       CASE WHEN ea THEN id_b ELSE id_a END AS train_id,

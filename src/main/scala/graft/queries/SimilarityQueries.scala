@@ -109,18 +109,44 @@ object SimilarityQueries {
       .map(j => s"CASE WHEN ${planeDotSql(emb, band * bandPlanes + j)} > 0 THEN ${1L << j} ELSE 0 END")
       .mkString("(", " + ", ")")
 
-  /** Shared CTE chain for the banded-candidate queries: per-band capped
-   * bucket self-joins, slim id-pair union + DISTINCT, cosine attached
-   * once per surviving pair, per-src rank. Ends with CTE `d` =
-   * directed top-4 edges (src, dst, cos6). */
-  private def bandedDirectedCtes(bands: Int): String = {
+  /** Shared CTE chain for the banded-candidate queries, mirroring
+   * Similarity.knnDirectedBanded incl. within-band multi-probe: per band,
+   * plane dots staged once as columns, the TRUE-bucket index capped, the
+   * query side probing its bucket plus (probes = 2) the bucket with its
+   * lowest-|margin| bit flipped — the argmin is `list_position(mg,
+   * list_min(mg))`, first-occurrence = lowest plane index, the same
+   * tie-break Spark's array_position applies to the bit-identical double
+   * dots. Slim id-pair union + DISTINCT, cosine attached once per
+   * surviving pair, per-src rank. Ends with CTE `d` = directed top-4
+   * edges (src, dst, cos6). */
+  private def bandedDirectedCtes(bands: Int, bandPlanes: Int = Similarity.LshPlanes,
+      probes: Int = 1): String = {
+    require(probes == 1 || probes == 2, s"oracle mirror supports probes 1|2, got $probes")
     val perBand = (0 until bands).map { b =>
-      s"""b$b AS (SELECT vec_id, ${bandBucketSql("embedding", b, Similarity.LshPlanes)} AS bucket
+      val dcols = (0 until bandPlanes).map(j => s"d$j")
+      val dots = (0 until bandPlanes)
+        .map(j => s"${planeDotSql("embedding", b * bandPlanes + j)} AS d$j").mkString(",\n        ")
+      val bucket = dcols.zipWithIndex
+        .map { case (d, j) => s"CASE WHEN $d > 0 THEN ${1L << j} ELSE 0 END" }
+        .mkString("(", " + ", ")")
+      val probeSide =
+        if (probes == 1)
+          s"""q$b AS (SELECT vec_id, bucket AS qb FROM f$b)"""
+        else
+          s"""q$b AS (SELECT bb.vec_id,
+             |        unnest([bb.bucket,
+             |                xor(bb.bucket, 1 << (list_position(bb.mg, list_min(bb.mg)) - 1))]) AS qb
+             |        FROM bb$b bb JOIN f$b f ON f.vec_id = bb.vec_id)""".stripMargin
+      s"""db$b AS (SELECT vec_id,
+         |        $dots
          |        FROM embeddings),
-         |f$b AS (SELECT vec_id, bucket FROM b$b
+         |bb$b AS (SELECT vec_id, $bucket AS bucket,
+         |        [${dcols.map(d => s"abs($d)").mkString(", ")}] AS mg FROM db$b),
+         |f$b AS (SELECT vec_id, bucket FROM bb$b
          |        QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
+         |$probeSide,
          |p$b AS (SELECT q.vec_id AS query_id, e.vec_id
-         |        FROM f$b q JOIN f$b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id)"""
+         |        FROM q$b q JOIN f$b e ON q.qb = e.bucket AND e.vec_id != q.vec_id)"""
         .stripMargin
     }.mkString(",\n")
     val unions = (0 until bands).map(b => s"SELECT * FROM p$b").mkString(" UNION ALL ")
@@ -771,28 +797,22 @@ object SimilarityQueries {
     // composed from two already-verified operators). Oracle = the knn
     // edge SQL + the same recursive-CTE transitive closure that pins
     // both CC algorithms.
+    // Community edges come from the BANDED MULTI-PROBE candidate
+    // generator — the single-bucket graph's ~3 % directed recall made the
+    // clusters an artifact of the hashing; the 12x5-band 2-probe edges
+    // carry the measured ≥ 500 000 ppm recall (knn_recall_banded row).
     Q("knn_communities",
       (s, dir) => {
-        val edges = graft.ext.Similarity.knnGraphMutual(
-            TableIO.read(s, dir, "embeddings"), k = 4)
+        val edges = graft.ext.Similarity.knnGraphBanded(
+            TableIO.read(s, dir, "embeddings"), k = 4,
+            bands = 12, bandPlanes = 5, probes = 2)
           .filter(col("cos6") >= 0.15)
         graft.ext.Dedup.connectedComponentsStar(edges, "id_a", "id_b")
           .groupBy("cluster")
           .agg(count(lit(1)).as("n_members"), min("id").as("min_id"))
           .orderBy(col("n_members").desc, col("cluster"))
       },
-      Some(s"""WITH RECURSIVE b0 AS (SELECT vec_id, embedding,
-              |            ${bucketSql("embedding")} AS bucket FROM embeddings),
-              |b AS (SELECT vec_id, embedding, bucket FROM b0
-              |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
-              |p AS (
-              |  SELECT q.vec_id AS src, e.vec_id AS dst,
-              |         ${cosSql("q.embedding", "e.embedding")} AS cos6
-              |  FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id),
-              |r AS (SELECT src, dst, cos6,
-              |        row_number() OVER (PARTITION BY src ORDER BY cos6 DESC, dst) AS rk
-              |      FROM p),
-              |d AS (SELECT src, dst, cos6 FROM r WHERE rk <= 4),
+      Some(s"""${bandedDirectedCtes(12, 5, 2).replaceFirst("WITH ", "WITH RECURSIVE ")},
               |mu AS (
               |  SELECT a.src AS id_a, a.dst AS id_b
               |  FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
@@ -853,9 +873,10 @@ object SimilarityQueries {
     // dense regions.
     Q("knn_graph_banded",
       (s, dir) => graft.ext.Similarity.knnGraphBanded(
-          TableIO.read(s, dir, "embeddings"), k = 4)
+          TableIO.read(s, dir, "embeddings"), k = 4,
+          bands = 12, bandPlanes = 5, probes = 2)
         .orderBy("id_a", "id_b"),
-      Some(s"""${bandedDirectedCtes(4)}
+      Some(s"""${bandedDirectedCtes(12, 5, 2)}
               |SELECT a.src AS id_a, a.dst AS id_b, a.cos6
               |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
               |WHERE a.src < a.dst
@@ -868,8 +889,9 @@ object SimilarityQueries {
     // oracle-matched row itself).
     Q("knn_recall_banded",
       (s, dir) => graft.ext.Similarity.knnRecallAuditBanded(
-        TableIO.read(s, dir, "embeddings"), k = 4),
-      Some(s"""${bandedDirectedCtes(4)},
+        TableIO.read(s, dir, "embeddings"), k = 4,
+        bands = 12, bandPlanes = 5, probes = 2),
+      Some(s"""${bandedDirectedCtes(12, 5, 2)},
               |cd AS (SELECT src AS query_id, dst AS neighbor_id FROM d
               |       WHERE src % 20 = 0),
               |tp AS (
@@ -998,7 +1020,8 @@ object SimilarityQueries {
        |el AS (SELECT vec_id, unnest(range(0, len(xq))) AS i, unnest(xq) AS x FROM q),
        |cov AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS c
        |        FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
-       |cavg AS MATERIALIZED (SELECT i, j, c // (SELECT count(*) FROM q) AS c FROM cov),
+       |cavg AS MATERIALIZED (SELECT i, j,
+       |    c // (SELECT count(*) FROM q WHERE xq IS NOT NULL) AS c FROM cov),
        |v0 AS (SELECT DISTINCT i AS dim, CAST($scale AS BIGINT) AS v FROM cavg)""".stripMargin
 
   /** `rounds` unrolled power rounds named ${pfx}1..${pfx}rounds over

@@ -704,9 +704,9 @@ object TextQueries {
               |    CASE WHEN tc.tri_n IS NOT NULL THEN 0
               |         WHEN bcf.big_n IS NOT NULL THEN 1 ELSE 2 END AS lvl,
               |    CASE WHEN tc.tri_n IS NOT NULL
-              |           THEN length(bin(bc2.big_n)) - length(bin(tc.tri_n))
+              |           THEN length(bin(coalesce(bc2.big_n, tc.tri_n))) - length(bin(tc.tri_n))
               |         WHEN bcf.big_n IS NOT NULL
-              |           THEN 1 + length(bin(uc1.uni_n)) - length(bin(bcf.big_n))
+              |           THEN 1 + length(bin(coalesce(uc1.uni_n, bcf.big_n))) - length(bin(bcf.big_n))
               |         ELSE 2 + length(bin(n.n_tok)) - length(bin(coalesce(ucw.uni_n, 0) + 1))
               |    END AS surp
               |  FROM inst i

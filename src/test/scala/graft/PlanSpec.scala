@@ -60,17 +60,20 @@ class PlanSpec extends SparkSpec {
   test("banded LSH pair stage computes each kernel once and shuffles once on (band,bkey)") {
     val banded = Dedup.withBandKeys(TableIO.read(spark, Sf, "documents"), "text")
     val p = plan(Dedup.minhashPairsBanded(banded, "doc_id"))
-    // 8 kernel call sites (4 bands x 2 components) per self-join side = 16
-    // total, staged before the posexplode — pushdown re-inlining would
-    // multiply them further and land copies inside Filter nodes (the
-    // regression PlanSpec already guards for the single-band path)
+    // the melted (id, band, bkey) frame is staged ONCE (HotKeys lazy
+    // localCheckpoint) before the bucket cap — the signature kernels run
+    // in the checkpoint's lineage only, so the pair plan itself must
+    // contain ZERO kernel sites (the round-12 regression was the count
+    // branch re-consuming the unstaged lineage: 32 sites, 2x compute)
     val occurrences = "minhash_component".r.findAllIn(p).size
-    assert(occurrences <= 16, s"signature recomputed ($occurrences kernel sites):\n${p.take(2000)}")
-    assert(!p.contains("isnotnull(coalesce(minhash_component"),
-      s"signature re-inlined into a Filter:\n${p.take(2000)}")
-    // the bucket-size window and the self-join share the (band, bkey)
-    // partitioning; beyond the per-side window shuffle only the final
-    // groupBy may add one more exchange
+    assert(occurrences == 0, s"signature recomputed ($occurrences kernel sites):\n${p.take(2000)}")
+    assert(p.contains("ExistingRDD"), s"melted frame not staged:\n${p.take(2000)}")
+    // cap enforcement is a broadcast anti-join, never a Window on the
+    // content key (a window funnels a hot bucket through one reducer)
+    assert(p.contains("LeftAnti"), s"bucket cap not an anti-join:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"window on a content key:\n${p.take(2000)}")
+    // two join-side exchanges on (band,bkey) + the final pair groupBy +
+    // the (map-side-combined) over-cap count table
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 4, s"too many exchanges ($exchanges):\n${p.take(3000)}")
   }
@@ -95,9 +98,13 @@ class PlanSpec extends SparkSpec {
     val df = graft.ext.Dedup.simhashPairsWide(
       TableIO.read(spark, Sf, "documents"), "text", "doc_id")
     val p = plan(df)
+    // the exploded block frame is staged (HotKeys) — the sketch kernel
+    // runs once in the checkpoint lineage, zero sites in the pair plan
     val occurrences = "simhash_wide".r.findAllIn(p).size
-    assert(occurrences <= 2, s"sketch recomputed ($occurrences kernel sites):\n${p.take(2000)}")
-    assert(!p.contains("isnotnull(simhash_wide"), s"sketch re-inlined into a Filter:\n${p.take(2000)}")
+    assert(occurrences == 0, s"sketch recomputed ($occurrences kernel sites):\n${p.take(2000)}")
+    assert(p.contains("ExistingRDD"), s"block frame not staged:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti") && !p.contains("Window"),
+      s"block cap not a hot-key-safe anti-join:\n${p.take(2000)}")
   }
 
   test("quantization stats run as one kernel call per row, no interpreted lambdas") {
@@ -152,10 +159,13 @@ class PlanSpec extends SparkSpec {
       s"signature re-inlined into a Filter:\n${p.take(2000)}")
   }
 
-  test("chunk boilerplate is one scan; chunk-df window and doc rollup each shuffle once") {
+  test("chunk boilerplate stages the chunk pipeline once; only the id spine re-scans") {
     val p = plan(SparkEntry.queries("chunk_boilerplate")(spark, Sf))
-    // one scan for the chunk pipeline + one for the id spine it left-joins
-    assert("FileScan".r.findAllIn(p).size <= 2, s"extra scans:\n${p.take(2000)}")
+    // the (doc, chunk) frame is staged (HotKeys.withKeyCounts) — the
+    // chunk/text pipeline runs once in the checkpoint lineage; the only
+    // FileScan left in the plan is the id spine the rollup left-joins
+    assert("FileScan".r.findAllIn(p).size == 1, s"extra scans:\n${p.take(2000)}")
+    assert(p.contains("ExistingRDD"), s"chunk pipeline not staged:\n${p.take(2000)}")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), s"bad join:\n${p.take(2000)}")
   }
 
@@ -224,6 +234,24 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("sparse_cosine_pairs")(spark, Sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join leaked into the plan:\n${p.take(2000)}")
+    // the term-df ceiling is a staged anti-join, never a Window on the
+    // term key (a stop term would funnel through one reducer)
+    assert(p.contains("LeftAnti") && !p.contains("Window"),
+      s"df ceiling not hot-key-safe:\n${p.take(2000)}")
+  }
+
+  test("knn bucket caps are anti-joins on a staged frame — no Window on the bucket key") {
+    val emb = TableIO.read(spark, Sf, "embeddings")
+    val pd = plan(graft.ext.Similarity.knnDirected(emb, 3, planes = 4))
+    assert(pd.contains("LeftAnti") && !pd.contains("Window"),
+      s"single-bucket cap not hot-key-safe:\n${pd.take(2000)}")
+    assert(pd.contains("ExistingRDD"), s"bucketed frame not staged:\n${pd.take(2000)}")
+    val pb = plan(graft.ext.Similarity.knnDirectedBanded(emb, 3, bands = 2, bandPlanes = 3))
+    assert(pb.contains("LeftAnti") && !pb.contains("Window"),
+      s"banded bucket cap not hot-key-safe:\n${pb.take(2000)}")
+    // base (vec_id, embedding, nrm) staged once for ALL bands — the scan
+    // must not reappear per band
+    assert(!pb.contains("FileScan"), s"per-band re-scan of the embedding table:\n${pb.take(2000)}")
   }
 
   test("PQ rerank broadcasts the shortlist and queries, never shuffling the vector store") {

@@ -673,6 +673,35 @@ class SimilaritySpec extends SparkSpec {
     assert(edges.map(e => (e._1, e._2)).distinct.size === edges.size)
   }
 
+  test("committed banded config (12x5, 2 probes) clears 500k ppm directed recall; probes only add") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    // the registered knn_recall_banded / knn_graph_banded / knn_communities
+    // config — the measured answer to the single-bucket scheme's ~3% and
+    // the 4x8-band scheme's ~15% directed recall on near-random vectors
+    val probed = Similarity.knnRecallAuditBanded(emb, k = 4,
+      bands = 12, bandPlanes = 5, probes = 2).collect()(0)
+    assert(probed.getAs[Long]("recall_ppm") >= 500000L,
+      s"committed config under 50% recall: $probed")
+    // multi-probe only ADDS candidate buckets (the probe set contains the
+    // true bucket), so recall is monotone in probes
+    val unprobed = Similarity.knnRecallAuditBanded(emb, k = 4,
+      bands = 12, bandPlanes = 5, probes = 1).collect()(0)
+    assert(probed.getAs[Long]("recall_ppm") >= unprobed.getAs[Long]("recall_ppm"),
+      s"probes lowered recall: $unprobed -> $probed")
+  }
+
+  test("banded kNN rejects degenerate geometries: bandPlanes < 1 fails fast") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    // bandPlanes = 0 previously slipped the bands*bandPlanes <= 62 guard
+    // and surfaced later as a cryptic empty.reduce inside the bucket hash
+    intercept[IllegalArgumentException] {
+      Similarity.knnDirectedBanded(emb, k = 3, bands = 2, bandPlanes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnDirectedBanded(emb, k = 3, bands = 3, bandPlanes = -1)
+    }
+  }
+
   test("knnRecallAudit: ppm invariants on the fixture; perfect buckets audit at 10^6") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val r = Similarity.knnRecallAudit(emb, k = 4).collect()(0)

@@ -110,4 +110,20 @@ class GraphSpec extends SparkSpec {
       assert(localP === distP, s"trial $trial personalized diverged")
     }
   }
+
+  test("null endpoints: local-path gate falls through to the distributed form (no NPE)") {
+    // null is a legal node key in the distributed path (Column semantics
+    // group it); the local arrays unbox primitives and would NPE — the
+    // gate must detect the null in the probe and take the distributed
+    // path, returning the same ranks either way
+    val edges = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(2L)), (Some(2L), Some(1L)), (None, Some(1L)), (Some(2L), None))
+      .toDF("src", "dst")
+    val viaGate = Graph.pageRankFixed(edges, "src", "dst", iters = 3)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toMap
+    val dist = Graph.pageRankFixed(edges, "src", "dst", iters = 3, localMaxEdges = 0L)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toMap
+    assert(viaGate === dist, "gated path diverged from the distributed form on null endpoints")
+    assert(viaGate.contains(None), "null node lost")
+  }
 }

@@ -26,6 +26,26 @@ class LinalgSpec extends SparkSpec {
         s"moment ($i,$j): agg=${row(1 + i * d + j)} explode=${ref((i, j))}")
   }
 
+  test("null embeddings drop from numerator AND divisor: PCA invariant to null rows") {
+    // SecondMomentAgg skips null vectors in both the moment sums and its
+    // row counter; the oracle divides by the same non-null count — so the
+    // top direction over a corpus with null-embedding rows must equal the
+    // one over the corpus with them removed (the uncorrected oracle
+    // divided by count(*) and diverged)
+    val clean = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f)), (2L, Seq(0.9f, 0.2f, 0.1f)),
+      (3L, Seq(0.8f, -0.1f, 0.2f)), (4L, Seq(1.1f, 0.0f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val withNulls = clean.union(
+      Seq((5L, null.asInstanceOf[Seq[Float]]), (6L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val a = Linalg.pcaTopDirection(clean, "embedding").orderBy("dim")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val b = Linalg.pcaTopDirection(withNulls, "embedding").orderBy("dim")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(a == b, s"null rows shifted the direction: $a vs $b")
+  }
+
   test("powerLoop matches an independent BigInt re-derivation") {
     // Independent reference: BigInt arithmetic throughout (overflow-free
     // by construction), functional style — shares no code with the

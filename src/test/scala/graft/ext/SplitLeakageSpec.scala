@@ -53,6 +53,32 @@ class SplitLeakageSpec extends SparkSpec {
     }
   }
 
+  test("negative ids: Spark pmod draw == the oracle's pmod-corrected arithmetic") {
+    // DuckDB's % keeps the dividend's sign; the oracle SQL mirrors
+    // Spark's pmod as ((x % m) + m) % m — pin the two formulations equal
+    // where they used to diverge (id < 0)
+    def pmodL(x: Long, m: Long): Long = ((x % m) + m) % m
+    def oracleDraw(id: Long): Long =
+      pmodL(pmodL(id, 2147483648L) * 2654435761L, 1000000L)
+    val ids = Seq(-1L, -42L, -2147483649L, -999999937L, Long.MinValue / 4096, 0L, 7L)
+    val sparkDraw = ids.toDF("id").select(
+        pmod(pmod(col("id").cast("long"), lit(2147483648L)) * lit(2654435761L),
+          lit(1000000L)).as("d"))
+      .as[Long].collect().toSeq
+    assert(sparkDraw == ids.map(oracleDraw), "draw arithmetic diverged on negative ids")
+    // end-to-end: a negative-id near-dup pair still splits and orients
+    // by the same rule
+    val negDocs = Seq(-3L, -8L, -11L, -17L, -20L, -26L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.splitLeakageAudit(negDocs, "doc_id", "text",
+        evalPpm = 500000L, minJaccard = 0.5, bucketCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ev(id: Long) = oracleDraw(id) < 500000L
+    assert(out.nonEmpty && out.forall { case (e, t) => ev(e) && !ev(t) },
+      s"negative-id orientation broke: ${out.toSeq}")
+  }
+
   test("evalPpm = 0 (everything train) finds no leakage") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
     assert(Dedup.splitLeakageAudit(docs, "doc_id", "text", evalPpm = 0L,

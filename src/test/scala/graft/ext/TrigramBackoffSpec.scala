@@ -69,6 +69,54 @@ class TrigramBackoffSpec extends SparkSpec {
     assert(!got.contains(13L), "sub-trigram docs must not appear")
   }
 
+  test("tri-hash collision with unseen context: surprisal floored at 0, never NULL-dropped") {
+    // Engineer a real collision: two token triples with EQUAL trigram
+    // hash but disjoint tokens. Train on one, score the other — the
+    // scored instance hits the trigram count table (the collision) while
+    // its own context bigram is absent, so c2_n comes back NULL. The
+    // uncoalesced form NULLed the whole surprisal: sum() skipped the
+    // instance while n_scored counted it, silently deflating
+    // avg_surprisal. The fix floors the missing context count at tri_n
+    // (surp = 0 here), keeping the sum total.
+    val P = Dedup.P
+    def tri3(a: Long, b: Long, c: Long): Long = (a * 10007L + b * 131L + c) % P
+    def big2(a: Long, b: Long): Long = (a * 10007L + b) % P
+    val toks = (0 until 60000).map(i => s"w$i")
+    val hs = toks.map(th)
+    val rnd = new scala.util.Random(13L)
+    val seen = scala.collection.mutable.HashMap.empty[Long, (Int, Int, Int)]
+    var hit: Option[((Int, Int, Int), (Int, Int, Int))] = None
+    var iters = 0
+    while (hit.isEmpty && iters < 3000000) {
+      iters += 1
+      val (i, j, k) = (rnd.nextInt(toks.size), rnd.nextInt(toks.size), rnd.nextInt(toks.size))
+      val t = tri3(hs(i), hs(j), hs(k))
+      seen.get(t) match {
+        case Some((a, b, c)) if Set(a, b, c).intersect(Set(i, j, k)).isEmpty &&
+            Seq(hs(a), hs(b), hs(c), hs(i), hs(j), hs(k)).distinct.size == 6 &&
+            // the scored context/backoff bigrams must genuinely MISS the
+            // train bigram table {(a,b),(b,c)} — that is the branch under test
+            !Set(big2(hs(a), hs(b)), big2(hs(b), hs(c)))
+              .exists(x => x == big2(hs(i), hs(j)) || x == big2(hs(j), hs(k))) =>
+          hit = Some(((a, b, c), (i, j, k)))
+        case Some(_) => ()
+        case None => seen.put(t, (i, j, k))
+      }
+    }
+    assert(hit.nonEmpty, s"no trigram collision found in $iters draws")
+    val ((a, b, c), (d, e, f)) = hit.get
+    val train = Seq((1L, s"${toks(a)} ${toks(b)} ${toks(c)}")).toDF("doc_id", "text")
+    val score = Seq((2L, s"${toks(d)} ${toks(e)} ${toks(f)}")).toDF("doc_id", "text")
+    val row = TextOps.trigramBackoffSurprisal(train, score, "doc_id", "text").collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L,
+      s"collision instance must score as a trigram hit: $r")
+    assert(!r.isNullAt(5) && r.getLong(5) == 0L,
+      s"collision surprisal must be floored at 0, not NULL-dropped: $r")
+    assert(!r.isNullAt(6) && r.getDouble(6) == 0.0, s"avg must include the instance: $r")
+  }
+
   test("TrigramTuples kernel is bit-identical to the HOF formulation") {
     val arrays = (Seq(Seq.empty[Long], Seq(1L), Seq(1L, 2L), Seq(-5L, 7L, 11L, 13L, 7L))
       .toDF("h") union
