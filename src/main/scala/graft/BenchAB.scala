@@ -149,6 +149,59 @@ object BenchAB {
       time("pr: 3 rounds", 3)(graft.ext.Graph.pageRankFixed(edges, "src", "dst", iters = 3))
       time("pr: 5 rounds", 3)(graft.ext.Graph.pageRankFixed(edges, "src", "dst", iters = 5))
     }
+    if (which("probe_diff")) {
+      // diff_after_explode adjudication (the standing >2x-oracle row):
+      // min-of-5 of the registered form vs its no-checkpoint variant —
+      // the checkpoint IS the win (without it both DiffData sides
+      // recompute the scan+explode), and the residual floor is the
+      // eager materialization itself. Numbers recorded at the
+      // registration site (DiffQueries.scala).
+      time("diff_after_explode REG", 5)(SparkEntry.queries("diff_after_explode")(s, sfDir))
+      def noCut: DataFrame = {
+        val exploded = graft.ops.Transforms.explodeMap(
+          TableIO.read(s, sfDir, "events")
+            .withColumn("m", map(
+              lit("etype"), col("event_type"),
+              lit("kval"), get_json_object(col("props"), "$.k")))
+            .select("event_id", "m"),
+          graft.config.ExplodeMapConfig("m", "map_key", "map_value"))
+        val target = exploded
+          .filter(!(pmod(col("event_id"), lit(20)) === 0 && col("map_key") === "etype"))
+          .withColumn("map_value",
+            when(pmod(col("event_id"), lit(20)) === 1 && col("map_key") === "kval", lit("X"))
+              .otherwise(col("map_value")))
+        graft.jobs.DiffData.classify(exploded, target, Seq("event_id", "map_key"))
+          .orderBy("event_id", "map_key")
+      }
+      time("diff_after_explode NOCUT", 5)(noCut)
+    }
+    if (which("probe_star")) {
+      // star_join_revenue adjudication: the registered form leaves the
+      // SF-scaling customer dim to AQE (broadcast at fixture scale,
+      // shuffle join at 100x — a hard hint OOMs there); the A/B forces
+      // broadcast(customer) to price what the no-hint posture costs at
+      // THIS scale. Numbers recorded at the registration site
+      // (AnalyticsQueries.scala).
+      time("star_join REG (AQE)", 5)(SparkEntry.queries("star_join_revenue")(s, sfDir))
+      def forced: DataFrame = {
+        val li = TableIO.read(s, sfDir, "lineitem")
+        val o = TableIO.read(s, sfDir, "orders")
+        val c = TableIO.read(s, sfDir, "customer")
+        val n = TableIO.read(s, sfDir, "nation")
+        val r = TableIO.read(s, sfDir, "region")
+        li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+              .cast("double").as("revenue"))
+          .orderBy("r_name")
+      }
+      time("star_join FORCED bcast", 5)(forced)
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

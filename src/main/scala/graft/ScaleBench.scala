@@ -152,7 +152,9 @@ object ScaleBench {
       col("id"),
       when(pmod(col("id"), lit(100)) === 0, lit(-1L))
         .otherwise(pmod(xxhash64(col("id")), lit(math.max(n / 50, 1L)))).as("key"),
-      xxhash64(col("id") + 7).as("payload"))
+      // bounded payload: a full-range hash would overflow the downstream
+      // sum() under ANSI mode at 100M rows
+      pmod(xxhash64(col("id") + 7), lit(1000000L)).as("payload"))
 
   /** 64-dim embedding corpus shared by the kNN families: 3% of vectors
    * collapse onto one hot direction (the bucketCap path), the rest are
@@ -519,23 +521,36 @@ object ScaleBench {
       // the hot key's rows collapse map-side and never shuffle. The
       // _window companion family below is the shape it replaced — its
       // one-reducer funnel is the curve to contrast in SCALING.md.
+      // stage = false: the input here IS a stored parquet scan — the
+      // staging lever exists for expensive kernel lineage (minhash,
+      // simhash, chunk pipelines), and the first cut of this family
+      // measured what staging a cheap scan costs instead (cache write of
+      // the full corpus: 9 GB heap and super-linear CPU at 100M rows).
+      // With stage = false the shape is two pruned scans (count branch +
+      // anti-join branch), zero cache, and the hot key never shuffles.
+      // downstream consumer is a GLOBAL aggregate (map-side partials, no
+      // keyed shuffle of its own) so the measured shuffle bytes isolate
+      // the cap-ENFORCEMENT shapes: this one's count branch map-side
+      // combines (only (key, n) partials shuffle) and the over-cap list
+      // anti-joins broadcast — the corpus itself never crosses the wire
       ("hotkey_megabucket", Seq(1000000L, 10000000L, 100000000L),
         (s, n) => {
           val in = staged(s, "hotkey", n)(hotKeyed(s, n))
-          graft.ext.HotKeys.dropOverCap(in, Seq("key"), cap = 1000L)
-            .groupBy("key").agg(count(lit(1)).as("n"), sum("payload").as("p"))
+          graft.ext.HotKeys.dropOverCap(in, Seq("key"), cap = 1000L, stage = false)
+            .agg(count(lit(1)).as("n"), sum("payload").as("p"))
         }),
-      // window contrast at 1x/10x only: the point is the SLOPE (per-task
-      // peak grows with the hot key's mass; the survivors still pay the
-      // full-corpus window sort) — 100x would just burn minutes proving
-      // the pathology a third time
-      ("hotkey_megabucket_window", Seq(1000000L, 10000000L),
+      // the count-over-Window shape this library removed, same input —
+      // the contrast curve: the ENTIRE corpus shuffles on the key and the
+      // 1%-mass key's rows all funnel through the one reducer that owns
+      // them (per-task peak grows with the hot key's mass; the anti-join
+      // form's stays flat)
+      ("hotkey_megabucket_window", Seq(1000000L, 10000000L, 100000000L),
         (s, n) => {
           val in = staged(s, "hotkey", n)(hotKeyed(s, n))
           in.withColumn("__n", count(lit(1)).over(
               org.apache.spark.sql.expressions.Window.partitionBy("key")))
             .filter(col("__n") <= 1000L).drop("__n")
-            .groupBy("key").agg(count(lit(1)).as("n"), sum("payload").as("p"))
+            .agg(count(lit(1)).as("n"), sum("payload").as("p"))
         }))
 
     val only: Option[Set[String]] =

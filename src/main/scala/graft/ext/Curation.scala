@@ -419,4 +419,37 @@ object Curation {
     temperatureAnnotate(df, strataCol, idCol)
       .filter(col("keep"))
       .drop("n_strata", "keep_ppm", "u_ppm", "keep")
+
+  /**
+   * X41-exec — the EXECUTION face of [[mixtureEpochPlan]]: realize the
+   * plan as the actual training-row stream. Each source runs
+   * `epochs − 1` FULL repetitions of its corpus plus one partial epoch
+   * that keeps rows by the standard deterministic ppm draw at
+   * `last_epoch_keep_ppm` — so the realized token count meets the
+   * plan's target up to the granularity of the sampled documents
+   * (Muennighoff-style data-constrained repetition; the draw is the
+   * repo's multiplicative id hash, rerun-stable, never rand()).
+   *
+   * Output: one row per (input row, epoch) kept — (`sourceCol`, `__id`,
+   * `epoch`, `__tok`). Shape at scale: the plan is O(|sources|) and
+   * broadcasts; the explode emits each row `epochs` times and filters
+   * map-side — realizing the mixture is a pure map over the corpus, no
+   * shuffle. A source with target 0 (epochs 0) emits nothing (the
+   * explicit epochs > 0 guard also avoids `sequence(0, -1)`, which is a
+   * DESCENDING two-element array in Spark, not empty).
+   */
+  def mixtureExecute(df: DataFrame, idCol: Column, sourceCol: String,
+      tokensPerRow: Column, plan: DataFrame): DataFrame = {
+    requireFreeColumns(df, Seq("__id", "__tok", "epoch", "epochs", "last_epoch_keep_ppm"))
+    df.select(col(sourceCol).as("source"), idCol.cast("long").as("__id"),
+        tokensPerRow.cast("long").as("__tok"))
+      .join(broadcast(plan.select(col("source"), col("epochs"),
+        col("last_epoch_keep_ppm"))), "source")
+      .filter(col("epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("epochs") - 1)))
+      .filter(col("epoch") < col("epochs") - 1 ||
+        pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L), lit(1000000L))
+          < col("last_epoch_keep_ppm"))
+      .select(col("source"), col("__id"), col("epoch"), col("__tok"))
+  }
 }

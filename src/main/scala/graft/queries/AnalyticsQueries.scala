@@ -23,6 +23,16 @@ object AnalyticsQueries {
     // hint would OOM executors at 100× where size-based AQE broadcast
     // correctly degrades to a shuffle join. At fixture scale AQE still
     // picks broadcast for customer — the hint bought nothing.
+    //
+    // ADJUDICATION of the standing ~11x-oracle bench row (min-of-5
+    // BenchAB `probe_star` at sf0.1, r13): REG (AQE decides) 1.476 s vs
+    // FORCED broadcast on orders+customer 1.367 s — the no-hint posture
+    // costs ~7 % at this scale and is the 100×-safe plan (the forced
+    // form broadcasts an SF-scaling 150 k-row orders side that becomes
+    // a multi-GB executor OOM at 100×). The 11× ratio is DuckDB's
+    // in-process hash-join floor on a 600 k-row star, not a plan defect:
+    // the same shape is 105 CPU-s/7.6 s at 60 M rows in ScaleBench,
+    // linear per 10×.
     Q("star_join_revenue",
       (s, dir) => {
         val li = TableIO.read(s, dir, "lineitem")

@@ -428,6 +428,58 @@ object CurationQueries {
              |            WHEN target_tokens % n_tokens = 0 THEN 1000000
              |            ELSE (CAST(target_tokens % n_tokens AS HUGEINT) * 1000000) // n_tokens END
              |         AS BIGINT) AS last_epoch_keep_ppm
-             |FROM p ORDER BY source""".stripMargin))
+             |FROM p ORDER BY source""".stripMargin)),
+
+    // X41-exec — the plan's EXECUTION face: epochs-1 full repetitions per
+    // source plus a ppm-drawn partial epoch, rolled up per source so the
+    // hash match proves the realized stream meets the plan (realized
+    // tokens land within one partial-epoch draw of target_tokens).
+    Q("mixture_execute",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val tok = size(split(col("text"), " ")).cast("long")
+        val plan = Curation.mixtureEpochPlan(docs, "source", tok, budgetTokens = 200000L)
+        Curation.mixtureExecute(docs, col("doc_id"), "source", tok, plan)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("__tok")).as("realized_tokens"),
+            (max("epoch") + 1).as("epochs_run"))
+          .join(plan.select(col("source"), col("target_tokens"), col("epochs")), "source")
+          .orderBy("source")
+      },
+      Some("""WITH inv AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT source, n_docs, n_tokens,
+             |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s_w
+             |      FROM inv),
+             |t AS (SELECT CAST(sum(s_w) AS BIGINT) AS w_total FROM w),
+             |pl AS (SELECT source, n_tokens,
+             |        (200000 // w_total) * s_w + ((200000 % w_total) * s_w) // w_total AS target_tokens
+             |      FROM w CROSS JOIN t),
+             |pl2 AS (SELECT source, target_tokens,
+             |        (target_tokens + n_tokens - 1) // n_tokens AS epochs,
+             |        CAST(CASE WHEN target_tokens = 0 THEN 0
+             |             WHEN target_tokens % n_tokens = 0 THEN 1000000
+             |             ELSE (CAST(target_tokens % n_tokens AS HUGEINT) * 1000000) // n_tokens END
+             |          AS BIGINT) AS last_epoch_keep_ppm
+             |      FROM pl),
+             |ep AS (SELECT source, epochs, last_epoch_keep_ppm,
+             |         unnest(range(0, epochs)) AS epoch FROM pl2 WHERE epochs > 0),
+             |d AS (SELECT source, doc_id,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+             |r AS (SELECT d.source, d.doc_id, d.tok, ep.epoch
+             |      FROM d JOIN ep USING (source)
+             |      WHERE ep.epoch < ep.epochs - 1 OR
+             |       (((((d.doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761)
+             |          % 1000000 + 1000000) % 1000000) < ep.last_epoch_keep_ppm)
+             |SELECT r.source, count(*) AS n_rows,
+             |       CAST(sum(r.tok) AS BIGINT) AS realized_tokens,
+             |       CAST(max(r.epoch) + 1 AS BIGINT) AS epochs_run,
+             |       first(pl2.target_tokens) AS target_tokens,
+             |       first(pl2.epochs) AS epochs
+             |FROM r JOIN pl2 ON r.source = pl2.source
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

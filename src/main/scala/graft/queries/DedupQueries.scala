@@ -18,16 +18,9 @@ object DedupQueries {
     s"coalesce(list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P})), -(doc_id & ${Dedup.SentinelMask}) - 2)"
   private val sigsSelect = Dedup.MinhashSeeds.zipWithIndex
     .map { case ((a, b), i) => s"${sigSql(a, b)} AS sig$i" }.mkString(",\n  ")
-  /** Mirror of Dedup.withBandKeys: band j packs its r RAW components as
-   * c0·P + c1 (null for short docs), then coalesces to the sentinel. */
-  private def rawSigSql(a: Long, b: Long) =
-    s"list_min(list_transform($shinglesSql, s -> (s * $a + $b) % ${Dedup.P}))"
-  private def bandKeySql(j: Int): String = {
-    val packed = (0 until Dedup.LshRowsPerBand)
-      .map { r => val (a, b) = Dedup.BandedSeeds(j * Dedup.LshRowsPerBand + r); rawSigSql(a, b) }
-      .reduce((acc, c) => s"(($acc) * ${Dedup.P} + $c)")
-    s"coalesce($packed, -(doc_id & ${Dedup.SentinelMask}) - 2)"
-  }
+  /** Mirror of Dedup.withBandKeys band j — shared with the pipeline
+   * composition oracle (OracleSql.bandKey). */
+  private def bandKeySql(j: Int): String = OracleSql.bandKey(j)
   private val prefixKeySql = OracleSql.prefixKey()
 
   val all: Seq[Q] = Seq(

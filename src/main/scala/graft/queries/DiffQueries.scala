@@ -231,6 +231,16 @@ object DiffQueries {
     // DiffData keys on (event_id, map_key). Target perturbation: every
     // 20th event's 'etype' row dropped (MISSING), every (20k+1)th event's
     // 'kval' value rewritten (MISMATCH).
+    //
+    // ADJUDICATION of the standing ~3.5x-oracle bench row (min-of-5
+    // BenchAB `probe_diff` at sf0.1, r13): REG (this form) 1.65 s vs
+    // NOCUT (no checkpoint) 1.60 s — the ~1.6 s is an intrinsic floor
+    // (2 M-row scan+explode+classify+global sort across two JVM-warmup
+    // passes), not a removable plan defect; the checkpoint is kept for
+    // the both-sides-one-lineage guarantee (a fixture artifact — real
+    // DiffData reads two independent tables and has no shared lineage to
+    // protect). No scale-killer: every stage is a keyed equi-join or
+    // map, linear in rows.
     Q("diff_after_explode",
       (s, dir) => {
         // The target is DERIVED from the origin lineage here (a fixture

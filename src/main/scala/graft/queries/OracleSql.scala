@@ -39,6 +39,19 @@ object OracleSql {
        |           + ${tokenHash("string_split(text,' ')[i+1]")} * 131
        |           + ${tokenHash("string_split(text,' ')[i+2]")}) % ${Dedup.P} AS BIGINT))""".stripMargin
 
+  /** Mirror of Dedup.withBandKeys band `j`: the band's r raw minhash
+   * components packed c0·P + c1 (null for short docs), coalesced to the
+   * per-doc sentinel. References columns `doc_id` and `text` of the
+   * enclosing FROM. */
+  def bandKey(j: Int): String = {
+    def rawSig(a: Long, b: Long) =
+      s"list_min(list_transform($shingles, s -> (s * $a + $b) % ${Dedup.P}))"
+    val packed = (0 until Dedup.LshRowsPerBand)
+      .map { r => val (a, b) = Dedup.BandedSeeds(j * Dedup.LshRowsPerBand + r); rawSig(a, b) }
+      .reduce((acc, c) => s"(($acc) * ${Dedup.P} + $c)")
+    s"coalesce($packed, -(doc_id & ${Dedup.SentinelMask}) - 2)"
+  }
+
   /** Mirror of Dedup.withChunkHashes: fixed-stride token-chunk rolling
    * hashes (empty for documents shorter than one chunk, matching the
    * Spark-side `< chunkSize` guard). */

@@ -59,7 +59,7 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some(s"""WITH base AS (SELECT doc_id, ${OracleSql.chunks(8)} AS arr FROM documents),
               |ch AS (SELECT doc_id, unnest(range(0, len(arr))) AS idx, unnest(arr) AS chunk FROM base),
-              |cdf AS (SELECT chunk, count(*) AS cdf
+              |cdf AS MATERIALIZED (SELECT chunk, count(*) AS cdf
               |        FROM (SELECT DISTINCT doc_id, chunk FROM ch) GROUP BY 1),
               |fl AS (SELECT ch.doc_id, ch.idx, cdf.cdf > 1 AS is_dup FROM ch JOIN cdf USING (chunk)),
               |tot AS (SELECT doc_id, count(*) AS n_chunks,
@@ -91,10 +91,10 @@ object PipelineQueries {
               |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n,
               |                  ${OracleSql.chunks(8)} AS arr FROM documents),
               |ch AS (SELECT doc_id, unnest(range(0, len(arr))) AS idx, unnest(arr) AS chunk FROM t),
-              |cdf AS (SELECT chunk, count(*) AS cdf
+              |cdf AS MATERIALIZED (SELECT chunk, count(*) AS cdf
               |        FROM (SELECT DISTINCT doc_id, chunk FROM ch) GROUP BY 1),
               |fl AS (SELECT ch.doc_id, ch.idx, cdf.cdf > 1 AS is_dup FROM ch JOIN cdf USING (chunk)),
-              |kept AS (SELECT doc_id,
+              |kept AS MATERIALIZED (SELECT doc_id,
               |         array_agg(idx ORDER BY idx) FILTER (WHERE NOT is_dup) AS ki
               |         FROM fl GROUP BY 1)
               |SELECT t.doc_id,
@@ -290,6 +290,109 @@ object PipelineQueries {
               |SELECT a.s AS src_a, b.s AS src_b, count(*) AS n_shared
               |FROM ks a JOIN ks b ON a.k = b.k AND a.s < b.s
               |GROUP BY 1, 2
-              |ORDER BY 1, 2""".stripMargin))
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // X42 — the END-TO-END curation pipeline composition (ext/Pipeline):
+    // Gopher rules → span-dedup rewrite → verified near-dup drop →
+    // Bloom eval-decontamination → temperature sampling → sequence
+    // packing, with the per-stage doc/token census a run ledger records.
+    // The oracle chains each stage's existing CTE mirror over the
+    // PREVIOUS stage's output — the hash match proves the composition,
+    // not just the parts.
+    Q("pipeline_e2e",
+      (s, dir) => graft.ext.Pipeline.curationPipeline(
+        TableIO.read(s, dir, "documents"), "doc_id", "text", "lang", "source",
+        bounds = TextOps.GopherBounds(minWords = 20, maxWords = 80)),
+      Some {
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+          .map(x => s"'$x'").mkString(", ")
+        val bands = (0 until Dedup.LshBands)
+          .map(j => s"SELECT doc_id, $j AS band, ${OracleSql.bandKey(j)} AS bkey FROM k2")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH tr AS (SELECT doc_id, text, lang FROM documents WHERE source <> 'src0'),
+           |gsig AS (SELECT doc_id,
+           |  CAST(len(w) AS BIGINT) AS n_words,
+           |  round(CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE)
+           |        / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+           |  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           |        / CAST(len(w) AS DOUBLE), 6) AS frac_alpha,
+           |  CAST(len(list_filter(w, x -> x IN ($stop))) AS BIGINT) AS n_stop,
+           |  CASE WHEN len(w) > 0
+           |       THEN round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+           |                        / CAST(len(w) AS DOUBLE), 6)
+           |       ELSE 0.0 END AS dup_frac
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tr)),
+           |k1 AS MATERIALIZED (SELECT tr.* FROM tr JOIN gsig USING (doc_id)
+           |  WHERE NOT (n_words < 20 OR n_words > 80)
+           |    AND NOT (mean_word_len < 3.0 OR mean_word_len > 10.0)
+           |    AND frac_alpha >= 0.8 AND n_stop >= 2 AND dup_frac < 0.5),
+           |t2 AS MATERIALIZED (SELECT doc_id, lang, string_split(text,' ') AS toks,
+           |              CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+           |              ${OracleSql.chunks(8)} AS arr FROM k1),
+           |ch AS (SELECT doc_id, unnest(range(0, len(arr))) AS idx, unnest(arr) AS chunk FROM t2),
+           |cdf AS MATERIALIZED (SELECT chunk, count(*) AS cdf
+           |        FROM (SELECT DISTINCT doc_id, chunk FROM ch) GROUP BY 1),
+           |fl AS (SELECT ch.doc_id, ch.idx, cdf.cdf > 1 AS is_dup FROM ch JOIN cdf USING (chunk)),
+           |kept AS MATERIALIZED (SELECT doc_id,
+           |         array_agg(idx ORDER BY idx) FILTER (WHERE NOT is_dup) AS ki
+           |         FROM fl GROUP BY 1),
+           |k2 AS MATERIALIZED (SELECT t2.doc_id, t2.lang,
+           |  coalesce(array_to_string(
+           |    flatten(list_transform(coalesce(kept.ki, []), i -> t2.toks[i*8+1 : i*8+8]))
+           |      || t2.toks[t2.n // 8 * 8 + 1 : t2.n], ' '), '') AS text,
+           |  CAST(len(flatten(list_transform(coalesce(kept.ki, []), i -> t2.toks[i*8+1 : i*8+8])))
+           |       + (t2.n - t2.n // 8 * 8) AS BIGINT) AS n_tok
+           |  FROM t2 LEFT JOIN kept ON t2.doc_id = kept.doc_id
+           |  WHERE CAST(len(flatten(list_transform(coalesce(kept.ki, []), i -> t2.toks[i*8+1 : i*8+8])))
+           |       + (t2.n - t2.n // 8 * 8) AS BIGINT) > 0),
+           |b AS (
+           |  $bands),
+           |sized AS (SELECT doc_id, band, bkey,
+           |          count(*) OVER (PARTITION BY band, bkey) AS bsize FROM b),
+           |capped AS (SELECT * FROM sized WHERE bsize <= 50),
+           |pp AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+           |       FROM capped a JOIN capped b2
+           |         ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+           |       GROUP BY 1, 2),
+           |sets AS MATERIALIZED (SELECT doc_id, list_distinct(${OracleSql.shingles}) AS sh FROM k2),
+           |drops AS (SELECT DISTINCT id_b AS doc_id FROM pp
+           |  JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+           |k3 AS MATERIALIZED (SELECT * FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+           |ev AS (SELECT DISTINCT unnest(${OracleSql.shingles}) AS sh
+           |       FROM documents WHERE source = 'src0'),
+           |cont AS (SELECT DISTINCT doc_id
+           |         FROM (SELECT doc_id, unnest(${OracleSql.shingles}) AS sh FROM k3) tsh
+           |         JOIN ev USING (sh)),
+           |k4 AS MATERIALIZED (SELECT * FROM k3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           |c5 AS (SELECT lang, count(*) AS n FROM k4 GROUP BY 1),
+           |m5 AS (SELECT min(n) AS nmin FROM c5),
+           |kp AS (SELECT lang, CAST(floor((1000000.0 * sqrt(CAST(nmin AS DOUBLE)))
+           |                    / sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS keep_ppm
+           |       FROM c5 CROSS JOIN m5),
+           |k5 AS MATERIALIZED (SELECT k4.* FROM k4 JOIN kp USING (lang)
+           |       WHERE (((((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761)
+           |               % 1000000 + 1000000) % 1000000) < keep_ppm),
+           |p6 AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lt FROM k5 GROUP BY 1),
+           |sq AS (SELECT CAST(coalesce(sum((lt + 511) // 512), 0) AS BIGINT) AS n_seqs FROM p6)
+           |SELECT * FROM (
+           |  SELECT 0 AS stage_idx, 'ingest' AS stage, (SELECT count(*) FROM tr) AS n_docs,
+           |    (SELECT CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT) FROM tr) AS n_tokens,
+           |    CAST(0 AS BIGINT) AS n_seqs
+           |  UNION ALL SELECT 1, 'gopher', (SELECT count(*) FROM k1),
+           |    (SELECT CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT) FROM k1), 0
+           |  UNION ALL SELECT 2, 'span_dedup', (SELECT count(*) FROM k2),
+           |    (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k2), 0
+           |  UNION ALL SELECT 3, 'neardup_drop', (SELECT count(*) FROM k3),
+           |    (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k3), 0
+           |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM k4),
+           |    (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k4), 0
+           |  UNION ALL SELECT 5, 'temperature', (SELECT count(*) FROM k5),
+           |    (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k5), 0
+           |  UNION ALL SELECT 6, 'pack', (SELECT count(*) FROM k5),
+           |    (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k5), (SELECT n_seqs FROM sq)
+           |) ORDER BY stage_idx""".stripMargin
+      })
   )
 }
