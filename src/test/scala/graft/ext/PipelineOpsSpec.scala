@@ -304,4 +304,72 @@ class PipelineOpsSpec extends SparkSpec {
       .select("src_a", "src_b", "n_shared").as[(String, String, Long)].collect().toSeq
     assert(out === Seq(("sA", "sB", 2L), ("sA", "sC", 2L), ("sB", "sC", 1L)))
   }
+
+  // ---- mixtureExecute ------------------------------------------------------
+
+  test("mixtureExecute realizes the epoch plan: full repeats exact, partial epoch in bounds") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val tok = size(split(col("text"), " ")).cast("long")
+    val plan = Curation.mixtureEpochPlan(docs, "source", tok, budgetTokens = 200000L)
+    val realized = Curation.mixtureExecute(docs, col("doc_id"), "source", tok, plan)
+      .groupBy("source").agg(sum("__tok").as("rt"), count(lit(1)).as("nr"))
+      .join(plan, "source")
+      .collect()
+    assert(realized.nonEmpty)
+    realized.foreach { r =>
+      val (rt, tgt, ep, nt) = (r.getAs[Long]("rt"), r.getAs[Long]("target_tokens"),
+        r.getAs[Long]("epochs"), r.getAs[Long]("n_tokens"))
+      // structural bounds: epochs-1 full corpus passes always present,
+      // the partial epoch can add at most one more full pass
+      assert(rt >= (ep - 1) * nt && rt <= ep * nt,
+        s"source ${r.getAs[String]("source")}: realized $rt outside [${(ep - 1) * nt}, ${ep * nt}]")
+      // the ppm draw tracks the target: within 20% of a full epoch's mass
+      assert(math.abs(rt - tgt) <= math.max(nt / 5, 1L),
+        s"source ${r.getAs[String]("source")}: realized $rt vs target $tgt drifted > nt/5")
+    }
+    // determinism: same plan, same stream
+    val again = Curation.mixtureExecute(docs, col("doc_id"), "source", tok, plan)
+      .groupBy("source").agg(sum("__tok").as("rt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(realized.map(r => r.getAs[String]("source") -> r.getAs[Long]("rt")).toMap == again)
+  }
+
+  test("mixtureExecute: zero-target source emits nothing (no descending-sequence hazard)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = Seq((1L, "a b c", "big"), (2L, "d e", "big")).toDF("doc_id", "text", "source")
+    val plan = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("big", 0L, 0L), Row("ghost", 0L, 0L)),
+      StructType(Seq(StructField("source", StringType),
+        StructField("epochs", LongType), StructField("last_epoch_keep_ppm", LongType))))
+    val out = Curation.mixtureExecute(docs, col("doc_id"), "source",
+      size(split(col("text"), " ")).cast("long"), plan)
+    assert(out.count() == 0L)
+  }
+
+  // ---- curationPipeline ----------------------------------------------------
+
+  test("pipeline_e2e census: monotone doc/token mass, consistent packing total") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val census = Pipeline.curationPipeline(docs, "doc_id", "text", "lang", "source",
+        bounds = TextOps.GopherBounds(minWords = 20, maxWords = 80))
+      .collect()
+    assert(census.length == 7)
+    assert(census.map(_.getAs[String]("stage")).toSeq ==
+      Seq("ingest", "gopher", "span_dedup", "neardup_drop", "decontaminate", "temperature", "pack"))
+    val docsSeq = census.map(_.getAs[Long]("n_docs"))
+    val tokSeq = census.map(_.getAs[Long]("n_tokens"))
+    // drops only (the pack stage keeps stage-5 counts verbatim)
+    assert(docsSeq.sliding(2).forall(p => p(1) <= p(0)), s"docs grew: ${docsSeq.toSeq}")
+    assert(tokSeq.sliding(2).forall(p => p(1) <= p(0)), s"tokens grew: ${tokSeq.toSeq}")
+    assert(docsSeq.last > 0, "pipeline emptied the fixture corpus")
+    // every stage must actually bite on the fixture corpus at least once
+    assert(docsSeq.distinct.length >= 3, s"census suspiciously flat: ${docsSeq.toSeq}")
+    val packRow = census.last
+    val nSeqs = packRow.getAs[Long]("n_seqs")
+    // packing covers the surviving token mass at 512/sequence
+    assert(nSeqs >= (tokSeq.last + 511) / 512 && nSeqs <= tokSeq.last / 512 + 13,
+      s"n_seqs $nSeqs inconsistent with ${tokSeq.last} tokens")
+  }
 }
