@@ -705,16 +705,18 @@ object Dedup {
    * looks tame, because a long run concentrated in one place reads very
    * differently from the same mass scattered as boilerplate.
    *
-   * Plan — SINGLE-lineage, one text scan (a join-back formulation would
-   * recompute the explode per DAG branch — at 100 TB the scan is the
-   * cost):
+   * Plan — the chunk pipeline is staged ONCE (lazy localCheckpoint, the
+   * library-wide discipline: the dup-chunk table and the flag join both
+   * consume it; unstaged, each branch re-chunks the corpus):
    *  1. posexplode the staged chunk hashes (keeps the in-doc index);
-   *  2. cross-doc df in ONE pass over the exploded rows: inside each
-   *     `chunk` partition, mark the first row of every doc (lag), then
-   *     sum marks over the whole partition — both windows share
-   *     hashpartitioning(chunk), so the df costs one exchange and counts
-   *     DISTINCT docs (repetition inside one doc is self-similarity,
-   *     not cross-corpus duplication);
+   *  2. cross-doc df as two map-side-combined groupBys + a SHUFFLE_HASH
+   *     flag join (the [[dedupSpans]] shape; counts DISTINCT docs —
+   *     repetition inside one doc is self-similarity, not cross-corpus
+   *     duplication). The previous form derived the flag with lag + sum
+   *     over `Window.partitionBy(__chunk)` — a content key: every
+   *     occurrence of a corpus-wide boilerplate chunk (the exact chunk
+   *     this operator exists to flag) funneled through the one reducer
+   *     that owned it, with a sort, unsplittable by AQE;
    *  3. one exchange on the doc id carries everything else: totals as
    *     unordered windows, gaps-and-islands via a running dup count
    *     (idx − cumulative-dup-rank is constant exactly along a
@@ -731,14 +733,15 @@ object Dedup {
       .withColumnRenamed("pos", "__idx")
       .withColumnRenamed("col", "__chunk")
       .filter(col("__chunk").isNotNull)
-    val byChunk = Window.partitionBy("__chunk").orderBy(idCol, "__idx")
-    val chunkAll = Window.partitionBy("__chunk")
-    val prevDoc = lag(col(idCol), 1).over(byChunk)
+      .localCheckpoint(eager = false)
+    val dupChunks = chunks.select(col("__chunk"), col(idCol)).distinct()
+      .groupBy("__chunk").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1L)
+      .select(col("__chunk"), lit(true).as("__dup0"))
     val flagged = chunks
-      .withColumn("__newdoc",
-        when(prevDoc.isNull || prevDoc =!= col(idCol), 1L).otherwise(0L))
-      .withColumn("__dup", sum("__newdoc").over(chunkAll) > 1L)
-      .drop("__newdoc")
+      .join(dupChunks.hint("SHUFFLE_HASH"), Seq("__chunk"), "left_outer")
+      .withColumn("__dup", coalesce(col("__dup0"), lit(false)))
+      .drop("__dup0")
     val byDoc = Window.partitionBy(idCol)
     val byDocIdx = Window.partitionBy(idCol).orderBy("__idx")
     val perDoc = flagged

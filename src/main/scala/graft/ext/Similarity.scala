@@ -436,7 +436,11 @@ object Similarity {
    */
   def knnGraphMutual(emb: DataFrame, k: Int, planes: Int = LshPlanes,
       bucketCap: Long = 10000L): DataFrame = {
+    // the slim (src, dst, cos6) edge list is staged once: the mutuality
+    // self-join consumes it twice, and unstaged the whole candidate
+    // pipeline (bucket join + rank) would execute once per side
     val directed = knnDirected(emb, k, planes, bucketCap)
+      .localCheckpoint(eager = false)
     directed.as("a")
       .join(directed.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
@@ -546,87 +550,97 @@ object Similarity {
         s"got bands=$bands bandPlanes=$bandPlanes")
     require(Set(1, 2, 4).contains(probes), s"probes must be 1, 2 or 4, got $probes")
     require(probes == 1 || bandPlanes >= 2, "multi-probe needs at least 2 planes per band")
-    // staged ONCE for all bands (norm computed once; each band's three
-    // consumers — cap count + two join sides — re-derive only the cheap
-    // per-band bucket hash from the cache, never the parquet scan)
+    // ONE melted pipeline — one cap gate, one (band, bucket) join, one
+    // native-GroupTopK rank — not a per-band loop (the loop form ran
+    // `bands` gate jobs and `bands` separate join stages)
     val base = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-      .localCheckpoint(eager = false)
     val topk = org.apache.spark.sql.graft.plans.GroupTopK
-    // per band: bucket join → pairs → NATIVE GroupTopK (bounded heaps;
-    // the partial exec caps each partition's output at k rows per query
-    // BEFORE any exchange — the massive pair stream never shuffles).
-    // Global top-k over the deduped union of band candidates equals the
-    // merge of per-band top-k's: a band's candidates are a subset of the
-    // union's, so any globally-top-k pair is top-k in every band that
-    // produced it.
-    val perBand = (0 until bands).map { b =>
-      // plane dots staged as columns so the bucket bits and the probe
-      // margins share one evaluation per consumer
-      val dcols = (0 until bandPlanes).map(j => s"__d$j")
-      val dotted = base.select(
-        col("vec_id") +: col("embedding") +: col("nrm") +:
-          (0 until bandPlanes).map { j =>
-            val plane = array((0 until VecDim).map(i =>
-              lit(planeComponent(b * bandPlanes + j, i))): _*)
-            dot(col("embedding"), plane).as(s"__d$j")
-          }: _*)
-        .withColumn("bucket",
-          dcols.zipWithIndex.map { case (d, j) =>
-            when(col(d) > 0, lit(1L << j)).otherwise(lit(0L))
-          }.reduce(_ + _))
-      // hot-key-safe per-band cap on the TRUE bucket; stage = false
-      // because `base` is already checkpointed above (re-staging per band
-      // would cache the embedding frame `bands` times over)
-      val bb = HotKeys.dropOverCap(dotted, Seq("bucket"), bucketCap, stage = false)
-      val idx = bb.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
-        col("bucket"))
-      val qry =
-        if (probes == 1)
-          bb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_norm"), col("bucket"))
+    // one projection computes every band's plane dots (shared by the
+    // bucket bits AND the probe margins), then per band the true bucket
+    // and the probe set, folded into a struct for the melt
+    val allDots = for (b <- 0 until bands; j <- 0 until bandPlanes) yield {
+      val plane = array((0 until VecDim).map(i =>
+        lit(planeComponent(b * bandPlanes + j, i))): _*)
+      dot(col("embedding"), plane).as(s"__d${b}_$j")
+    }
+    var cur = base.select(
+      col("vec_id") +: col("embedding") +: col("nrm") +: allDots: _*)
+    (0 until bands).foreach { b =>
+      val dnames = (0 until bandPlanes).map(j => s"__d${b}_$j")
+      cur = cur.withColumn(s"__bk$b",
+        dnames.zipWithIndex.map { case (d, j) =>
+          when(col(d) > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _))
+      cur =
+        if (probes == 1) cur.withColumn(s"__pb$b", array(col(s"__bk$b")))
         else {
           // margin argmin: first occurrence of the minimum — ties break
           // to the lowest plane index in both engines
-          val withM = bb
-            .withColumn("__mg", array(dcols.map(d => abs(col(d))): _*))
-            .withColumn("__m1",
-              (array_position(col("__mg"), array_min(col("__mg"))) - 1).cast("int"))
-          val probed =
-            if (probes == 2)
-              withM.withColumn("__pb", array(col("bucket"),
-                expr("bucket ^ shiftleft(CAST(1 AS BIGINT), __m1)")))
-            else
-              // second-lowest margin: mask slot m1 to +inf, argmin again
-              withM
-                .withColumn("__mm", expr(
-                  s"""transform(sequence(0, ${bandPlanes - 1}), j ->
-                     |  CASE WHEN j = __m1 THEN CAST('Infinity' AS DOUBLE)
-                     |       ELSE element_at(__mg, j + 1) END)""".stripMargin))
-                .withColumn("__m2",
-                  (array_position(col("__mm"), array_min(col("__mm"))) - 1).cast("int"))
-                .withColumn("__pb", expr(
-                  """array(bucket,
-                    |  bucket ^ shiftleft(CAST(1 AS BIGINT), __m1),
-                    |  bucket ^ shiftleft(CAST(1 AS BIGINT), __m2),
-                    |  bucket ^ shiftleft(CAST(1 AS BIGINT), __m1)
-                    |         ^ shiftleft(CAST(1 AS BIGINT), __m2))""".stripMargin))
-          probed.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_norm"), explode(col("__pb")).as("bucket"))
+          val m = cur
+            .withColumn(s"__mg$b", array(dnames.map(d => abs(col(d))): _*))
+            .withColumn(s"__m1$b",
+              (array_position(col(s"__mg$b"), array_min(col(s"__mg$b"))) - 1).cast("int"))
+          if (probes == 2)
+            m.withColumn(s"__pb$b", array(col(s"__bk$b"),
+              expr(s"__bk$b ^ shiftleft(CAST(1 AS BIGINT), __m1$b)")))
+          else
+            // second-lowest margin: mask slot m1 to +inf, argmin again
+            m.withColumn(s"__mm$b", expr(
+                s"""transform(sequence(0, ${bandPlanes - 1}), j ->
+                   |  CASE WHEN j = __m1$b THEN CAST('Infinity' AS DOUBLE)
+                   |       ELSE element_at(__mg$b, j + 1) END)""".stripMargin))
+              .withColumn(s"__m2$b",
+                (array_position(col(s"__mm$b"), array_min(col(s"__mm$b"))) - 1).cast("int"))
+              .withColumn(s"__pb$b", expr(
+                s"""array(__bk$b,
+                   |  __bk$b ^ shiftleft(CAST(1 AS BIGINT), __m1$b),
+                   |  __bk$b ^ shiftleft(CAST(1 AS BIGINT), __m2$b),
+                   |  __bk$b ^ shiftleft(CAST(1 AS BIGINT), __m1$b)
+                   |         ^ shiftleft(CAST(1 AS BIGINT), __m2$b))""".stripMargin))
         }
-      val pairs = qry
-        .join(idx, Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          round(cosineFrom(dot(col("q_emb"), col("embedding")),
-            col("q_norm"), col("c_norm")), 6).as("cos6"))
-      topk.topkPerKey(pairs, Seq("query_id"),
-        Seq(col("cos6").desc, col("vec_id").asc), k)
     }
-    // cross-band dedup over ≤ bands·k rows per query (a pair co-occurring
-    // in several bands carries the same cos6 — max = dedup), then the
-    // final merge rank
-    val merged = perBand.reduce(_ union _)
+    // staged ONCE at one row per vector, AFTER the plane dots fold into
+    // buckets/probe sets: every consumer below (the cap gate, both join
+    // sides) re-derives only the cheap melt from this cache, and the
+    // bands·bandPlanes dot products run exactly one pass over the corpus.
+    // Staging BEFORE this projection (the first cut) made each consumer
+    // re-evaluate all ~60 dots + probe argmins per row — a projection
+    // that large also exceeds the whole-stage-codegen method budget and
+    // drops to interpreted eval (measured 5x on the banded family).
+    val staged = cur.select(
+        col("vec_id") +: col("embedding") +: col("nrm") +:
+          (0 until bands).flatMap(b => Seq(col(s"__bk$b"), col(s"__pb$b"))): _*)
+      .localCheckpoint(eager = false)
+    // melt to (vec_id, embedding, nrm, band, bucket, probe set); the cap
+    // is ONE hot-key-safe gate on the composite (band, bucket) key —
+    // identical semantics to a per-band cap on bucket. stage = false:
+    // the pre-melt frame is already checkpointed above.
+    val melted = staged.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until bands).map(b =>
+          struct(col(s"__bk$b").as("bk"), col(s"__pb$b").as("pb"))): _*))
+          .as(Seq("band", "z")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("band"),
+        col("z.bk").as("bucket"), col("z.pb").as("__pb"))
+    val capped = HotKeys.dropOverCap(melted, Seq("band", "bucket"), bucketCap, stage = false)
+    val idx = capped.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
+      col("band"), col("bucket"))
+    val qry = capped.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_norm"), col("band"), explode(col("__pb")).as("bucket"))
+    val pairs = qry
+      .join(idx, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("band"), col("vec_id"),
+        round(cosineFrom(dot(col("q_emb"), col("embedding")),
+          col("q_norm"), col("c_norm")), 6).as("cos6"))
+    // NATIVE GroupTopK keyed (query, band) == the per-band top-k: bounded
+    // partial heaps cap output at k rows per (query, band) BEFORE any
+    // exchange — the massive pair stream never shuffles. Global top-k
+    // over the deduped union of band candidates equals the merge of
+    // per-band top-k's: a band's candidates are a subset of the union's,
+    // so any globally-top-k pair is top-k in every band that produced it.
+    val merged = topk.topkPerKey(pairs, Seq("query_id", "band"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
       .groupBy("query_id", "vec_id").agg(max("cos6").as("cos6"))
     topk.topkPerKey(merged, Seq("query_id"),
         Seq(col("cos6").desc, col("vec_id").asc), k)
@@ -637,7 +651,12 @@ object Similarity {
    * the same reversed-pair mutuality join as [[knnGraphMutual]]. */
   def knnGraphBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
       bucketCap: Long = 10000L, probes: Int = 1): DataFrame = {
+    // staged once — the mutuality self-join reads it twice (see
+    // knnGraphMutual); the banded pipeline is the most expensive
+    // candidate generator in the library, so the double execution was
+    // measured, not hypothetical
     val directed = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap, probes)
+      .localCheckpoint(eager = false)
     directed.as("a")
       .join(directed.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
@@ -712,6 +731,7 @@ object Similarity {
   def knnGraphIncremental(base: DataFrame, delta: DataFrame, baseDirected: DataFrame,
       k: Int, planes: Int = LshPlanes, bucketCap: Long = 10000L): DataFrame = {
     val directed = knnDirectedIncremental(base, delta, baseDirected, k, planes, bucketCap)
+      .localCheckpoint(eager = false)
     directed.as("a")
       .join(directed.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))

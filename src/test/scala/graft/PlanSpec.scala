@@ -282,16 +282,24 @@ class PlanSpec extends SparkSpec {
       s"bloom probe not below the distinct exchange (probe@$probeAt, exchange@$exchangeAt)")
   }
 
-  test("dup-span stats is single-lineage: one text scan, two keyed exchanges") {
-    val p = plan(graft.ext.Dedup.dupSpanStats(
-      TableIO.read(spark, Sf, "documents"), "doc_id", "text"))
-    // one exchange on the chunk hash (df windows), one on the doc id
-    // (totals + islands + both groupBys reuse it); a join-back
-    // formulation would re-scan and re-explode the text per branch
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges == 2, s"expected 2 keyed exchanges, got $exchanges:\n${p.take(3000)}")
+  test("dup-span stats: staged chunk pipeline, no window on the chunk key, text never recomputes") {
+    val df = graft.ext.Dedup.dupSpanStats(
+      TableIO.read(spark, Sf, "documents"), "doc_id", "text")
+    val p = plan(df)
+    // the chunk pipeline is staged once (checkpoint) — the text explode
+    // must not appear in the final plan at all, for ANY branch
     val textScans = "split\\(text".r.findAllIn(p).size
-    assert(textScans == 1, s"text pipeline recomputed ($textScans scan sites)")
+    assert(textScans == 0, s"text pipeline recomputed ($textScans scan sites)")
+    assert(p.contains("ExistingRDD"), s"chunk pipeline not staged:\n${p.take(2000)}")
+    // the cross-doc df comes from map-side-combined groupBys + a
+    // SHUFFLE_HASH flag join — never a window keyed on the chunk hash
+    // (a content key: a boilerplate chunk would own one reducer)
+    assert(!"windowspecdefinition\\(__chunk".r.findFirstIn(p).isDefined,
+      s"window on the chunk content key:\n${p.take(3000)}")
+    assert(p.contains("ShuffledHashJoin"), s"flag join not SHUFFLE_HASH:\n${p.take(3000)}")
+    // per-doc windows remain doc-keyed (bounded groups)
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
+      s"doc-keyed windows missing:\n${p.take(3000)}")
   }
 
   test("fuzzy linkage: equi-join on the block key, per-partition top-1 before the shuffle") {
