@@ -479,6 +479,31 @@ object ScaleBench {
           graft.ext.Similarity.knnGraphBanded(emb, k = 4, bands = bands,
             bandPlanes = bandPlanes, bucketCap = 2000L)
         }),
+      // the r13 multi-probe recall lever under the SAME P' growth
+      // contract: 2 probes double per-band candidate volume by a
+      // CONSTANT, so the curve must stay linear with roughly 2x the
+      // knn_banded cost — the "measured linear cost" half of the
+      // >=500k-ppm recall claim
+      ("knn_banded_multiprobe", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
+          val bands = 3
+          val rule = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
+          val bandPlanes = math.min(rule + (math.log(bands.toDouble) / math.log(2)).ceil.toInt, 20)
+          graft.ext.Similarity.knnGraphBanded(emb, k = 4, bands = bands,
+            bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2)
+        }),
+      // the r13 end-to-end pipeline composition over the near-dup-heavy
+      // docs corpus: six chained stages, each staged once; the claim is
+      // that COMPOSITION adds no super-linear term beyond its parts
+      ("pipeline_e2e", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val d = staged(s, "docs", n)(docs(s, n))
+          graft.ext.Pipeline.curationPipeline(
+            d.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+            "doc_id", "text", "lang", "source",
+            bounds = graft.ext.TextOps.GopherBounds(minWords = 20, maxWords = 80))
+        }),
       // incremental kNN maintenance with a realistic 1% ingest batch;
       // the stored state (base directed edges) is STAGED — the measured
       // cost is the per-batch ingest. The op's floor is one linear
