@@ -440,7 +440,8 @@ object Curation {
    */
   def mixtureExecute(df: DataFrame, idCol: Column, sourceCol: String,
       tokensPerRow: Column, plan: DataFrame): DataFrame = {
-    requireFreeColumns(df, Seq("__id", "__tok", "epoch", "epochs", "last_epoch_keep_ppm"))
+    requireFreeColumns(df, Seq("__id", "__tok", "epoch", "epochs", "last_epoch_keep_ppm") ++
+      (if (sourceCol != "source") Seq("source") else Nil))
     df.select(col(sourceCol).as("source"), idCol.cast("long").as("__id"),
         tokensPerRow.cast("long").as("__tok"))
       .join(broadcast(plan.select(col("source"), col("epochs"),
@@ -450,6 +451,6 @@ object Curation {
       .filter(col("epoch") < col("epochs") - 1 ||
         pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L), lit(1000000L))
           < col("last_epoch_keep_ppm"))
-      .select(col("source"), col("__id"), col("epoch"), col("__tok"))
+      .select(col("source").as(sourceCol), col("__id"), col("epoch"), col("__tok"))
   }
 }

@@ -36,13 +36,35 @@ import org.apache.spark.sql.functions._
  *  4. broadcast that over-cap key list and LEFT ANTI join it map-side —
  *     the hot key's instance rows then never shuffle at all. The
  *     broadcast is GATED (SURVEY §7.5 rule 8: broadcast only behind size
- *     checks): the over-cap key count is measured first, and above
- *     `maxBroadcastKeys` the anti-join falls back to a SHUFFLE_HASH
- *     join — still AQE-skew-splittable, never a driver OOM. Hitting the
- *     gate means more than `maxBroadcastKeys × cap` rows are
- *     pathological mass — a data-quality fire worth surfacing, which is
- *     why the fallback logs through the plan (the join strategy is
- *     visible in `explain`) rather than silently absorbing it.
+ *     checks) on BOTH dimensions: the over-cap key count AND an
+ *     estimated byte size (per-key serialized width + hash-relation
+ *     overhead — a 4M-row gate alone would still admit a multi-hundred-
+ *     MB broadcast of wide string keys). Above `maxBroadcastKeys` rows
+ *     or `maxBroadcastBytes` estimated bytes the anti-join falls back
+ *     to a SHUFFLE_HASH join — still AQE-skew-splittable, never a
+ *     driver OOM. Hitting the gate means pathological mass at
+ *     `maxBroadcastKeys × cap` row scale — a data-quality fire worth
+ *     surfacing, which is why the fallback shows in `explain` (the join
+ *     strategy is visible) rather than being silently absorbed.
+ *
+ * Adaptive shape (the decision the round-13 review asked for): the gate
+ * aggregate already measures the over-cap key count before a plan is
+ * chosen, so when NOTHING exceeds the cap the join is skipped entirely
+ * and the staged input is returned as-is — cheaper than both the
+ * anti-join and the window form. When something does exceed it, the
+ * anti-join shape is kept UNCONDITIONALLY (never the window form): the
+ * window's only advantage is avoiding the count shuffle, which the gate
+ * has already paid, and its reducer time grows with the hot key's mass
+ * (the `hotkey_megabucket` ScaleBench measurement) — exactly the case
+ * where a cap exists to begin with.
+ *
+ * Storage lifetime: with `stage = true` the lazy `localCheckpoint` of
+ * the input stays pinned in executor storage for the lifetime of the
+ * returned DataFrame's plan (Spark has no reliable "after last consumer"
+ * hook for a lazily-materialized checkpoint). Batch jobs — every caller
+ * in this library — release it with the session. A long-lived session
+ * issuing many capped frames should pass an already-staged input with
+ * `stage = false` and manage its own persistence scope.
  *
  * Null keys match the window semantics exactly: the anti-join condition
  * uses null-safe equality (`<=>`), so an over-cap null-key group is
@@ -67,24 +89,42 @@ object HotKeys {
    *              lineage is a cheap pruned scan.
    * @param maxBroadcastKeys gate on the broadcast anti-join: above this
    *              many over-cap key rows, fall back to SHUFFLE_HASH.
+   * @param maxBroadcastBytes second gate dimension: above this many
+   *              ESTIMATED bytes of over-cap keys (serialized key width
+   *              plus ~48 B/row hash-relation overhead), fall back to
+   *              SHUFFLE_HASH even when the row gate would admit them —
+   *              4M rows of wide string keys is still a driver hazard.
    */
   def dropOverCap(df: DataFrame, keyCols: Seq[String], cap: Long,
-      stage: Boolean = true, maxBroadcastKeys: Int = 4000000): DataFrame = {
+      stage: Boolean = true, maxBroadcastKeys: Int = 4000000,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(cap >= 1, s"cap must be positive, got $cap")
     require(maxBroadcastKeys >= 0 && maxBroadcastKeys < Int.MaxValue,
       s"maxBroadcastKeys out of range: $maxBroadcastKeys")
+    require(maxBroadcastBytes >= 0L, s"maxBroadcastBytes must be >= 0: $maxBroadcastBytes")
     val src = if (stage) df.localCheckpoint(eager = false) else df
     val over = src.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__hk_n"))
       .filter(col("__hk_n") > cap)
       .select(keyCols.map(k => col(k).as(s"__hk_$k")): _*)
     val cond = keyCols.map(k => col(k) <=> col(s"__hk_$k")).reduce(_ && _)
-    // the gate count is an agg over the staged input — it materializes
-    // the checkpoint (paying the caller's lineage exactly once) and
-    // returns at most maxBroadcastKeys+1 rows of counting work beyond it
-    val nOver = over.limit(maxBroadcastKeys + 1).count()
-    if (nOver <= maxBroadcastKeys) src.join(broadcast(over), cond, "left_anti")
+    // the gate is an agg over the staged input — it materializes the
+    // checkpoint (paying the caller's lineage exactly once) and touches
+    // at most maxBroadcastKeys+1 over-cap key rows beyond it. Key width
+    // is estimated from the string rendering (exact for strings, a sane
+    // proxy for numerics/structs) plus per-row hash-relation overhead.
+    val rowWidth = keyCols.map(k =>
+        coalesce(octet_length(col(s"__hk_$k").cast("string")).cast("long"), lit(8L)))
+      .reduce(_ + _) + lit(48L)
+    val gate = over.limit(maxBroadcastKeys + 1)
+      .agg(count(lit(1)).as("n"), coalesce(sum(rowWidth), lit(0L)).as("bytes"))
+      .head()
+    val nOver = gate.getLong(0)
+    val estBytes = gate.getLong(1)
+    if (nOver == 0L) src // nothing over cap: no join needed at all
+    else if (nOver <= maxBroadcastKeys && estBytes <= maxBroadcastBytes)
+      src.join(broadcast(over), cond, "left_anti")
     else src.join(over.hint("SHUFFLE_HASH"), cond, "left_anti")
   }
 

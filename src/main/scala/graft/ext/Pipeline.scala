@@ -47,6 +47,11 @@ object Pipeline {
       bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
       chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50,
       seqLen: Long = 512L): DataFrame = {
+    // fail-fast on the working-column names the stages introduce onto
+    // frames derived from `docs` (sibling-operator convention; the
+    // stage-2 join would otherwise be ambiguous at runtime)
+    graft.ops.SqlTypes.requireFreeColumns(docs,
+      Seq("n_kept_tokens", "kept_text", "keep", "sh", Dedup.ShinglesCol))
     // whitespace token count, the census unit both engines agree on
     // (len(string_split(text, ' ')) — NOT the trimming tokenizer)
     def rawTok(c: Column): Column = size(split(c, " ")).cast("long")

@@ -68,6 +68,28 @@ class HotKeysSpec extends SparkSpec {
     assert(sortedRows(sh) == sortedRows(bc), "fallback join diverged from broadcast path")
     assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
       "gate did not route to the SHUFFLE_HASH anti-join")
+    // the shape pin PlanSpec relies on: under genuinely-over-cap data the
+    // default path IS a broadcast LEFT ANTI join, never a Window
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("LeftAnti") && bcPlan.contains("BroadcastHashJoin") &&
+      !bcPlan.contains("Window"),
+      s"over-cap enforcement is not a broadcast anti-join:\n${bcPlan.take(1500)}")
+  }
+
+  test("dropOverCap byte gate (maxBroadcastBytes=0) routes to SHUFFLE_HASH, bit-identical") {
+    val bc = HotKeys.dropOverCap(frame, Seq("k1", "k2"), 2L)
+    val sh = HotKeys.dropOverCap(frame, Seq("k1", "k2"), 2L, maxBroadcastBytes = 0L)
+    assert(sortedRows(sh) == sortedRows(bc), "byte-gate fallback diverged from broadcast path")
+    assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "byte gate did not route to the SHUFFLE_HASH anti-join")
+  }
+
+  test("dropOverCap with nothing over cap skips the join entirely") {
+    // max group size in `frame` is 3, so cap=3 leaves nothing to drop
+    val out = HotKeys.dropOverCap(frame, Seq("k1", "k2"), 3L)
+    assert(sortedRows(out) == sortedRows(frame), "no-over-cap path changed rows")
+    assert(!out.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
+      "expected the anti-join to be skipped when no key exceeds the cap")
   }
 
   test("withKeyCounts == window count: value parity and row multiplicity preserved") {

@@ -68,9 +68,11 @@ class PlanSpec extends SparkSpec {
     val occurrences = "minhash_component".r.findAllIn(p).size
     assert(occurrences == 0, s"signature recomputed ($occurrences kernel sites):\n${p.take(2000)}")
     assert(p.contains("ExistingRDD"), s"melted frame not staged:\n${p.take(2000)}")
-    // cap enforcement is a broadcast anti-join, never a Window on the
-    // content key (a window funnels a hot bucket through one reducer)
-    assert(p.contains("LeftAnti"), s"bucket cap not an anti-join:\n${p.take(2000)}")
+    // cap enforcement is NEVER a Window on the content key (a window
+    // funnels a hot bucket through one reducer). At fixture scale the
+    // adaptive gate measures ZERO over-cap buckets and skips the cap
+    // join entirely — the anti-join shape under genuinely-over-cap data
+    // is pinned in HotKeysSpec.
     assert(!p.contains("Window"), s"window on a content key:\n${p.take(2000)}")
     // two join-side exchanges on (band,bkey) + the final pair groupBy +
     // the (map-side-combined) over-cap count table
@@ -103,8 +105,11 @@ class PlanSpec extends SparkSpec {
     val occurrences = "simhash_wide".r.findAllIn(p).size
     assert(occurrences == 0, s"sketch recomputed ($occurrences kernel sites):\n${p.take(2000)}")
     assert(p.contains("ExistingRDD"), s"block frame not staged:\n${p.take(2000)}")
-    assert(p.contains("LeftAnti") && !p.contains("Window"),
-      s"block cap not a hot-key-safe anti-join:\n${p.take(2000)}")
+    // no Window on the block key; at fixture scale the adaptive gate
+    // finds no over-cap block and skips the cap join (HotKeysSpec pins
+    // the anti-join under over-cap data)
+    assert(!p.contains("Window"),
+      s"block cap routed through a Window:\n${p.take(2000)}")
   }
 
   test("quantization stats run as one kernel call per row, no interpreted lambdas") {
@@ -234,21 +239,25 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("sparse_cosine_pairs")(spark, Sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join leaked into the plan:\n${p.take(2000)}")
-    // the term-df ceiling is a staged anti-join, never a Window on the
-    // term key (a stop term would funnel through one reducer)
-    assert(p.contains("LeftAnti") && !p.contains("Window"),
-      s"df ceiling not hot-key-safe:\n${p.take(2000)}")
+    // the term-df ceiling is never a Window on the term key (a stop
+    // term would funnel through one reducer); at fixture scale the
+    // adaptive gate finds no over-ceiling term and skips the join
+    assert(!p.contains("Window"),
+      s"df ceiling routed through a Window:\n${p.take(2000)}")
   }
 
   test("knn bucket caps are anti-joins on a staged frame — no Window on the bucket key") {
     val emb = TableIO.read(spark, Sf, "embeddings")
     val pd = plan(graft.ext.Similarity.knnDirected(emb, 3, planes = 4))
-    assert(pd.contains("LeftAnti") && !pd.contains("Window"),
-      s"single-bucket cap not hot-key-safe:\n${pd.take(2000)}")
+    // no Window on the bucket key; the fixture has no over-cap bucket,
+    // so the adaptive gate skips the cap join (anti-join shape under
+    // over-cap data is pinned in HotKeysSpec)
+    assert(!pd.contains("Window"),
+      s"single-bucket cap routed through a Window:\n${pd.take(2000)}")
     assert(pd.contains("ExistingRDD"), s"bucketed frame not staged:\n${pd.take(2000)}")
     val pb = plan(graft.ext.Similarity.knnDirectedBanded(emb, 3, bands = 2, bandPlanes = 3))
-    assert(pb.contains("LeftAnti") && !pb.contains("Window"),
-      s"banded bucket cap not hot-key-safe:\n${pb.take(2000)}")
+    assert(!pb.contains("Window"),
+      s"banded bucket cap routed through a Window:\n${pb.take(2000)}")
     // base (vec_id, embedding, nrm) staged once for ALL bands — the scan
     // must not reappear per band
     assert(!pb.contains("FileScan"), s"per-band re-scan of the embedding table:\n${pb.take(2000)}")
