@@ -112,10 +112,12 @@ object Similarity {
    * projection runs through the codegen FloatVectorDot kernel.
    */
   val LshPlanes = 8
-  val VecDim = 64
+  val VecDim = org.apache.spark.sql.graft.LshProbeKernel.VecDim
 
+  /** Delegates to the kernel's single source of the plane formula —
+   * [[org.apache.spark.sql.graft.LshProbeKernel.planeComponent]]. */
   def planeComponent(j: Int, i: Int): Float =
-    (((j.toLong * VecDim + i) * 2654435761L) % 2039L - 1019L).toFloat
+    org.apache.spark.sql.graft.LshProbeKernel.planeComponent(j, i)
 
   def lshBucket(emb: Column): Column =
     (0 until LshPlanes).map { j =>
@@ -553,75 +555,30 @@ object Similarity {
     // ONE melted pipeline — one cap gate, one (band, bucket) join, one
     // native-GroupTopK rank — not a per-band loop (the loop form ran
     // `bands` gate jobs and `bands` separate join stages)
-    val base = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
     val topk = org.apache.spark.sql.graft.plans.GroupTopK
-    // one projection computes every band's plane dots (shared by the
-    // bucket bits AND the probe margins), then per band the true bucket
-    // and the probe set, folded into a struct for the melt
-    val allDots = for (b <- 0 until bands; j <- 0 until bandPlanes) yield {
-      val plane = array((0 until VecDim).map(i =>
-        lit(planeComponent(b * bandPlanes + j, i))): _*)
-      dot(col("embedding"), plane).as(s"__d${b}_$j")
-    }
-    var cur = base.select(
-      col("vec_id") +: col("embedding") +: col("nrm") +: allDots: _*)
-    (0 until bands).foreach { b =>
-      val dnames = (0 until bandPlanes).map(j => s"__d${b}_$j")
-      cur = cur.withColumn(s"__bk$b",
-        dnames.zipWithIndex.map { case (d, j) =>
-          when(col(d) > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _))
-      cur =
-        if (probes == 1) cur.withColumn(s"__pb$b", array(col(s"__bk$b")))
-        else {
-          // margin argmin: first occurrence of the minimum — ties break
-          // to the lowest plane index in both engines
-          val m = cur
-            .withColumn(s"__mg$b", array(dnames.map(d => abs(col(d))): _*))
-            .withColumn(s"__m1$b",
-              (array_position(col(s"__mg$b"), array_min(col(s"__mg$b"))) - 1).cast("int"))
-          if (probes == 2)
-            m.withColumn(s"__pb$b", array(col(s"__bk$b"),
-              expr(s"__bk$b ^ shiftleft(CAST(1 AS BIGINT), __m1$b)")))
-          else
-            // second-lowest margin: mask slot m1 to +inf, argmin again
-            m.withColumn(s"__mm$b", expr(
-                s"""transform(sequence(0, ${bandPlanes - 1}), j ->
-                   |  CASE WHEN j = __m1$b THEN CAST('Infinity' AS DOUBLE)
-                   |       ELSE element_at(__mg$b, j + 1) END)""".stripMargin))
-              .withColumn(s"__m2$b",
-                (array_position(col(s"__mm$b"), array_min(col(s"__mm$b"))) - 1).cast("int"))
-              .withColumn(s"__pb$b", expr(
-                s"""array(__bk$b,
-                   |  __bk$b ^ shiftleft(CAST(1 AS BIGINT), __m1$b),
-                   |  __bk$b ^ shiftleft(CAST(1 AS BIGINT), __m2$b),
-                   |  __bk$b ^ shiftleft(CAST(1 AS BIGINT), __m1$b)
-                   |         ^ shiftleft(CAST(1 AS BIGINT), __m2$b))""".stripMargin))
-        }
-    }
-    // staged ONCE at one row per vector, AFTER the plane dots fold into
-    // buckets/probe sets: every consumer below (the cap gate, both join
-    // sides) re-derives only the cheap melt from this cache, and the
-    // bands·bandPlanes dot products run exactly one pass over the corpus.
-    // Staging BEFORE this projection (the first cut) made each consumer
-    // re-evaluate all ~60 dots + probe argmins per row — a projection
-    // that large also exceeds the whole-stage-codegen method budget and
-    // drops to interpreted eval (measured 5x on the banded family).
-    val staged = cur.select(
-        col("vec_id") +: col("embedding") +: col("nrm") +:
-          (0 until bands).flatMap(b => Seq(col(s"__bk$b"), col(s"__pb$b"))): _*)
+    // every band's bucket + multi-probe set in ONE codegen kernel pass
+    // (LshBandProbes): the per-plane column formulation it replaces ran
+    // bands·bandPlanes separate FloatVectorDot projections — ~60 columns
+    // whose ~4k literal plane nodes dominated Catalyst analysis time and
+    // whose fold exceeded the whole-stage-codegen method budget. The
+    // kernel is equivalence-pinned (bit-identical buckets, probes, and
+    // null/corrupt semantics) in LshBandProbesSpec. Staged ONCE at one
+    // row per vector AFTER the kernel: every consumer below (the cap
+    // gate, both join sides) re-derives only the cheap melt from this
+    // cache, so the dot products run exactly one pass over the corpus.
+    val staged = emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        org.apache.spark.sql.graft.FloatVectorDot.lshBandProbes(
+          col("embedding"), bands, bandPlanes, probes).as("__pbs"))
       .localCheckpoint(eager = false)
-    // melt to (vec_id, embedding, nrm, band, bucket, probe set); the cap
-    // is ONE hot-key-safe gate on the composite (band, bucket) key —
-    // identical semantics to a per-band cap on bucket. stage = false:
-    // the pre-melt frame is already checkpointed above.
+    // melt to (vec_id, embedding, nrm, band, bucket, probe set) — probe
+    // element 0 is the band's TRUE bucket; the cap is ONE hot-key-safe
+    // gate on the composite (band, bucket) key — identical semantics to
+    // a per-band cap on bucket. stage = false: the pre-melt frame is
+    // already checkpointed above.
     val melted = staged.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(array((0 until bands).map(b =>
-          struct(col(s"__bk$b").as("bk"), col(s"__pb$b").as("pb"))): _*))
-          .as(Seq("band", "z")))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("band"),
-        col("z.bk").as("bucket"), col("z.pb").as("__pb"))
+        posexplode(col("__pbs")).as(Seq("band", "__pb")))
+      .withColumn("bucket", element_at(col("__pb"), 1))
     val capped = HotKeys.dropOverCap(melted, Seq("band", "bucket"), bucketCap, stage = false)
     val idx = capped.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
       col("band"), col("bucket"))

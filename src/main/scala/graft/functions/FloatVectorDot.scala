@@ -167,6 +167,158 @@ case class QuantizeInt8Stats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * One-pass banded LSH probe sets: for each of `bands` disjoint groups of
+ * `bandPlanes` hyperplanes (global plane g = band·bandPlanes + j, the
+ * deterministic [[LshProbeKernel.planeComponent]] matrix), returns that
+ * band's multi-probe bucket array — element 0 is the TRUE bucket
+ * (Σ 1<<j over planes with dot > 0), followed by the Lv et al. 2007
+ * within-band probes: the bucket with the lowest-|margin| bit flipped
+ * (probes = 2), or all four patterns over the two lowest-margin bits
+ * (probes = 4).
+ *
+ * Bit-identical to the per-plane column formulation it replaces
+ * (`bands×bandPlanes` FloatVectorDot literal-plane projections + bucket
+ * folds + array_min/array_position argmins — equivalence-pinned in
+ * LshBandProbesSpec) but ONE expression node: the ~60-dot projection as
+ * separate columns exceeded the whole-stage-codegen method budget and
+ * made Catalyst analyze ~4k literal nodes per query. Null/corrupt
+ * semantics mirror the column form exactly: a vector whose length ≠ 64
+ * or holding a null element has every plane dot NULL → bucket 0, no
+ * valid margins, and the probe slots that needed an argmin are NULL
+ * (an equi-join on a null probe bucket then matches nothing, exactly
+ * like the column path).
+ */
+case class LshBandProbes(child: Expression, bands: Int, bandPlanes: Int, probes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = true), containsNull = false)
+  override def prettyName: String = "lsh_band_probes"
+
+  @transient private lazy val planeMatrix: Array[Float] =
+    LshProbeKernel.planeMatrix(bands * bandPlanes)
+
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LshProbeKernel.compute(input.asInstanceOf[ArrayData], planeMatrix,
+      bands, bandPlanes, probes, elementsNullable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planeMatrix, "float[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = org.apache.spark.sql.graft.LshProbeKernel.compute(
+         |  $x, $ref, $bands, $bandPlanes, $probes, $elementsNullable);
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshProbeKernel {
+  /** Embedding dimensionality the deterministic plane matrix is defined
+   * over (SURVEY §2.11 X3: the fixtures' vector<float, 64>). */
+  val VecDim = 64
+
+  /** The shared Spark/DuckDB plane arithmetic:
+   * ((g·64 + i)·2654435761 mod 2039) − 1019 — integers in [−1019, 1019],
+   * exactly representable as Float. graft.ext.Similarity.planeComponent
+   * and the oracle's planeListSql both mirror this formula. */
+  def planeComponent(g: Int, i: Int): Float =
+    (((g.toLong * VecDim + i) * 2654435761L) % 2039L - 1019L).toFloat
+
+  /** Row-major [plane][dim] matrix for global planes 0..nPlanes-1. */
+  def planeMatrix(nPlanes: Int): Array[Float] = {
+    val m = new Array[Float](nPlanes * VecDim)
+    var g = 0
+    while (g < nPlanes) {
+      var i = 0
+      while (i < VecDim) { m(g * VecDim + i) = planeComponent(g, i); i += 1 }
+      g += 1
+    }
+    m
+  }
+
+  /** All bands' probe bucket arrays for one embedding — see
+   * [[LshBandProbes]] for the semantics contract. */
+  def compute(emb: ArrayData, planes: Array[Float], bands: Int,
+      bandPlanes: Int, probes: Int, elementsNullable: Boolean): ArrayData = {
+    val n = emb.numElements()
+    // a length-64 literal plane makes every dot NULL for any other
+    // length; a null element poisons every fold the same way
+    var clean = n == VecDim
+    if (clean && elementsNullable) {
+      var i = 0
+      while (clean && i < n) { if (emb.isNullAt(i)) clean = false; i += 1 }
+    }
+    val ev = new Array[Double](VecDim)
+    if (clean) {
+      var i = 0
+      while (i < VecDim) { ev(i) = emb.getFloat(i).toDouble; i += 1 }
+    }
+    val out = new Array[AnyRef](bands)
+    val margins = new Array[Double](bandPlanes)
+    var b = 0
+    while (b < bands) {
+      var bk = 0L
+      var j = 0
+      while (j < bandPlanes) {
+        if (clean) {
+          val off = (b * bandPlanes + j) * VecDim
+          var acc = 0.0
+          var i = 0
+          while (i < VecDim) { acc += ev(i) * planes(off + i).toDouble; i += 1 }
+          if (acc > 0) bk |= 1L << j
+          margins(j) = math.abs(acc)
+        }
+        j += 1
+      }
+      // argmin over |margin|, first occurrence (= lowest plane index),
+      // java.lang.Double.compare ordering (NaN largest) — the exact
+      // array_min/array_position contract of the column form
+      var m1 = -1
+      if (clean && probes >= 2) {
+        var jj = 0
+        while (jj < bandPlanes) {
+          if (m1 < 0 || java.lang.Double.compare(margins(jj), margins(m1)) < 0) m1 = jj
+          jj += 1
+        }
+      }
+      val pb: Array[Any] = probes match {
+        case 1 => Array[Any](bk)
+        case 2 =>
+          if (m1 >= 0) Array[Any](bk, bk ^ (1L << m1)) else Array[Any](bk, null)
+        case _ =>
+          // second argmin with slot m1 masked to +Inf (the masked slot
+          // stays VALID — an all-else-null band re-finds m1, exactly as
+          // the column form's CASE mask does)
+          var m2 = -1
+          if (m1 >= 0) {
+            var jj = 0
+            while (jj < bandPlanes) {
+              val v = if (jj == m1) Double.PositiveInfinity else margins(jj)
+              val cur = if (m2 < 0) Double.NaN else if (m2 == m1) Double.PositiveInfinity else margins(m2)
+              if (m2 < 0 || java.lang.Double.compare(v, cur) < 0) m2 = jj
+              jj += 1
+            }
+          }
+          if (m1 >= 0 && m2 >= 0)
+            Array[Any](bk, bk ^ (1L << m1), bk ^ (1L << m2), bk ^ (1L << m1) ^ (1L << m2))
+          else Array[Any](bk, null, null, null)
+      }
+      out(b) = new org.apache.spark.sql.catalyst.util.GenericArrayData(pb)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+}
+
 object FloatVectorDot {
   /** Column-API entry point (no session registration required). */
   def dot(a: Column, b: Column): Column =
@@ -176,4 +328,10 @@ object FloatVectorDot {
   /** [scale, q_sum, max_err] of int8 scalar quantization, one pass. */
   def quantizeInt8Stats(emb: Column): Column =
     ExpressionUtils.column(QuantizeInt8Stats(ExpressionUtils.expression(emb)))
+
+  /** Per-band multi-probe LSH bucket arrays, one pass over the vector
+   * (element 0 of each band's array is the true bucket). */
+  def lshBandProbes(emb: Column, bands: Int, bandPlanes: Int, probes: Int): Column =
+    ExpressionUtils.column(LshBandProbes(ExpressionUtils.expression(emb),
+      bands, bandPlanes, probes))
 }
