@@ -647,6 +647,57 @@ object Similarity {
         expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))
   }
 
+  /**
+   * MUTUAL-edge recall audit — the missing half of the banded recall
+   * story: [[knnRecallAuditBanded]] measures DIRECTED recall, but the
+   * communities pipeline consumes MUTUAL edges, whose per-pair recall is
+   * roughly the square of directed (both directed edges must survive the
+   * hashing). This audit makes that a measured number, not an estimate.
+   *
+   * Sample-bounded truth: exact top-k over the full corpus for the
+   * deterministic anchors (vec_id % sampleMod = 0) AND for the anchors'
+   * true neighbors — at most (1+k)·|S| broadcast queries, so the truth
+   * side stays two broadcast corpus streams at any scale (never an
+   * all-pairs join). A TRUE mutual edge is (a, b) with a an anchor,
+   * b ∈ topk(a) and a ∈ topk(b), oriented at the anchor (a pair with
+   * both ends anchored contributes both orientations — the candidate
+   * side orients identically, so the ppm is consistent). Candidates are
+   * [[knnGraphBanded]]'s mutual edges with an anchored endpoint.
+   */
+  def knnRecallAuditMutual(emb: DataFrame, k: Int, bands: Int = 4,
+      bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
+      sampleMod: Long = 20L, probes: Int = 1): DataFrame = {
+    def exactTopK(queries: DataFrame): DataFrame = {
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      val c = emb.withColumn("c_norm", norm(col("embedding")))
+      val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos6", round(
+          cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
+      rankTopK(pairs, k).select(col("query_id"), col("neighbor_id"))
+    }
+    val topS = exactTopK(emb.filter(col("vec_id") % sampleMod === 0))
+      .localCheckpoint(eager = false) // consumed by the neighbor-id pull AND the truth join
+    val nbrIds = topS.select(col("neighbor_id").as("vec_id")).distinct()
+    val topB = exactTopK(emb.join(broadcast(nbrIds), Seq("vec_id")))
+    val truth = topS.join(topB,
+      topS("query_id") === topB("neighbor_id") && topS("neighbor_id") === topB("query_id"))
+      .select(topS("query_id"), topS("neighbor_id"))
+    val mutual = knnGraphBanded(emb, k, bands, bandPlanes, bucketCap, probes)
+      .localCheckpoint(eager = false) // both orientation filters below
+    val cand = mutual.filter(col("id_a") % sampleMod === 0)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .union(mutual.filter(col("id_b") % sampleMod === 0)
+        .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
+    val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
+        expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))
+  }
+
   /** Bucket id of band `b`: `bandPlanes` planes starting at global plane
    * b·bandPlanes (disjoint across bands, same deterministic component
    * arithmetic as [[lshBucketPlanes]]). */

@@ -913,6 +913,50 @@ object SimilarityQueries {
               |       (n_hits * 1000000) // greatest(n_true, 1) AS recall_ppm
               |FROM n""".stripMargin)),
 
+    // X36e(c) — MUTUAL-edge recall audit: knn_recall_banded measures
+    // DIRECTED recall, but knn_communities consumes MUTUAL edges, whose
+    // per-pair survival is roughly the directed recall squared (both
+    // directions must clear the hashing). Truth is sample-bounded (exact
+    // top-k for the anchors and for the anchors' true neighbors — never
+    // an all-pairs join on the Spark side); the oracle computes the full
+    // exact graph and filters to the same anchored orientation, which is
+    // equal by construction on the rows the audit counts.
+    Q("knn_recall_mutual",
+      (s, dir) => graft.ext.Similarity.knnRecallAuditMutual(
+        TableIO.read(s, dir, "embeddings"), k = 4,
+        bands = 12, bandPlanes = 5, probes = 2),
+      Some(s"""${bandedDirectedCtes(12, 5, 2)},
+              |mu AS (
+              |  SELECT a.src AS id_a, a.dst AS id_b
+              |  FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
+              |  WHERE a.src < a.dst),
+              |cd AS (
+              |  SELECT id_a AS query_id, id_b AS neighbor_id FROM mu WHERE id_a % 20 = 0
+              |  UNION ALL
+              |  SELECT id_b AS query_id, id_a AS neighbor_id FROM mu WHERE id_b % 20 = 0),
+              |tp AS (
+              |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |         ${cosSql("q.embedding", "e.embedding")} AS cos6
+              |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id),
+              |tr AS (SELECT query_id, neighbor_id FROM (
+              |         SELECT query_id, neighbor_id,
+              |                row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rk
+              |         FROM tp)
+              |       WHERE rk <= 4),
+              |tm AS (
+              |  SELECT a.query_id, a.neighbor_id
+              |  FROM tr a JOIN tr b
+              |    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+              |  WHERE a.query_id % 20 = 0),
+              |h AS (SELECT * FROM cd JOIN tm USING (query_id, neighbor_id)),
+              |n AS (SELECT (SELECT count(*) FROM tm) AS n_true,
+              |             (SELECT count(*) FROM cd) AS n_candidates,
+              |             (SELECT count(*) FROM h) AS n_hits)
+              |SELECT n_true, n_candidates, n_hits,
+              |       (n_hits * 1000000) // greatest(n_candidates, 1) AS precision_ppm,
+              |       (n_hits * 1000000) // greatest(n_true, 1) AS recall_ppm
+              |FROM n""".stripMargin)),
+
     // X36c — kNN-graph recall/precision audit (the X2h mirror for the
     // embedding side): deterministic query sample (vec_id % 20 = 0),
     // exact brute-force top-k truth over the full corpus vs the bucketed
