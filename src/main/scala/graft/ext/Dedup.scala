@@ -797,11 +797,7 @@ object Dedup {
     // flag join both consume this frame — unstaged, Catalyst would
     // re-chunk and re-hash the full corpus per branch (the round-12
     // regression pattern this file's dupSpanStats docstring warns about)
-    val chunks = withChunkHashes(df, textCol, chunkSize)
-      .select(col(idCol), posexplode_outer(col(ChunksCol)))
-      .withColumnRenamed("pos", "__idx")
-      .withColumnRenamed("col", "__chunk")
-      .filter(col("__chunk").isNotNull)
+    val chunks = chunkOccurrences(df, idCol, textCol, chunkSize)
       .localCheckpoint(eager = false)
     // a chunk is dup iff it appears in >= 2 DISTINCT documents — a
     // per-chunk constant. The previous form derived it with lag + sum
@@ -814,9 +810,35 @@ object Dedup {
     val dupChunks = chunks.select(col("__chunk"), col(idCol)).distinct()
       .groupBy("__chunk").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") > 1L)
-      .select(col("__chunk"), lit(true).as("__dup0"))
+      .select(col("__chunk"))
+    spanRewrite(df, idCol, textCol, chunkSize, chunks, dupChunks)
+  }
+
+  /** Indexed chunk-hash occurrences of a corpus — (idCol, __idx, __chunk)
+   * per non-null chunk. The explode half of [[dedupSpans]], exposed
+   * (package-private) so the incremental pipeline can stage it once as
+   * stored state. */
+  private[ext] def chunkOccurrences(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame =
+    withChunkHashes(df, textCol, chunkSize)
+      .select(col(idCol), posexplode_outer(col(ChunksCol)))
+      .withColumnRenamed("pos", "__idx")
+      .withColumnRenamed("col", "__chunk")
+      .filter(col("__chunk").isNotNull)
+
+  /** The rewrite half of [[dedupSpans]]: drop every chunk whose hash is
+   * in `dupChunks` (a frame with column `__chunk`), keep the sub-chunk
+   * tail verbatim. `chunks` must be [[chunkOccurrences]] of `df` (staged
+   * by the caller when it has other consumers). Package-private: the
+   * incremental pipeline rewrites its delta-touched docs against a dup
+   * set whose document frequencies combine stored corpus counts with the
+   * batch's — the dup TABLE is external state there, not derivable from
+   * `df` alone. */
+  private[ext] def spanRewrite(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, chunks: DataFrame, dupChunks: DataFrame): DataFrame = {
     val flagged = chunks
-      .join(dupChunks.hint("SHUFFLE_HASH"), Seq("__chunk"), "left_outer")
+      .join(dupChunks.select(col("__chunk"), lit(true).as("__dup0")).hint("SHUFFLE_HASH"),
+        Seq("__chunk"), "left_outer")
       .withColumn("__dup", coalesce(col("__dup0"), lit(false)))
     // when() without otherwise yields nulls, which collect_list DROPS —
     // so every chunked doc keeps its group row even when all chunks are

@@ -52,10 +52,6 @@ object Pipeline {
     // stage-2 join would otherwise be ambiguous at runtime)
     graft.ops.SqlTypes.requireFreeColumns(docs,
       Seq("n_kept_tokens", "kept_text", "keep", "sh", Dedup.ShinglesCol))
-    // whitespace token count, the census unit both engines agree on
-    // (len(string_split(text, ' ')) — NOT the trimming tokenizer)
-    def rawTok(c: Column): Column = size(split(c, " ")).cast("long")
-
     val train0 = docs.filter(col(srcCol) =!= evalSource)
       .select(col(idCol), col(textCol), col(langCol))
       .localCheckpoint(eager = false)
@@ -108,22 +104,6 @@ object Pipeline {
     // seqLen-token training sequences; the census records the total
     val packed = Curation.packSequences(kept5, idCol, langCol,
       col("n_kept_tokens"), seqLen)
-    val nSeqs = packed.groupBy(col(langCol))
-      .agg(max(col("first_seq") + col("n_seqs")).as("__ls"))
-      .agg(coalesce(sum("__ls"), lit(0L)).as("n_seqs"))
-
-    def census(idx: Int, name: String, df: DataFrame, tok: Column): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(tok), lit(0L)).as("n_tokens"))
-        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"), lit(0L).as("n_seqs"))
-
-    val packRow = kept5
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("n_kept_tokens")), lit(0L)).as("n_tokens"))
-      .crossJoin(nSeqs)
-      .select(lit(6).as("stage_idx"), lit("pack").as("stage"),
-        col("n_docs"), col("n_tokens"), col("n_seqs"))
 
     Seq(
       census(0, "ingest", train0, rawTok(col(textCol))),
@@ -132,7 +112,33 @@ object Pipeline {
       census(3, "neardup_drop", kept3, col("n_kept_tokens")),
       census(4, "decontaminate", kept4, col("n_kept_tokens")),
       census(5, "temperature", kept5, col("n_kept_tokens")),
-      packRow
+      packCensus(kept5, packed, langCol)
     ).reduce(_ union _).orderBy("stage_idx")
+  }
+
+  /** Whitespace token count — the census unit both engines agree on
+   * (`len(string_split(text, ' '))`, NOT the trimming tokenizer). */
+  private[ext] def rawTok(c: Column): Column = size(split(c, " ")).cast("long")
+
+  /** One census row: documents and tokens REMAINING after a stage. */
+  private[ext] def census(idx: Int, name: String, df: DataFrame, tok: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(tok), lit(0L)).as("n_tokens"))
+      .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+        col("n_docs"), col("n_tokens"), lit(0L).as("n_seqs"))
+
+  /** The packing census row: survivors plus the total number of training
+   * sequences they pack into (per-stratum last sequence index, summed). */
+  private[ext] def packCensus(kept5: DataFrame, packed: DataFrame,
+      langCol: String): DataFrame = {
+    val nSeqs = packed.groupBy(col(langCol))
+      .agg(max(col("first_seq") + col("n_seqs")).as("__ls"))
+      .agg(coalesce(sum("__ls"), lit(0L)).as("n_seqs"))
+    kept5
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_kept_tokens")), lit(0L)).as("n_tokens"))
+      .crossJoin(nSeqs)
+      .select(lit(6).as("stage_idx"), lit("pack").as("stage"),
+        col("n_docs"), col("n_tokens"), col("n_seqs"))
   }
 }

@@ -303,7 +303,39 @@ object PipelineQueries {
       (s, dir) => graft.ext.Pipeline.curationPipeline(
         TableIO.read(s, dir, "documents"), "doc_id", "text", "lang", "source",
         bounds = TextOps.GopherBounds(minWords = 20, maxWords = 80)),
-      Some {
+      Some(pipelineCensusOracle)),
+
+    // X42b — the INCREMENTAL face of the curation pipeline: documents
+    // split 80/20 (doc_id % 5 = 4 as the delta batch, the X36d split),
+    // the corpus curated into the stored-state ledger, the delta then
+    // curated incrementally against it — chunk-df flips re-rewriting
+    // stored docs, touched candidate buckets recomputed whole under
+    // union caps (cap flips can resurrect state-dropped docs), stored
+    // Jaccard verdicts carried for untouched buckets, eval-set growth
+    // probed against the stored shingle index. The oracle is the FULL
+    // BATCH census over the union (the same chained CTE mirror as
+    // pipeline_e2e), so the hash match IS the incremental-equals-rebuild
+    // proof at sf scale; PipelineIncrementalSpec pins the adversarial
+    // corners fixtures may not hit.
+    Q("pipeline_incremental",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val b = TextOps.GopherBounds(minWords = 20, maxWords = 80)
+        val state = graft.ext.PipelineIncremental.curationState(
+          docs.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", "lang", "source", bounds = b)
+        graft.ext.PipelineIncremental.curationPipelineIncremental(
+          state, docs.filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", "lang", "source", bounds = b)
+      },
+      Some(pipelineCensusOracle))
+  )
+
+  /** The batch curation-pipeline census mirror — shared by pipeline_e2e
+   * (same input) and pipeline_incremental (whose input SPLITS the table
+   * into corpus + delta; the union is the whole table, so the batch
+   * mirror doubles as the rebuild oracle). */
+  private lazy val pipelineCensusOracle: String = {
         val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
           .map(x => s"'$x'").mkString(", ")
         val bands = (0 until Dedup.LshBands)
@@ -393,6 +425,5 @@ object PipelineQueries {
            |  UNION ALL SELECT 6, 'pack', (SELECT count(*) FROM k5),
            |    (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k5), (SELECT n_seqs FROM sq)
            |) ORDER BY stage_idx""".stripMargin
-      })
-  )
+  }
 }
