@@ -258,22 +258,29 @@ object Curation {
         spark.sessionState.conf.numShufflePartitions)
     // chunk = physical range partition: contiguous in (group, id) order by
     // construction, balanced by row count by the range partitioner. The
-    // lazy localCheckpoint pins ONE materialization that every consumer
-    // below shares by RDD identity: the range partitioner's boundaries
-    // come from a seeded sample of its INPUT, so with the input pinned
-    // (and the sampler's per-partition seed a function of that fixed
-    // partitioning) the boundaries are deterministic even if the exchange
-    // re-executes — the local-cumsum and chunk-offset branches can never
-    // disagree on which chunk a row landed in. Pinning BEFORE the range
-    // exchange (not after) also means the token-count projection runs
-    // exactly once: the partitioner's sampling pass and the exchange both
-    // read the materialized 3-column RDD instead of re-tokenizing the
-    // text (measured: sampling re-ran the tokenize and doubled the
-    // query's scan cost when the checkpoint sat above the exchange).
+    // lazy PRE-exchange localCheckpoint makes the token-count projection
+    // run exactly once: the partitioner's sampling pass and the exchange
+    // both read the materialized 3-column RDD instead of re-tokenizing
+    // the text (measured: sampling re-ran the tokenize and doubled the
+    // query's scan cost without it).
+    // EAGER post-exchange checkpoint (one construction-time job, the
+    // HotKeys gate convention): pins the chunk ASSIGNMENT itself, so the
+    // range exchange executes exactly once and both branches below read
+    // the same materialized (row -> chunk) mapping. This is load-bearing
+    // for correctness, not just latency: the range partitioner's sample
+    // seed derives from the RDD id of the exchange's input wrapper, so a
+    // SECOND execution of the exchange (e.g. the offsets subplan built
+    // in its own job) can draw different boundaries and silently
+    // disagree with the local-cumsum branch on chunk membership
+    // (spec-pinned by the giant-group test). It also removes the driver
+    // bench's cold-run spread (r14 probe_sp: 5.8 s first-run with the
+    // whole subplan in the broadcast-build thread; ~1 s with the
+    // exchange pre-materialized).
     val chunked = df.select(col(groupCol), col(idCol), nTokens.cast("long").as("n_tokens"))
       .localCheckpoint(false)
       .repartitionByRange(parts, col(groupCol), col(idCol))
       .withColumn("__chunk", spark_partition_id())
+      .localCheckpoint(eager = true)
     val wLocal = Window.partitionBy(groupCol, "__chunk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = chunked.withColumn("__local", sum("n_tokens").over(wLocal))

@@ -159,6 +159,18 @@ object PipelineQueries {
     // X30 — GPT-style sequence packing at 512 tokens, grouped by lang:
     // where each document lands in the concatenated token stream and how
     // many sequence boundaries it straddles.
+    //
+    // ADJUDICATION of the r13 driver-bench spread (1.85–7.05 s over 5
+    // samples vs the committed 0.47 s min): r14 `probe_sp` min-of-5 A/B,
+    // both probe orders. The big first-sample cost follows the SLOT, not
+    // the shape (REG-first: 6.4 s then ~1 s; eager-offsets-first: 7.5 s
+    // then ~1 s, REG second 0.93–1.75 s) — fresh-JVM first-query warm-up
+    // plus hypervisor steal, not a plan defect. Steady state is
+    // 0.84–1.2 s for both forms. packSequences now eagerly pins the
+    // post-exchange chunk assignment (determinism hardening — a second
+    // execution of the range exchange can legally draw different sample
+    // boundaries; spec-pinned by the giant-group test), same steady-state
+    // cost.
     Q("sequence_pack",
       (s, dir) => Curation.packSequences(
           TableIO.read(s, dir, "documents"), "doc_id", "lang",
