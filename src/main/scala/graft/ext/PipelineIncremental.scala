@@ -61,10 +61,14 @@ import org.apache.spark.sql.functions._
 object PipelineIncremental {
 
   /** The materialized curation ledger for a corpus — see object doc for
-   * what each frame stores and why the incremental pass needs it. */
+   * what each frame stores and why the incremental pass needs it.
+   * `train0`/`kept1` carry the whitespace token count as a stored column
+   * (`n_raw_tokens`) so the ingest-stage census is a sum over the ledger,
+   * not a re-tokenize of the corpus (measured: the re-tokenize was most
+   * of the incremental's corpus-linear floor at 500 k docs). */
   case class CurationState(
-      train0: DataFrame,         // (id, text, lang): corpus train rows (census-0 view)
-      kept1: DataFrame,          // (id, text, lang): Gopher survivors
+      train0: DataFrame,         // (id, text, lang, n_raw_tokens): corpus train rows
+      kept1: DataFrame,          // (id, text, lang, n_raw_tokens): Gopher survivors
       chunks: DataFrame,         // (id, __chunk) DISTINCT over kept1
       chunkDf: DataFrame,        // (__chunk, __ndc): distinct-doc frequency
       kept2: DataFrame,          // (id, text = rewritten, lang, n_kept_tokens), n > 0
@@ -87,7 +91,8 @@ object PipelineIncremental {
       bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
       chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): CurationState = {
     val train0 = corpusDocs.filter(col(srcCol) =!= evalSource)
-      .select(col(idCol), col(textCol), col(langCol))
+      .select(col(idCol), col(textCol), col(langCol),
+        Pipeline.rawTok(col(textCol)).as("n_raw_tokens"))
       .localCheckpoint(eager = false)
     val kept1 = train0
       .join(TextOps.gopherRules(train0, idCol, textCol, stopwords, bounds)
@@ -179,10 +184,11 @@ object PipelineIncremental {
       seqLen: Long = 512L): DataFrame = {
     import Pipeline.{census, packCensus, rawTok}
     graft.ops.SqlTypes.requireFreeColumns(delta,
-      Seq("n_kept_tokens", "kept_text", "keep", "sh", Dedup.ShinglesCol))
+      Seq("n_kept_tokens", "kept_text", "keep", "sh", "n_raw_tokens", Dedup.ShinglesCol))
 
     val deltaTrain = delta.filter(col(srcCol) =!= evalSource)
-      .select(col(idCol), col(textCol), col(langCol))
+      .select(col(idCol), col(textCol), col(langCol),
+        rawTok(col(textCol)).as("n_raw_tokens"))
       .localCheckpoint(eager = false)
 
     // 1 — Gopher is per-document: delta judged alone, corpus verdicts stored
@@ -222,9 +228,15 @@ object PipelineIncremental {
       .join(rewriteSet.select(col(idCol), col(langCol)), Seq(idCol))
       .select(col(idCol), col("kept_text").as(textCol), col(langCol), col("n_kept_tokens"))
       .localCheckpoint(eager = false)
-    val kept2Unchanged = state.kept2.join(t2, Seq(idCol), "left_anti")
+    // TEXT-SLIM survivor stream: from stage 3 on, unchanged docs are
+    // represented by (id, lang, n_kept_tokens) only — their text is never
+    // read again (pair verification uses the stored shingle index,
+    // decontamination the stored verdicts), so the checkpoints stop
+    // serializing the corpus text the batch pipeline has to carry
+    val kept2 = state.kept2.join(t2, Seq(idCol), "left_anti")
+      .select(col(idCol), col(langCol), col("n_kept_tokens"))
+      .union(k2d.select(col(idCol), col(langCol), col("n_kept_tokens")))
       .localCheckpoint(eager = false)
-    val kept2 = kept2Unchanged.union(k2d).localCheckpoint(eager = false)
 
     // 3 — near-dup: recompute TOUCHED buckets whole under union counts,
     // carry untouched buckets' verified pairs from the tagged ledger
@@ -310,14 +322,15 @@ object PipelineIncremental {
     // (broadcast join), then the packing cumsum — same code as the batch
     val kept5 = Curation.temperatureAnnotate(kept4, langCol, col(idCol))
       .filter(col("keep"))
-      .select(col(idCol), col(textCol), col(langCol), col("n_kept_tokens"))
+      .select(col(idCol), col(langCol), col("n_kept_tokens"))
       .localCheckpoint(eager = false)
     val packed = Curation.packSequences(kept5, idCol, langCol,
       col("n_kept_tokens"), seqLen)
 
     Seq(
-      census(0, "ingest", state.train0.union(deltaTrain), rawTok(col(textCol))),
-      census(1, "gopher", state.kept1.union(k1d), rawTok(col(textCol))),
+      // token counts from the LEDGER column — no corpus re-tokenize
+      census(0, "ingest", state.train0.union(deltaTrain), col("n_raw_tokens")),
+      census(1, "gopher", state.kept1.union(k1d), col("n_raw_tokens")),
       census(2, "span_dedup", kept2, col("n_kept_tokens")),
       census(3, "neardup_drop", kept3, col("n_kept_tokens")),
       census(4, "decontaminate", kept4, col("n_kept_tokens")),
