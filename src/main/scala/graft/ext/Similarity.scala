@@ -789,6 +789,104 @@ object Similarity {
       .union(recomputed)
   }
 
+  /** Banded-candidate mutual kNN graph maintained INCREMENTALLY —
+   * [[knnDirectedBandedIncremental]] + the standard mutuality join.
+   * Bit-equal to `knnGraphBanded(base ∪ delta, …)` (oracle-matched). */
+  def knnGraphBandedIncremental(base: DataFrame, delta: DataFrame,
+      baseDirected: DataFrame, k: Int, bands: Int = 4,
+      bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
+      probes: Int = 1): DataFrame = {
+    val directed = knnDirectedBandedIncremental(base, delta, baseDirected,
+        k, bands, bandPlanes, bucketCap, probes)
+      .localCheckpoint(eager = false)
+    directed.as("a")
+      .join(directed.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+  }
+
+  /**
+   * X36e(d) — INCREMENTAL maintenance of the BANDED multi-probe directed
+   * kNN state (the production face of the graph `knn_communities`
+   * consumes): ingest `delta` against `baseDirected` =
+   * `knnDirectedBanded(base, same params)` without re-running the
+   * quadratic candidate stage over the whole corpus. Exactness argument,
+   * banded edition of the X36d per-bucket contract:
+   *
+   *  - index membership changes ONLY in the delta's TRUE buckets
+   *    (append-only ingest; probes are query-side, a pure function of
+   *    each embedding, so no base vector's keys move);
+   *  - a base query's candidate multiset — and its own per-band qry
+   *    rows, since its true bucket is always in its probe set — is a
+   *    function of the buckets it PROBES: if none is touched, every one
+   *    of those buckets has identical membership and therefore identical
+   *    union-level cap status, so the query's directed top-k is carried
+   *    VERBATIM from state;
+   *  - queries probing ≥1 touched bucket (plus every delta query) are
+   *    recomputed whole against the union's capped index — which handles
+   *    cap FLIPS exactly (a bucket pushed over `bucketCap` drops whole,
+   *    and edges a state query drew from it vanish because that query is
+   *    affected by definition).
+   *
+   * Cost: one linear union re-bucketing pass (the kernel + cap count —
+   * production stores the bucket index and counts as tables and skips
+   * it) plus the quadratic stage over the affected queries' bucket
+   * footprint only. Returns the UPDATED directed state — foldable batch
+   * to batch (state′ = this(corpus, batch, state); spec-pinned equal to
+   * a rebuild after every batch of a multi-batch fold).
+   */
+  def knnDirectedBandedIncremental(base: DataFrame, delta: DataFrame,
+      baseDirected: DataFrame, k: Int, bands: Int = 4,
+      bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
+      probes: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def staged(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        org.apache.spark.sql.graft.FloatVectorDot.lshBandProbes(
+          col("embedding"), bands, bandPlanes, probes).as("__pbs"))
+      .localCheckpoint(eager = false)
+    def melt(df: DataFrame) = df.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("__pbs")).as(Seq("band", "__pb")))
+      .withColumn("bucket", element_at(col("__pb"), 1))
+    val mb = melt(staged(base))
+    val md = melt(staged(delta))
+    val touched = md.select("band", "bucket").distinct()
+      .localCheckpoint(eager = false)
+    // affected base queries: ANY probed bucket (incl. the true bucket,
+    // whose cap status may flip) is touched
+    val affectedBase = mb.select(col("vec_id"), col("band"),
+        explode(col("__pb")).as("bucket"))
+      .join(touched, Seq("band", "bucket"))
+      .select("vec_id").distinct()
+    val affIds = affectedBase.union(md.select("vec_id").distinct()).distinct()
+      .localCheckpoint(eager = false)
+    // union index under UNION-level caps — rebuild-identical semantics
+    // (production: stored index + stored counts; here one linear pass)
+    val capped = HotKeys.dropOverCap(mb.union(md), Seq("band", "bucket"), bucketCap,
+      stage = false)
+    val qry = capped.join(affIds, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("band"), explode(col("__pb")).as("bucket"))
+    val idx = capped.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
+      col("band"), col("bucket"))
+    val pairs = qry.join(idx, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("band"), col("vec_id"),
+        round(cosineFrom(dot(col("q_emb"), col("embedding")),
+          col("q_norm"), col("c_norm")), 6).as("cos6"))
+    val topk = org.apache.spark.sql.graft.plans.GroupTopK
+    val merged = topk.topkPerKey(pairs, Seq("query_id", "band"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
+      .groupBy("query_id", "vec_id").agg(max("cos6").as("cos6"))
+    val recomputed = topk.topkPerKey(merged, Seq("query_id"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
+    baseDirected.join(affIds.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("cos6"))
+      .union(recomputed)
+  }
+
   /**
    * kNN-GRAPH QUALITY AUDIT — the X36 mirror of the text-LSH side's
    * `lshRecallAudit`: over a deterministic query sample (`vec_id mod

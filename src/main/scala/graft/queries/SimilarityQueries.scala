@@ -882,6 +882,33 @@ object SimilarityQueries {
               |WHERE a.src < a.dst
               |ORDER BY 1, 2""".stripMargin)),
 
+    // X36e(d) — INCREMENTAL maintenance of the BANDED multi-probe graph
+    // (the production face of the graph knn_communities consumes): a 20%
+    // delta batch against the stored banded directed state — only
+    // queries probing a delta-touched bucket recompute (against the
+    // union's capped index, so cap flips resurrect/drop edges exactly);
+    // untouched queries carry their edges verbatim. The oracle is the
+    // FULL REBUILD over the union (identical SQL to knn_graph_banded),
+    // so the hash match IS the incremental-equals-rebuild proof for the
+    // banded geometry; BandedIncrementalSpec pins the multi-batch fold
+    // and an engineered cap-flip fixtures may not hit.
+    Q("knn_banded_incremental",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 5 =!= 4)
+        val delta = emb.filter(col("vec_id") % 5 === 4)
+        val state = graft.ext.Similarity.knnDirectedBanded(
+          base, k = 4, bands = 12, bandPlanes = 5, probes = 2)
+        graft.ext.Similarity.knnGraphBandedIncremental(
+            base, delta, state, k = 4, bands = 12, bandPlanes = 5, probes = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""${bandedDirectedCtes(12, 5, 2)}
+              |SELECT a.src AS id_a, a.dst AS id_b, a.cos6
+              |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
+              |WHERE a.src < a.dst
+              |ORDER BY 1, 2""".stripMargin)),
+
     // X36e(b) — the banded variant under the SAME recall audit as
     // knn_recall_audit: one row proving the banding buys its recall
     // (single-bucket measured 3% directed recall on the fixture; the
