@@ -563,6 +563,55 @@ object ScaleBench {
           graft.ext.Similarity.knnGraphIncremental(base, delta, state,
             k = 4, planes = planes, bucketCap = 2000L)
         }),
+      // r14 banded-incremental: same 1% delta against the stored BANDED
+      // multi-probe state (the production face of the communities graph).
+      // A query recomputes only if one of its PROBED (band, bucket) keys
+      // is delta-touched. A UNIFORM delta is the measured WORST case —
+      // 5 k uniform vectors touch ~60% of all (band, bucket) keys and a
+      // 2-probe query tests six of them, so essentially every query is
+      // affected and cost ≈ rebuild + state scans (695 vs 713 CPU-s at
+      // 500 k) — the same regime boundary knn_incremental documents. The
+      // win regime is a LOCALIZED batch (knn_banded_incr_local below).
+      ("knn_banded_incremental", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
+          val bands = 3
+          val rule = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
+          val bandPlanes = math.min(rule + (math.log(bands.toDouble) / math.log(2)).ceil.toInt, 20)
+          val base = emb.filter(pmod(col("vec_id"), lit(100)) =!= 99)
+          val delta = emb.filter(pmod(col("vec_id"), lit(100)) === 99)
+          val state = staged(s, s"knnbstate_p$bandPlanes", n)(
+            graft.ext.Similarity.knnDirectedBanded(base, k = 4, bands = bands,
+              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2))
+          graft.ext.Similarity.knnGraphBandedIncremental(base, delta, state,
+            k = 4, bands = bands, bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2)
+        }),
+      // the banded-incremental WIN regime: a LOCALIZED 1% batch (new
+      // content in one embedding direction — the production shape of an
+      // ingest dominated by a new source/topic). The delta's true buckets
+      // concentrate in the cluster's few (band, bucket) keys, so the
+      // affected-query footprint is the cluster neighborhood, not the
+      // corpus — cost should sit far under both the uniform-delta case
+      // and the rebuild, at the linear re-bucketing floor.
+      ("knn_banded_incr_local", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
+          val bands = 3
+          val rule = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
+          val bandPlanes = math.min(rule + (math.log(bands.toDouble) / math.log(2)).ceil.toInt, 20)
+          val delta = staged(s, "embsloc", n)(
+            s.range(n, n + math.max(n / 100, 50)).select(
+              col("id").as("vec_id"),
+              transform(sequence(lit(1), lit(64)), i =>
+                (pmod(xxhash64(i), lit(1000)) / lit(1000.0f) +
+                  pmod(xxhash64(col("id") * 64 + i), lit(7)) / lit(1000.0f))
+                  .cast("float")).as("embedding")))
+          val state = staged(s, s"knnbstateF_p$bandPlanes", n)(
+            graft.ext.Similarity.knnDirectedBanded(emb, k = 4, bands = bands,
+              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2))
+          graft.ext.Similarity.knnGraphBandedIncremental(emb, delta, state,
+            k = 4, bands = bands, bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2)
+        }),
       // mutual k-NN graph: the per-bucket quadratic is the risk — the
       // plane count must grow with N (P = log2(N/32) here, the operator's
       // documented scaling rule) and 3% of vectors collapse onto one hot
