@@ -220,12 +220,18 @@ object PipelineIncremental {
    * persisting the full state (the streaming maintainer) executes each
    * exactly once into parquet.
    */
-  def curationStateIncremental(state: CurationState, delta: DataFrame,
+  /** The delta-proportional prefix shared by the fold and the
+   * regime audit: stage-1/2 delta curation, the T2 re-rewrite set, the
+   * changed docs' band keys, and the touched-bucket key set. */
+  private case class DeltaFootprint(
+      deltaTrain: DataFrame, k1d: DataFrame, chunksD: DataFrame,
+      dfD: DataFrame, t2: DataFrame, k2d: DataFrame,
+      bandsChanged: DataFrame, touchedKeys: DataFrame)
+
+  private def deltaFootprint(state: CurationState, delta: DataFrame,
       idCol: String, textCol: String, langCol: String, srcCol: String,
-      evalSource: String = "src0",
-      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
-      bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
-      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): CurationState = {
+      evalSource: String, stopwords: Seq[String], bounds: TextOps.GopherBounds,
+      chunkSize: Int): DeltaFootprint = {
     graft.ops.SqlTypes.requireFreeColumns(delta,
       Seq("n_kept_tokens", "kept_text", "keep", "sh", "n_raw_tokens", Dedup.ShinglesCol))
 
@@ -280,6 +286,30 @@ object PipelineIncremental {
       .join(rewriteSet.select(col(idCol), col(langCol)), Seq(idCol))
       .select(col(idCol), col("kept_text").as(textCol), col(langCol), col("n_kept_tokens"))
       .localCheckpoint(eager = false)
+
+    // changed docs' band keys + the touched-bucket partition of stage 3
+    val bandCols = (0 until Dedup.LshBands).map(j => s"band$j")
+    val bandsChanged = Dedup.withBandKeys(k2d, textCol, idCol)
+      .select(col(idCol), posexplode(array(bandCols.map(col): _*)).as(Seq("band", "bkey")))
+      .localCheckpoint(eager = false)
+    val oldKeysT2 = state.melted.join(t2, Seq(idCol))
+      .localCheckpoint(eager = false) // buckets LOSING a member are touched too
+    val touchedKeys = bandsChanged.select("band", "bkey")
+      .union(oldKeysT2.select("band", "bkey")).distinct()
+      .localCheckpoint(eager = false)
+    DeltaFootprint(deltaTrain, k1d, chunksD, dfD, t2, k2d, bandsChanged, touchedKeys)
+  }
+
+  def curationStateIncremental(state: CurationState, delta: DataFrame,
+      idCol: String, textCol: String, langCol: String, srcCol: String,
+      evalSource: String = "src0",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
+      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): CurationState = {
+    val fp = deltaFootprint(state, delta, idCol, textCol, langCol, srcCol,
+      evalSource, stopwords, bounds, chunkSize)
+    val DeltaFootprint(deltaTrain, k1d, chunksD, dfD, t2, k2d, bandsChanged, touchedKeys) = fp
+
     // TEXT-SLIM survivor stream: from stage 3 on, unchanged docs are
     // represented by (id, lang, n_kept_tokens) only — their text is never
     // read again (pair verification uses the stored shingle index,
@@ -291,15 +321,6 @@ object PipelineIncremental {
 
     // 3 — near-dup: recompute TOUCHED buckets whole under union counts,
     // carry untouched buckets' verified pairs from the tagged ledger
-    val bandCols = (0 until Dedup.LshBands).map(j => s"band$j")
-    val bandsChanged = Dedup.withBandKeys(k2d, textCol, idCol)
-      .select(col(idCol), posexplode(array(bandCols.map(col): _*)).as(Seq("band", "bkey")))
-      .localCheckpoint(eager = false)
-    val oldKeysT2 = state.melted.join(t2, Seq(idCol))
-      .localCheckpoint(eager = false) // buckets LOSING a member are touched too
-    val touchedKeys = bandsChanged.select("band", "bkey")
-      .union(oldKeysT2.select("band", "bkey")).distinct()
-      .localCheckpoint(eager = false)
     val meltedU = state.melted.join(t2, Seq(idCol), "left_anti").union(bandsChanged)
     val members = meltedU.join(touchedKeys, Seq("band", "bkey"))
     val cappedMembers = HotKeys.dropOverCap(members, Seq("band", "bkey"), bucketCap)
@@ -398,6 +419,48 @@ object PipelineIncremental {
       shingles = shingles.localCheckpoint(eager = false),
       evalSh = evalShU,
       contaminated = contaminated)
+  }
+
+  /**
+   * DELTA-REGIME AUDIT — makes the measured uniform-vs-localized cost
+   * boundary (SCALING.md r14: a UNIFORM 1 % delta touches ~60 % of the
+   * candidate buckets and costs ≈ a full rebuild, while a localized
+   * ingest batch runs 7.7× under it) visible to the CALLER, not only to
+   * record readers: one row with the delta's touched-bucket footprint,
+   * so a production ingest loop can route a diffuse batch to the batch
+   * rebuild instead of paying rebuild cost through the incremental path.
+   * The verdict column applies `rebuildThresholdPpm` to the touched
+   * fraction; the threshold default sits well under the measured ≈60 %
+   * break-even so the advice flips before the cost does.
+   *
+   * Same inputs as the fold; shares its delta-footprint computation
+   * (stage-1/2 delta curation → T2 → changed band keys → touched keys),
+   * so auditing before folding costs one extra linear key count, not a
+   * second delta pass.
+   */
+  def deltaRegimeAudit(state: CurationState, delta: DataFrame,
+      idCol: String, textCol: String, langCol: String, srcCol: String,
+      evalSource: String = "src0",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
+      chunkSize: Int = 8, rebuildThresholdPpm: Long = 250000L): DataFrame = {
+    val fp = deltaFootprint(state, delta, idCol, textCol, langCol, srcCol,
+      evalSource, stopwords, bounds, chunkSize)
+    // union index keys = stored keys of unchanged docs + changed docs'
+    // new keys (identical to the fold's meltedU)
+    val unionKeys = state.melted.join(fp.t2, Seq(idCol), "left_anti")
+      .select("band", "bkey")
+      .union(fp.bandsChanged.select("band", "bkey"))
+      .distinct()
+    fp.deltaTrain.agg(count(lit(1)).as("n_delta_docs"))
+      .crossJoin(fp.t2.agg(count(lit(1)).as("n_t2_docs")))
+      .crossJoin(fp.touchedKeys.agg(count(lit(1)).as("n_touched_buckets")))
+      .crossJoin(unionKeys.agg(count(lit(1)).as("n_total_buckets")))
+      .select(col("n_delta_docs"), col("n_t2_docs"),
+        col("n_touched_buckets"), col("n_total_buckets"),
+        expr("(n_touched_buckets * 1000000) div greatest(n_total_buckets, 1)")
+          .as("touched_ppm"))
+      .withColumn("advise_rebuild", col("touched_ppm") >= rebuildThresholdPpm)
   }
 
   /**

@@ -1,0 +1,142 @@
+package graft.run
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.{PipelineIncremental, TextOps}
+
+/**
+ * Streaming face of the X42b incremental curation pipeline (§2.10 ∘
+ * X42b): a `foreachBatch` maintainer that folds each micro-batch of
+ * documents into the persisted [[PipelineIncremental.CurationState]]
+ * ledger — the [[StreamingMigrate]] checkpoint/idempotence pattern
+ * applied to the curation ledger, with the fold
+ * ([[PipelineIncremental.curationStateIncremental]]) proven
+ * frame-level rebuild-equal batch after batch (PersistedStateSpec,
+ * BandedIncrementalSpec's 2-batch fold pattern).
+ *
+ * Exactly-once STATE without sink transactions, by composition of:
+ *  - checkpointed source offsets → at-least-once batch delivery;
+ *  - an applied-batch WATERMARK stored inside the ledger directory
+ *    (`_batch`): a replayed batch (its id ≤ the stored watermark) is
+ *    skipped whole. Unlike [[StreamingMigrate]]'s LWW merge, the fold
+ *    is NOT idempotent (re-folding double-counts train0/kept1 mass and
+ *    violates the corpus∩delta = ∅ contract), so replay is de-duplicated
+ *    at the batch level rather than the row level — the standard
+ *    `foreachBatch` transactional idiom;
+ *  - an atomic ledger swap: the folded frames are written to a staging
+ *    directory, sealed with a `_complete` marker AFTER every frame (and
+ *    the watermark) is durable, and only then swapped in. All ten frames
+ *    move together — a partial swap would be an inconsistent ledger.
+ *
+ * Crash windows (mirroring StreamingMigrate's recovery proof):
+ *  - during staging write (no marker): staging is discarded, the live
+ *    ledger is untouched, the checkpoint replays the batch — it re-folds
+ *    (its id is above the watermark) and rewrites staging;
+ *  - after the marker, before the live delete: staging is complete but a
+ *    live ledger exists — staging is discarded and the replayed batch
+ *    re-folds (same as above; cheaper than reasoning about which of the
+ *    two is newer);
+ *  - between the live delete and the rename: a complete staging and no
+ *    live ledger — staging IS the new state, recovery finishes the
+ *    rename; the replayed batch's id equals the recovered watermark and
+ *    is skipped;
+ *  - after the rename, before the checkpoint commit: replay is skipped
+ *    by the watermark.
+ *
+ * Scale: each batch pays exactly the incremental delta pass (the fold's
+ * per-stage exactness argument — the expensive kernels touch
+ * delta + affected rows only) plus one parquet rewrite of the ledger.
+ * The rewrite is corpus-linear; a production deployment at 100 TB would
+ * swap the three corpus-scale frames (shingles/melted/chunks) for
+ * APPEND + tombstone tables or an Iceberg/Delta-style merge — the fold's
+ * algebra (anti-join old T2 rows, union new) maps 1:1 onto a merge
+ * predicate; the directory swap here keeps the harness dependency-free.
+ */
+object StreamingCuration {
+
+  private val Complete = "_complete"
+  private val BatchFile = "_batch"
+
+  /** Start the maintainer over a streaming frame of documents with the
+   * same column contract as the batch pipeline. */
+  def start(incoming: DataFrame, stateDir: String, checkpointDir: String,
+      idCol: String, textCol: String, langCol: String, srcCol: String,
+      evalSource: String = "src0",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
+      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, stateDir, idCol, textCol, langCol, srcCol,
+          evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap)
+      }
+      .start()
+
+  /** One batch application — public so a backfill/catch-up driver can
+   * apply parquet-sourced batches through the identical transaction. */
+  def foldBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      idCol: String, textCol: String, langCol: String, srcCol: String,
+      evalSource: String = "src0",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
+      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): Unit = {
+    val spark = batch.sparkSession
+    val root = new Path(stateDir)
+    val staging = new Path(s"$stateDir.__staging")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash recovery BEFORE anything reads state (see object doc)
+    if (fs.exists(staging)) {
+      if (fs.exists(new Path(staging, Complete)) && !fs.exists(root))
+        require(fs.rename(staging, root), s"recovery rename failed for $root")
+      else fs.delete(staging, true): Unit
+    }
+
+    // replay guard: the watermark lives INSIDE the swapped directory, so
+    // it is exactly as durable as the frames it describes
+    val watermark: Long = {
+      val p = new Path(root, BatchFile)
+      if (!fs.exists(p)) -1L
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
+      }
+    }
+    if (batchId <= watermark) return
+
+    val next =
+      if (!fs.exists(root))
+        // bootstrap: the first batch IS the corpus
+        PipelineIncremental.curationState(batch, idCol, textCol, langCol,
+          srcCol, evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap)
+      else
+        PipelineIncremental.curationStateIncremental(
+          PipelineIncremental.fromFrames(n => spark.read.parquet(s"$stateDir/$n.parquet")),
+          batch, idCol, textCol, langCol, srcCol,
+          evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap)
+
+    // stage the folded ledger (reads the live dir lazily — every write
+    // completes before the swap), seal, swap
+    fs.mkdirs(staging): Unit
+    PipelineIncremental.toFrames(next).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$stateDir.__staging/$name.parquet")
+    }
+    val bf = fs.create(new Path(staging, BatchFile), true)
+    try bf.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally bf.close()
+    fs.create(new Path(staging, Complete), true).close()
+    if (fs.exists(root)) fs.delete(root, true): Unit
+    require(fs.rename(staging, root), s"ledger swap failed for $root")
+  }
+
+  /** The run-ledger census over the persisted state — what a monitoring
+   * job reads between batches (one linear pass over the slim frames). */
+  def census(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      idCol: String, langCol: String, seqLen: Long = 512L): DataFrame =
+    PipelineIncremental.censusFromState(
+      PipelineIncremental.fromFrames(n => spark.read.parquet(s"$stateDir/$n.parquet")),
+      idCol, langCol, seqLen)
+}

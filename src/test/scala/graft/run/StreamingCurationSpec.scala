@@ -1,0 +1,127 @@
+package graft.run
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.ext.{Pipeline, TextOps}
+
+/**
+ * MemoryStream parity + restart-safety for the streaming curation
+ * maintainer (r14 verdict item 2): after every micro-batch the persisted
+ * ledger's census must equal the BATCH pipeline over everything ingested
+ * so far, and a replayed batch (checkpoint commit lost) must fold
+ * exactly once.
+ */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Bounds = TextOps.GopherBounds(minWords = 10, maxWords = 200)
+
+  private def words(seed: Int, n: Int = 30): Seq[String] =
+    Seq("the", "a") ++ (0 until n - 2).map(i => s"word${('a' + (seed + i) % 26).toChar}${"x" * (i % 4)}q$i")
+
+  private def censusRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def batchCensus(docs: org.apache.spark.sql.DataFrame): Seq[String] =
+    censusRows(Pipeline.curationPipeline(docs,
+      "doc_id", "text", "lang", "source", bounds = Bounds))
+
+  private def doc(id: Long, seed: Int, src: String = "src1"): (Long, String, String, String) =
+    (id, words(seed, 40).mkString(" "), "en", src)
+
+  test("maintainer parity: ledger census == batch pipeline after every micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = tmpDir() + "/ledger"
+    val source = MemoryStream[(Long, String, String, String)]
+    val stream = source.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = StreamingCuration.start(stream, stateDir, tmpDir(),
+      "doc_id", "text", "lang", "source", bounds = Bounds)
+    try {
+      // batch 1 (bootstrap): includes an eval doc so the eval set is live
+      val b1 = Seq(doc(100L, 0), doc(101L, 7), doc(900L, 21, "src0"))
+      source.addData(b1: _*)
+      q.processAllAvailable()
+      assert(censusRows(StreamingCuration.census(spark, stateDir, "doc_id", "lang"))
+        == batchCensus(b1.toDF("doc_id", "text", "lang", "source")),
+        "bootstrap batch census diverged")
+
+      // batch 2: near-dups doc 100 (cross-batch drop) + a fresh doc
+      val b2 = Seq(
+        (1L, words(0, 40).updated(39, "tail2").mkString(" "), "en", "src1"),
+        doc(102L, 13))
+      source.addData(b2: _*)
+      q.processAllAvailable()
+      assert(censusRows(StreamingCuration.census(spark, stateDir, "doc_id", "lang"))
+        == batchCensus((b1 ++ b2).toDF("doc_id", "text", "lang", "source")),
+        "2-batch fold census diverged from the batch rebuild")
+
+      // batch 3: a delta EVAL doc that contaminates a stored doc
+      val b3 = Seq((2L, (words(17) ++ words(13, 10)).mkString(" "), "en", "src0"))
+      source.addData(b3: _*)
+      q.processAllAvailable()
+      assert(censusRows(StreamingCuration.census(spark, stateDir, "doc_id", "lang"))
+        == batchCensus((b1 ++ b2 ++ b3).toDF("doc_id", "text", "lang", "source")),
+        "3-batch fold census diverged from the batch rebuild")
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint: replayed batch folds exactly once, offline data lands") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = tmpDir() + "/ledger"
+    val ckpt = tmpDir()
+    val source = MemoryStream[(Long, String, String, String)]
+    val stream = source.toDF().toDF("doc_id", "text", "lang", "source")
+
+    val b1 = Seq(doc(100L, 0), doc(900L, 21, "src0"))
+    val b2 = Seq(doc(101L, 5))
+    val q1 = StreamingCuration.start(stream, stateDir, ckpt,
+      "doc_id", "text", "lang", "source", bounds = Bounds)
+    try {
+      source.addData(b1: _*); q1.processAllAvailable()
+      source.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // crash shape: batch 2's ledger swap completed but its checkpoint
+    // commit never landed — the restart MUST replay it as a no-op (a
+    // second fold of b2 would double its mass and break the disjoint-id
+    // contract)
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt).max
+    assert(new java.io.File(commits, last.toString).delete(), "could not simulate crash")
+    new java.io.File(commits, s".$last.crc").delete()
+
+    val b3 = Seq(doc(102L, 9)) // arrives while the maintainer is down
+    source.addData(b3: _*)
+
+    val q2 = StreamingCuration.start(stream, stateDir, ckpt,
+      "doc_id", "text", "lang", "source", bounds = Bounds)
+    try {
+      q2.processAllAvailable()
+      assert(censusRows(StreamingCuration.census(spark, stateDir, "doc_id", "lang"))
+        == batchCensus((b1 ++ b2 ++ b3).toDF("doc_id", "text", "lang", "source")),
+        "restart broke exactly-once ledger state")
+    } finally q2.stop()
+  }
+
+  test("orphaned un-sealed staging is discarded; sealed staging without a live ledger is recovered") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = tmpDir() + "/ledger"
+    // crash mid-write: an incomplete staging (no _complete marker)
+    new java.io.File(s"$stateDir.__staging").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir.__staging/garbage.txt"), "partial")
+    val source = MemoryStream[(Long, String, String, String)]
+    val stream = source.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = StreamingCuration.start(stream, stateDir, tmpDir(),
+      "doc_id", "text", "lang", "source", bounds = Bounds)
+    try {
+      val b1 = Seq(doc(100L, 0), doc(900L, 21, "src0"))
+      source.addData(b1: _*)
+      q.processAllAvailable()
+      assert(!new java.io.File(s"$stateDir.__staging").exists, "staging not cleaned up")
+      assert(censusRows(StreamingCuration.census(spark, stateDir, "doc_id", "lang"))
+        == batchCensus(b1.toDF("doc_id", "text", "lang", "source")))
+    } finally q.stop()
+  }
+}
