@@ -493,6 +493,20 @@ object ScaleBench {
           graft.ext.Similarity.knnGraphBanded(emb, k = 4, bands = bands,
             bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2)
         }),
+      // the r15 SYMMETRIZED-discovery face (what knn_communities consumes
+      // now): the cosine volume equals the multiprobe family's — only the
+      // heap stream doubles (the explode of both orientations) — so the
+      // claim is the same linear curve at a bounded constant over
+      // knn_banded_multiprobe, with zero spill
+      ("knn_banded_sym", Seq(5000L, 50000L, 500000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
+          val bands = 3
+          val rule = math.max(8, (math.log(n.toDouble / 32.0) / math.log(2)).ceil.toInt)
+          val bandPlanes = math.min(rule + (math.log(bands.toDouble) / math.log(2)).ceil.toInt, 20)
+          graft.ext.Similarity.knnGraphBanded(emb, k = 4, bands = bands,
+            bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2, symmetric = true)
+        }),
       // the r13 end-to-end pipeline composition over the near-dup-heavy
       // docs corpus: six chained stages, each staged once; the claim is
       // that COMPOSITION adds no super-linear term beyond its parts
@@ -582,9 +596,10 @@ object ScaleBench {
           val delta = emb.filter(pmod(col("vec_id"), lit(100)) === 99)
           val state = staged(s, s"knnbstate_p$bandPlanes", n)(
             graft.ext.Similarity.knnDirectedBanded(base, k = 4, bands = bands,
-              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2))
+              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2, symmetric = true))
           graft.ext.Similarity.knnGraphBandedIncremental(base, delta, state,
-            k = 4, bands = bands, bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2)
+            k = 4, bands = bands, bandPlanes = bandPlanes, bucketCap = 2000L,
+            probes = 2, symmetric = true)
         }),
       // the banded-incremental WIN regime: a LOCALIZED 1% batch (new
       // content in one embedding direction — the production shape of an
@@ -608,9 +623,10 @@ object ScaleBench {
                   .cast("float")).as("embedding")))
           val state = staged(s, s"knnbstateF_p$bandPlanes", n)(
             graft.ext.Similarity.knnDirectedBanded(emb, k = 4, bands = bands,
-              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2))
+              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2, symmetric = true))
           graft.ext.Similarity.knnGraphBandedIncremental(emb, delta, state,
-            k = 4, bands = bands, bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2)
+            k = 4, bands = bands, bandPlanes = bandPlanes, bucketCap = 2000L,
+            probes = 2, symmetric = true)
         }),
       // mutual k-NN graph: the per-bucket quadratic is the risk — the
       // plane count must grow with N (P = log2(N/32) here, the operator's

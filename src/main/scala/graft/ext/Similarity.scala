@@ -543,9 +543,19 @@ object Similarity {
    * deterministic cross-engine: the plane dots are the bit-identical
    * double fold both engines compute, ties break to the lowest plane
    * index on both.
+   *
+   * NULL-EMBEDDING SEMANTICS (intentional): a SQL-NULL embedding yields
+   * a NULL probe array from the LshBandProbes kernel, and posexplode
+   * drops the row — the vector joins the banded graph as neither query
+   * nor candidate. (The legacy column form `lshBucketBand` would bucket
+   * it at 0 via `NULL > 0 = false`; LshBandProbesSpec pins the
+   * divergence.) A corpus with null embeddings must filter or impute
+   * them upstream if it wants them represented; the oracle CTE mirrors
+   * operate on the fixtures' non-null embeddings, where the two
+   * semantics coincide.
    */
   def knnDirectedBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
-      bucketCap: Long = 10000L, probes: Int = 1): DataFrame = {
+      bucketCap: Long = 10000L, probes: Int = 1, symmetric: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(bands >= 1 && bandPlanes >= 1 && bands * bandPlanes <= 62,
       s"bands >= 1, bandPlanes >= 1, bands*bandPlanes <= 62 required, " +
@@ -590,14 +600,57 @@ object Similarity {
       .select(col("query_id"), col("band"), col("vec_id"),
         round(cosineFrom(dot(col("q_emb"), col("embedding")),
           col("q_norm"), col("c_norm")), 6).as("cos6"))
-    // NATIVE GroupTopK keyed (query, band) == the per-band top-k: bounded
-    // partial heaps cap output at k rows per (query, band) BEFORE any
-    // exchange — the massive pair stream never shuffles. Global top-k
-    // over the deduped union of band candidates equals the merge of
-    // per-band top-k's: a band's candidates are a subset of the union's,
-    // so any globally-top-k pair is top-k in every band that produced it.
-    val merged = topk.topkPerKey(pairs, Seq("query_id", "band"),
-        Seq(col("cos6").desc, col("vec_id").asc), k)
+    rankBandPairs(pairs, k, symmetric)
+  }
+
+  /** The banded family's rank tail: optional SYMMETRIZED discovery, then
+   * the per-band native-GroupTopK merge.
+   *
+   * `symmetric = true` makes each DISCOVERED pair count for BOTH
+   * endpoints' top-k (the NN-descent neighbor-list symmetrization): the
+   * asymmetric form loses a true edge a→b whenever no bucket a PROBES
+   * holds b — even though b may well probe a's bucket — and mutual-edge
+   * recall pays that loss in both directions. Symmetrizing the scored
+   * stream raises mutual recall the way only extra bands otherwise could
+   * — measured on the fixtures at 12×5-band probes=2: 552 k → 642 k ppm
+   * mutual (sf0.001), 590 k → 769 k (sf0.01) — at ZERO extra candidate
+   * volume: the reversal reuses the already-computed cosine, so the
+   * expensive discovery join and kernel stages are untouched; only the
+   * heap pass reads 2× rows.
+   *
+   * NATIVE GroupTopK keyed (query, band) == the per-band top-k: bounded
+   * partial heaps cap output BEFORE any exchange — the massive pair
+   * stream never shuffles. Global top-k over the deduped union of band
+   * candidates equals the merge of per-band top-k's: a band's candidates
+   * are a subset of the union's, so any globally-top-k pair is top-k in
+   * every band that produced it. Under symmetrization a pair can appear
+   * TWICE per band (discovered in both directions), so the per-band heap
+   * widens to 2k: top-2k of the ≤2-fold multiset contains the top-k of
+   * the distinct set, which keeps the merge argument intact. */
+  private def rankBandPairs(pairs: DataFrame, k: Int, symmetric: Boolean): DataFrame = {
+    val stream =
+      if (!symmetric) pairs
+      else
+        // both orientations from one generator row (explode of a 2-array
+        // of structs): stays inside whole-stage codegen and never
+        // materializes the pair stream — a staged union form cached the
+        // full multi-million-row stream just to read it twice
+        pairs.select(col("band"), col("cos6"), explode(array(
+            struct(col("query_id"), col("vec_id")),
+            struct(col("vec_id").as("query_id"), col("query_id").as("vec_id")))).as("__e"))
+          .select(col("__e.query_id").as("query_id"), col("band"),
+            col("__e.vec_id").as("vec_id"), col("cos6"))
+    rankBandTail(stream, k, heapK = if (symmetric) 2 * k else k)
+  }
+
+  /** The per-band heap merge over an (optionally pre-symmetrized) scored
+   * stream — shared by the batch generator and the incremental's
+   * recompute, whose stream arrives already symmetrized (forward pairs
+   * of affected queries + reversed discoveries targeting them). */
+  private def rankBandTail(stream: DataFrame, k: Int, heapK: Int): DataFrame = {
+    val topk = org.apache.spark.sql.graft.plans.GroupTopK
+    val merged = topk.topkPerKey(stream, Seq("query_id", "band"),
+        Seq(col("cos6").desc, col("vec_id").asc), heapK)
       .groupBy("query_id", "vec_id").agg(max("cos6").as("cos6"))
     topk.topkPerKey(merged, Seq("query_id"),
         Seq(col("cos6").desc, col("vec_id").asc), k)
@@ -607,12 +660,12 @@ object Similarity {
   /** Banded-candidate mutual kNN graph: [[knnDirectedBanded]] +
    * the same reversed-pair mutuality join as [[knnGraphMutual]]. */
   def knnGraphBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
-      bucketCap: Long = 10000L, probes: Int = 1): DataFrame = {
+      bucketCap: Long = 10000L, probes: Int = 1, symmetric: Boolean = false): DataFrame = {
     // staged once — the mutuality self-join reads it twice (see
     // knnGraphMutual); the banded pipeline is the most expensive
     // candidate generator in the library, so the double execution was
     // measured, not hypothetical
-    val directed = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap, probes)
+    val directed = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap, probes, symmetric)
       .localCheckpoint(eager = false)
     directed.as("a")
       .join(directed.as("b"),
@@ -626,7 +679,7 @@ object Similarity {
    * candidates from [[knnDirectedBanded]]. */
   def knnRecallAuditBanded(emb: DataFrame, k: Int, bands: Int = 4,
       bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
-      sampleMod: Long = 20L, probes: Int = 1): DataFrame = {
+      sampleMod: Long = 20L, probes: Int = 1, symmetric: Boolean = false): DataFrame = {
     val q = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_norm"))
@@ -635,7 +688,7 @@ object Similarity {
       .withColumn("cos6", round(
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
     val truth = rankTopK(pairs, k).select(col("query_id"), col("neighbor_id"))
-    val cand = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap, probes)
+    val cand = knnDirectedBanded(emb, k, bands, bandPlanes, bucketCap, probes, symmetric)
       .filter(col("src") % sampleMod === 0)
       .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
     val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
@@ -666,7 +719,7 @@ object Similarity {
    */
   def knnRecallAuditMutual(emb: DataFrame, k: Int, bands: Int = 4,
       bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
-      sampleMod: Long = 20L, probes: Int = 1): DataFrame = {
+      sampleMod: Long = 20L, probes: Int = 1, symmetric: Boolean = false): DataFrame = {
     def exactTopK(queries: DataFrame): DataFrame = {
       val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
@@ -683,7 +736,7 @@ object Similarity {
     val truth = topS.join(topB,
       topS("query_id") === topB("neighbor_id") && topS("neighbor_id") === topB("query_id"))
       .select(topS("query_id"), topS("neighbor_id"))
-    val mutual = knnGraphBanded(emb, k, bands, bandPlanes, bucketCap, probes)
+    val mutual = knnGraphBanded(emb, k, bands, bandPlanes, bucketCap, probes, symmetric)
       .localCheckpoint(eager = false) // both orientation filters below
     val cand = mutual.filter(col("id_a") % sampleMod === 0)
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
@@ -795,9 +848,9 @@ object Similarity {
   def knnGraphBandedIncremental(base: DataFrame, delta: DataFrame,
       baseDirected: DataFrame, k: Int, bands: Int = 4,
       bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1, symmetric: Boolean = false): DataFrame = {
     val directed = knnDirectedBandedIncremental(base, delta, baseDirected,
-        k, bands, bandPlanes, bucketCap, probes)
+        k, bands, bandPlanes, bucketCap, probes, symmetric)
       .localCheckpoint(eager = false)
     directed.as("a")
       .join(directed.as("b"),
@@ -839,7 +892,7 @@ object Similarity {
   def knnDirectedBandedIncremental(base: DataFrame, delta: DataFrame,
       baseDirected: DataFrame, k: Int, bands: Int = 4,
       bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1, symmetric: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def staged(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"),
@@ -849,16 +902,41 @@ object Similarity {
     def melt(df: DataFrame) = df.select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(col("__pbs")).as(Seq("band", "__pb")))
       .withColumn("bucket", element_at(col("__pb"), 1))
-    val mb = melt(staged(base))
-    val md = melt(staged(delta))
+    val mb = melt(staged(base)).localCheckpoint(eager = false)
+    val md = melt(staged(delta)).localCheckpoint(eager = false)
     val touched = md.select("band", "bucket").distinct()
       .localCheckpoint(eager = false)
-    // affected base queries: ANY probed bucket (incl. the true bucket,
-    // whose cap status may flip) is touched
-    val affectedBase = mb.select(col("vec_id"), col("band"),
+    // affected base queries, FORWARD face: ANY probed bucket (incl. the
+    // true bucket, whose cap status may flip) is touched
+    val affectedFwd = mb.select(col("vec_id"), col("band"),
         explode(col("__pb")).as("bucket"))
       .join(touched, Seq("band", "bucket"))
       .select("vec_id").distinct()
+    // SYMMETRIC face: a base vector's REVERSE candidates (vectors probing
+    // its true bucket) change exactly when a prober's row-existence
+    // changes in that band — new delta probers, or base members of a
+    // CAP-FLIPPED bucket (their qry+idx rows in that band appear/vanish
+    // with the flip; append-only ingest means flips only go under→over,
+    // but the predicate covers both). So the affected set additionally
+    // pulls every base vector whose TRUE (band, bucket) is probed by a
+    // delta vector or by a flipped bucket's base members.
+    val affectedBase =
+      if (!symmetric) affectedFwd
+      else {
+        val sizesBase = mb.groupBy("band", "bucket").agg(count(lit(1)).as("__nb"))
+        val sizesU = mb.select("band", "bucket").union(md.select("band", "bucket"))
+          .groupBy("band", "bucket").agg(count(lit(1)).as("__nu"))
+        val flipped = sizesU.join(sizesBase, Seq("band", "bucket"), "left_outer")
+          .filter((coalesce(col("__nb"), lit(0L)) > bucketCap) =!= (col("__nu") > bucketCap))
+          .select("band", "bucket")
+        val flipMembers = mb.join(flipped, Seq("band", "bucket"))
+        val changedProbes = md.select(col("band"), explode(col("__pb")).as("bucket"))
+          .union(flipMembers.select(col("band"), explode(col("__pb")).as("bucket")))
+          .distinct()
+        val affectedRev = mb.join(changedProbes, Seq("band", "bucket"))
+          .select("vec_id").distinct()
+        affectedFwd.union(affectedRev).distinct()
+      }
     val affIds = affectedBase.union(md.select("vec_id").distinct()).distinct()
       .localCheckpoint(eager = false)
     // union index under UNION-level caps — rebuild-identical semantics
@@ -870,18 +948,35 @@ object Similarity {
         col("nrm").as("q_norm"), col("band"), explode(col("__pb")).as("bucket"))
     val idx = capped.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
       col("band"), col("bucket"))
-    val pairs = qry.join(idx, Seq("band", "bucket"))
+    val fwd = qry.join(idx, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("band"), col("vec_id"),
         round(cosineFrom(dot(col("q_emb"), col("embedding")),
           col("q_norm"), col("c_norm")), 6).as("cos6"))
-    val topk = org.apache.spark.sql.graft.plans.GroupTopK
-    val merged = topk.topkPerKey(pairs, Seq("query_id", "band"),
-        Seq(col("cos6").desc, col("vec_id").asc), k)
-      .groupBy("query_id", "vec_id").agg(max("cos6").as("cos6"))
-    val recomputed = topk.topkPerKey(merged, Seq("query_id"),
-        Seq(col("cos6").desc, col("vec_id").asc), k)
-      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
+    // symmetric recompute: the affected queries' scored stream must also
+    // carry the REVERSED discoveries targeting them — every union
+    // vector's probe hitting an affected vector's true bucket. One
+    // linear pass over the union probe melt against the (small) affected
+    // index slice: the same multiset the batch's symmetrization emits
+    // for these queries, so the 2k-heap tail is bit-equal per query.
+    val pairs =
+      if (!symmetric) fwd
+      else {
+        val idxAff = capped.join(affIds, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
+            col("band"), col("bucket"))
+        val qryAll = capped.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("nrm").as("q_norm"), col("band"),
+          explode(col("__pb")).as("bucket"))
+        val rev = qryAll.join(idxAff, Seq("band", "bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("vec_id").as("query_id"), col("band"),
+            col("query_id").as("vec_id"),
+            round(cosineFrom(dot(col("q_emb"), col("embedding")),
+              col("q_norm"), col("c_norm")), 6).as("cos6"))
+        fwd.union(rev)
+      }
+    val recomputed = rankBandTail(pairs, k, heapK = if (symmetric) 2 * k else k)
     baseDirected.join(affIds.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
       .select(col("src"), col("dst"), col("cos6"))
       .union(recomputed)

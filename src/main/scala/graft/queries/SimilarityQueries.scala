@@ -118,9 +118,16 @@ object SimilarityQueries {
    * tie-break Spark's array_position applies to the bit-identical double
    * dots. Slim id-pair union + DISTINCT, cosine attached once per
    * surviving pair, per-src rank. Ends with CTE `d` = directed top-4
-   * edges (src, dst, cos6). */
+   * edges (src, dst, cos6).
+   *
+   * `symmetric` mirrors the engine's symmetrized discovery: each
+   * discovered pair enters the candidate set in BOTH orientations before
+   * the DISTINCT + rank — equal to the engine's per-band 2k-heap merge
+   * by the usual subset argument (any globally-top-k pair ranks ≤ k
+   * among each discovering band's distinct candidates, hence ≤ 2k in its
+   * ≤2-fold multiset). */
   private def bandedDirectedCtes(bands: Int, bandPlanes: Int = Similarity.LshPlanes,
-      probes: Int = 1): String = {
+      probes: Int = 1, symmetric: Boolean = false): String = {
     require(probes == 1 || probes == 2, s"oracle mirror supports probes 1|2, got $probes")
     val perBand = (0 until bands).map { b =>
       val dcols = (0 until bandPlanes).map(j => s"d$j")
@@ -150,8 +157,13 @@ object SimilarityQueries {
         .stripMargin
     }.mkString(",\n")
     val unions = (0 until bands).map(b => s"SELECT * FROM p$b").mkString(" UNION ALL ")
+    val candBody =
+      if (!symmetric) unions
+      else s"""SELECT query_id, vec_id FROM ($unions)
+              |  UNION ALL
+              |  SELECT vec_id AS query_id, query_id AS vec_id FROM ($unions)""".stripMargin
     s"""WITH $perBand,
-       |cand AS (SELECT DISTINCT query_id, vec_id FROM ($unions)),
+       |cand AS (SELECT DISTINCT query_id, vec_id FROM ($candBody)),
        |sc AS (
        |  SELECT c.query_id AS src, c.vec_id AS dst,
        |         ${cosSql("qe.embedding", "ce.embedding")} AS cos6
@@ -798,21 +810,25 @@ object SimilarityQueries {
     // edge SQL + the same recursive-CTE transitive closure that pins
     // both CC algorithms.
     // Community edges come from the BANDED MULTI-PROBE candidate
-    // generator — the single-bucket graph's ~3 % directed recall made the
-    // clusters an artifact of the hashing; the 12x5-band 2-probe edges
-    // carry the measured ≥ 500 000 ppm recall (knn_recall_banded row).
+    // generator with SYMMETRIZED discovery (each found pair scores for
+    // both endpoints' top-k) — the single-bucket graph's ~3 % directed
+    // recall made the clusters an artifact of the hashing; the 12x5-band
+    // 2-probe symmetric edges carry the measured 660-770 k ppm directed
+    // and 642-769 k ppm MUTUAL recall (knn_recall_banded /
+    // knn_recall_mutual rows) at the same candidate volume as r14's
+    // asymmetric form (552 k mutual).
     Q("knn_communities",
       (s, dir) => {
         val edges = graft.ext.Similarity.knnGraphBanded(
             TableIO.read(s, dir, "embeddings"), k = 4,
-            bands = 12, bandPlanes = 5, probes = 2)
+            bands = 12, bandPlanes = 5, probes = 2, symmetric = true)
           .filter(col("cos6") >= 0.15)
         graft.ext.Dedup.connectedComponentsStar(edges, "id_a", "id_b")
           .groupBy("cluster")
           .agg(count(lit(1)).as("n_members"), min("id").as("min_id"))
           .orderBy(col("n_members").desc, col("cluster"))
       },
-      Some(s"""${bandedDirectedCtes(12, 5, 2).replaceFirst("WITH ", "WITH RECURSIVE ")},
+      Some(s"""${bandedDirectedCtes(12, 5, 2, symmetric = true).replaceFirst("WITH ", "WITH RECURSIVE ")},
               |mu AS (
               |  SELECT a.src AS id_a, a.dst AS id_b
               |  FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
@@ -874,9 +890,9 @@ object SimilarityQueries {
     Q("knn_graph_banded",
       (s, dir) => graft.ext.Similarity.knnGraphBanded(
           TableIO.read(s, dir, "embeddings"), k = 4,
-          bands = 12, bandPlanes = 5, probes = 2)
+          bands = 12, bandPlanes = 5, probes = 2, symmetric = true)
         .orderBy("id_a", "id_b"),
-      Some(s"""${bandedDirectedCtes(12, 5, 2)}
+      Some(s"""${bandedDirectedCtes(12, 5, 2, symmetric = true)}
               |SELECT a.src AS id_a, a.dst AS id_b, a.cos6
               |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
               |WHERE a.src < a.dst
@@ -907,12 +923,13 @@ object SimilarityQueries {
         val load = graft.run.StateStore.materialize(
           s, s"knnbanded_${graft.run.StateStore.dirKey(dir)}",
           Map("directed" -> graft.ext.Similarity.knnDirectedBanded(
-            base, k = 4, bands = 12, bandPlanes = 5, probes = 2)))
+            base, k = 4, bands = 12, bandPlanes = 5, probes = 2, symmetric = true)))
         graft.ext.Similarity.knnGraphBandedIncremental(
-            base, delta, load("directed"), k = 4, bands = 12, bandPlanes = 5, probes = 2)
+            base, delta, load("directed"), k = 4, bands = 12, bandPlanes = 5,
+            probes = 2, symmetric = true)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""${bandedDirectedCtes(12, 5, 2)}
+      Some(s"""${bandedDirectedCtes(12, 5, 2, symmetric = true)}
               |SELECT a.src AS id_a, a.dst AS id_b, a.cos6
               |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
               |WHERE a.src < a.dst
@@ -926,8 +943,8 @@ object SimilarityQueries {
     Q("knn_recall_banded",
       (s, dir) => graft.ext.Similarity.knnRecallAuditBanded(
         TableIO.read(s, dir, "embeddings"), k = 4,
-        bands = 12, bandPlanes = 5, probes = 2),
-      Some(s"""${bandedDirectedCtes(12, 5, 2)},
+        bands = 12, bandPlanes = 5, probes = 2, symmetric = true),
+      Some(s"""${bandedDirectedCtes(12, 5, 2, symmetric = true)},
               |cd AS (SELECT src AS query_id, dst AS neighbor_id FROM d
               |       WHERE src % 20 = 0),
               |tp AS (
@@ -960,8 +977,8 @@ object SimilarityQueries {
     Q("knn_recall_mutual",
       (s, dir) => graft.ext.Similarity.knnRecallAuditMutual(
         TableIO.read(s, dir, "embeddings"), k = 4,
-        bands = 12, bandPlanes = 5, probes = 2),
-      Some(s"""${bandedDirectedCtes(12, 5, 2)},
+        bands = 12, bandPlanes = 5, probes = 2, symmetric = true),
+      Some(s"""${bandedDirectedCtes(12, 5, 2, symmetric = true)},
               |mu AS (
               |  SELECT a.src AS id_a, a.dst AS id_b
               |  FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src

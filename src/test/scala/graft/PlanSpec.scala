@@ -80,6 +80,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"too many exchanges ($exchanges):\n${p.take(3000)}")
   }
 
+  test("over-cap data: the cap is a broadcast anti-join in a REAL operator's plan, never a window") {
+    // r14 advisory: the adaptive gate skips the cap join on fixture data,
+    // so the per-operator anti-join shape under over-cap data was pinned
+    // only by the generic HotKeysSpec frame. This pins it END-TO-END: a
+    // bucketCap of 1 makes every multi-member (band, bucket) over cap in
+    // knnDirectedBanded, so the gate must CHOOSE the anti-join — and the
+    // plan must show a broadcast anti-join on the bucket key, no Window.
+    val emb = TableIO.read(spark, Sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 200)
+    val p = plan(graft.ext.Similarity.knnDirectedBanded(
+      emb, k = 2, bands = 2, bandPlanes = 3, bucketCap = 1L, probes = 2, symmetric = true))
+    assert(!p.contains("Window"), s"window on a content key:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"over-cap drop is not a broadcast anti-join:\n${p.take(3000)}")
+  }
+
   test("shard packing is one scan and one hash shuffle (the window key)") {
     val df = SparkEntry.queries("shard_packing")(spark, Sf)
     val p = plan(df)

@@ -106,14 +106,27 @@ class LshBandProbesSpec extends SparkSpec {
     for (probes <- Seq(1, 2, 4)) assertSame(df, 3, 4, probes)
   }
 
-  test("null embedding row yields a null probe set in both forms") {
+  test("whole-null embedding: kernel yields NULL (row drops from the banded graph) — the documented divergence from the column form") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(Seq(Row(1L, null)).asJava, StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType, containsNull = true)))))
     val k = kernelProbes(df, 2, 3, 2).collect()
     assert(k.length == 1 && k(0).isNullAt(1), "null vector must yield a null probe set")
+    // The legacy COLUMN form (lshBucketBand: a sum of CASE WHEN dot > 0
+    // folds) evaluates a NULL embedding's dots to NULL, and `NULL > 0`
+    // is false — so it buckets the vector at 0 and KEEPS it. The kernel's
+    // drop-null is the intentional semantics for the banded graph (a
+    // vector with no embedding has no meaningful bucket, and
+    // knnDirectedBanded documents the drop); this pin records the
+    // divergence explicitly so neither side drifts silently.
+    val colForm = df.select(
+      graft.ext.Similarity.lshBucketBand(col("embedding"), 0, 3).as("b")).head()
+    assert(!colForm.isNullAt(0) && colForm.getLong(0) == 0L,
+      "column form buckets a whole-null embedding at 0 — if this changed, " +
+        "re-examine the documented kernel/column divergence")
   }
 }

@@ -71,12 +71,14 @@ class PersistedStateSpec extends SparkSpec {
     val emb = TableIO.read(spark, Sf, "embeddings").filter(col("vec_id") < 400)
     val base = emb.filter(col("vec_id") % 5 =!= 4)
     val delta = emb.filter(col("vec_id") % 5 === 4)
-    val st = Similarity.knnDirectedBanded(base, k = 4, bands = 6, bandPlanes = 4, probes = 2)
+    val st = Similarity.knnDirectedBanded(base, k = 4, bands = 6, bandPlanes = 4,
+      probes = 2, symmetric = true)
     val inMem = Similarity.knnGraphBandedIncremental(
-      base, delta, st, k = 4, bands = 6, bandPlanes = 4, probes = 2)
+      base, delta, st, k = 4, bands = 6, bandPlanes = 4, probes = 2, symmetric = true)
     val load = StateStore.materialize(spark, "spec_knnbanded", Map("directed" -> st))
     val reloaded = Similarity.knnGraphBandedIncremental(
-      base, delta, load("directed"), k = 4, bands = 6, bandPlanes = 4, probes = 2)
+      base, delta, load("directed"), k = 4, bands = 6, bandPlanes = 4,
+      probes = 2, symmetric = true)
     assert(sortedRows(reloaded) == sortedRows(inMem),
       "banded incremental over the reloaded state diverged from the in-memory state")
   }
