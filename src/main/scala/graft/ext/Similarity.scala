@@ -324,6 +324,68 @@ object Similarity {
   }
 
   /**
+   * X3++ — the END-TO-END ANN SERVING composition (IVF-PQ, Jégou et al.
+   * 2011): coarse ROUTING to the query's IVF cell, the PQ ADC pass
+   * shortlisting within the cell, and the exact full-dimension re-rank
+   * of the shortlist — the three already-verified primitives
+   * ([[topKBlocked]]'s cell restriction, [[pqAdcTopK]], the
+   * [[pqRerankTopK]] tail) chained the way a production vector-serving
+   * path chains them. The `ann_serve_e2e` oracle is the chained CTE
+   * mirror, so the hash match proves the COMPOSITION (the X42 pattern).
+   *
+   * Routing is IN the ADC join key: the broadcast LUT carries each
+   * query's cell and the code stream carries each candidate's, so the
+   * join key (sub, code, cell) prunes cross-cell pairs BEFORE the
+   * 8-term sum — at 100 TB the code table is stored partitioned by
+   * cell and the scan itself prunes to the probed cells; the join-key
+   * form is the single-table-harness equivalent (no post-hoc filter
+   * over an all-cells pair stream).
+   */
+  def ivfPqServeTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+      k: Int, shortlist: Int, cellCol: String = "label",
+      numSub: Int = PqSubspaces, subDim: Int = PqSubDim): DataFrame = {
+    val codes = pqCodes(candidates, centroids, numSub, subDim)
+      .join(candidates.select(col("vec_id"), col(cellCol).as("__cell")), "vec_id")
+      .select(col("vec_id"), col("sub"), col("code"), col("__cell"))
+    val q = pqSubVectors(queries.select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", numSub, subDim)
+      .withColumnRenamed("svec", "qvec")
+    val c = pqSubVectors(centroids.select(col("vec_id").as("c_id"), col("embedding")),
+        "c_id", numSub, subDim)
+      .withColumnRenamed("svec", "cvec")
+    val lut = q.join(c, "sub")
+      .withColumn("pdist_us", floor((
+        dot(col("qvec"), col("qvec")) - lit(2.0) * dot(col("qvec"), col("cvec"))
+          + dot(col("cvec"), col("cvec"))) * lit(1000000.0)).cast("long"))
+      .join(queries.select(col("vec_id").as("query_id"), col(cellCol).as("__cell")),
+        "query_id")
+      .select(col("query_id"), col("sub"), col("c_id").as("code"),
+        col("__cell"), col("pdist_us"))
+    val pairs = codes.join(broadcast(lut), Seq("sub", "code", "__cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pdist_us").as("adc_us"))
+    val short = pairs
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy("query_id", "__part").orderBy(col("adc_us").asc, col("vec_id"))))
+      .filter(col("__lr") <= shortlist)
+      .withColumn("__sr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_us").asc, col("vec_id"))))
+      .filter(col("__sr") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val nv = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("__n_emb"))
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("__q_emb"))
+    nv.join(broadcast(short), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos6", round(cosine(col("__q_emb"), col("__n_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos6").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos6"))
+  }
+
+  /**
    * X2d+ — SemDeDup-style semantic dedup (Abbas et al. 2023, public
    * arXiv:2303.09540): cluster embeddings to centroids (the IVF E-step,
    * [[assignToCentroids]]), compare pairs ONLY within a cluster, and drop
@@ -962,9 +1024,16 @@ object Similarity {
     val pairs =
       if (!symmetric) fwd
       else {
-        val idxAff = capped.join(affIds, Seq("vec_id"))
-          .select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
-            col("band"), col("bucket"))
+        // gated broadcast of the affected index slice: in the LOCALIZED
+        // regime it is a few thousand rows and the full probe melt (the
+        // embedding-carrying big side) must not exchange for it
+        // (measured: 944 MB of melt shuffle at 500 k vectors without the
+        // gate, 421 vs 92 CPU-s family point); in the uniform regime the
+        // slice is corpus-sized and the gate degrades to SHUFFLE_HASH
+        val idxAff = HotKeys.broadcastIfSmall(
+          capped.join(affIds, Seq("vec_id"))
+            .select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
+              col("band"), col("bucket")))
         val qryAll = capped.select(col("vec_id").as("query_id"),
           col("embedding").as("q_emb"), col("nrm").as("q_norm"), col("band"),
           explode(col("__pb")).as("bucket"))

@@ -61,9 +61,16 @@ object SimilarityQueries {
 
   /** Shared CTE chain mirroring Similarity.pqCodes/pqAdcTopK through the
    * per-pair ADC sums (`pairs`): centroids vec_id<16, queries vec_id<5,
-   * fixed-point µ-unit LUT entries. Used by both pq_adc_topk and
-   * pq_rerank_topk so the band arithmetic lives in one place. */
-  private lazy val pqAdcCtes =
+   * fixed-point µ-unit LUT entries. Used by pq_adc_topk, pq_rerank_topk
+   * and (with `routed = true`, which adds the IVF cell equality to the
+   * pair join — mirroring ivfPqServeTopK's (sub, code, cell) join key)
+   * ann_serve_e2e, so the band arithmetic lives in one place. */
+  private def pqAdcCtes(routed: Boolean): String = {
+    val routeJoins =
+      if (!routed) ""
+      else """
+        |  JOIN embeddings ce ON ce.vec_id = cd.vec_id
+        |  JOIN embeddings qe2 ON qe2.vec_id = l.query_id AND qe2.label = ce.label""".stripMargin
     s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 16),
        |sp AS (SELECT CAST(range AS BIGINT) AS sub FROM range(0, ${Similarity.PqSubspaces})),
        |d AS (
@@ -85,9 +92,10 @@ object SimilarityQueries {
        |  FROM q, sp, cent c),
        |pairs AS (
        |  SELECT l.query_id, cd.vec_id, CAST(sum(l.pdist_us) AS BIGINT) AS adc_us
-       |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+       |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code$routeJoins
        |  WHERE cd.vec_id != l.query_id
        |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** DuckDB mirrors of the LSH plane machinery (identical plane literals
    * generated from Similarity.planeComponent). */
@@ -711,7 +719,7 @@ object SimilarityQueries {
         Similarity.pqAdcTopK(emb.filter(col("vec_id") < 5), emb, emb.filter(col("vec_id") < 16), k = 3)
           .orderBy("query_id", "rank")
       },
-      Some(s"""$pqAdcCtes
+      Some(s"""${pqAdcCtes(routed = false)}
               |SELECT query_id,
               |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_us, vec_id) AS INTEGER) AS rank,
               |       vec_id AS neighbor_id, adc_us
@@ -730,7 +738,44 @@ object SimilarityQueries {
             emb.filter(col("vec_id") < 16), k = 3, shortlist = 10)
           .orderBy("query_id", "rank")
       },
-      Some(s"""$pqAdcCtes,
+      Some(s"""${pqAdcCtes(routed = false)},
+              |short AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id,
+              |           row_number() OVER (PARTITION BY query_id ORDER BY adc_us, vec_id) AS srn
+              |    FROM pairs)
+              |  WHERE srn <= 10),
+              |exact AS (
+              |  SELECT s.query_id, s.vec_id AS neighbor_id,
+              |         ${cosSql("qe.embedding", "ne.embedding")} AS cos6
+              |  FROM short s
+              |  JOIN embeddings qe ON qe.vec_id = s.query_id
+              |  JOIN embeddings ne ON ne.vec_id = s.vec_id)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
+              |       neighbor_id, cos6
+              |FROM exact
+              |QUALIFY rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // X3++ — END-TO-END ANN SERVING (ann_serve_e2e): the IVF-PQ
+    // composition a production vector-serving path runs — coarse ROUTE
+    // to the query's IVF cell (the cell equality lives IN the ADC join
+    // key, so cross-cell pairs never reach the 8-term sum; at 100 TB the
+    // code table is cell-partitioned and the scan itself prunes), PQ ADC
+    // shortlist of 10 within the cell, exact full-dimension re-rank to
+    // the final 3. Every primitive is individually oracle-green
+    // (topk_cosine_ivf, pq_adc_topk, pq_rerank_topk); this chains their
+    // CTE mirrors so the hash match proves the COMPOSITION — the X42
+    // pattern applied to the serving face.
+    Q("ann_serve_e2e",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.ivfPqServeTopK(emb.filter(col("vec_id") < 5), emb,
+            emb.filter(col("vec_id") < 16), k = 3, shortlist = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""${pqAdcCtes(routed = true)},
               |short AS (
               |  SELECT query_id, vec_id FROM (
               |    SELECT query_id, vec_id,
