@@ -108,6 +108,15 @@ object PipelineQueries {
     // X29 — blocked fuzzy nearest neighbor over part names: candidates
     // only within a brand block, length-difference prefilter, exact
     // Levenshtein, best match per record by (dist, match_id).
+    //
+    // SPREAD ADJUDICATION (r15, closing the r14 "1.56–11.09 s over 4
+    // samples" triage item): two fresh-JVM min-of-4 runs on the same
+    // box show the identical MONOTONE decay — 13.69, 3.49, 2.61, 2.49
+    // and 8.83, 2.45, 2.05, 1.93 — i.e. C2 compilation of the large
+    // levenshtein codegen method reaching steady state at sample 3-4
+    // (the shape Bench.scala's min-of-4-for->1s rule exists for), not a
+    // bimodal plan. The committed min is stable across rounds
+    // (1.56-2.5 s tracking box quality); no plan change warranted.
     // The oracle mirrors the block-size cap too: part scales with SF
     // (SF·8000 rows per brand block), so a cap-free oracle would diverge
     // from the engine the moment a bench SF pushes a block past the cap —
