@@ -464,6 +464,24 @@ object ScaleBench {
       ("pca_project", Seq(20000L, 200000L, 2000000L),
         (s, n) => graft.ext.Linalg.pcaProjectTop(
           staged(s, "embs", n)(knnEmbeddings(s, n)), "vec_id", "embedding")),
+      // the SQ8 serving pair: identical 10-query workload, float brute
+      // force vs the int8-coded shortlist + exact re-rank over the
+      // STAGED stored tier (production scans codes, not floats). Both
+      // must be linear; sq8's full-corpus pass reads ¼ the bytes and
+      // skips the per-pair double dot, so its curve should sit clearly
+      // under brute's at 2M vectors.
+      ("topk_brute", Seq(20000L, 200000L, 2000000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
+          graft.ext.Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        }),
+      ("topk_sq8", Seq(20000L, 200000L, 2000000L),
+        (s, n) => {
+          val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
+          val coded = staged(s, "sq8", n)(graft.ext.Similarity.sq8Coded(emb))
+          graft.ext.Similarity.topKSq8Coded(
+            emb.filter(col("vec_id") < 10), coded, emb, k = 10, shortlistFactor = 4)
+        }),
       // banded multi-bucket kNN under the banded plane-growth contract:
       // per-band planes = single-bucket rule + ceil(log2(bands)), so the
       // TOTAL candidate volume (B · N²/2^P′) matches the single-bucket

@@ -192,6 +192,85 @@ object Similarity {
     transform(q, v => v.cast("double") * scale / lit(127.0))
 
   /**
+   * X3 scale path 4 — SQ8 serving: symmetric int8 scalar-quantized
+   * shortlist + exact float re-rank. The stored tier holds
+   * struct(scale, codes) per vector (4× smaller than float32; the
+   * [[org.apache.spark.sql.graft.QuantizeInt8Codes]] kernel, one pass per
+   * row), the per-pair hot loop is the codegen'd INTEGER dot
+   * ([[org.apache.spark.sql.graft.IntVectorDot]] — exact int64, ¼ the
+   * memory traffic of the float dot), and only the shortlist
+   * (`shortlistFactor`·k rows per query) ever touches float embeddings
+   * again. approx_cos = ((scale_q·scale_c)·idot / 127²) / (norm_q·norm_c)
+   * with this exact association order in both engines, so the double
+   * ranking key is bit-identical to the DuckDB mirror; shortlist and
+   * final rank both tie-break on neighbor_id. The re-rank join streams
+   * the embeddings table once against the broadcast shortlist — codes in
+   * RAM, floats on disk, the production SQ8 memory story.
+   * Output: query_id, rank, neighbor_id, cos6 (exact), approx6 (the SQ8
+   * score that built the shortlist — proof the compressed path ranked).
+   */
+  def topKSq8(queries: DataFrame, candidates: DataFrame, k: Int,
+      shortlistFactor: Int = 4): DataFrame =
+    topKSq8Coded(queries, sq8Coded(candidates), candidates, k, shortlistFactor)
+
+  /** The SQ8 STORED tier of a float table: (vec_id, scale, codes, nrm) —
+   * what a production vector store materializes once at ingest (the
+   * one-pass [[org.apache.spark.sql.graft.QuantizeInt8Codes]] kernel)
+   * and serves every query from. */
+  def sq8Coded(df: DataFrame): DataFrame = df
+    .select(col("vec_id"),
+      org.apache.spark.sql.graft.FloatVectorDot.quantizeInt8Codes(col("embedding")).as("sq"),
+      norm(col("embedding")).as("nrm"))
+    .select(col("vec_id"), col("sq.scale").as("scale"), col("sq.codes").as("codes"), col("nrm"))
+
+  /** [[topKSq8]] over a PRE-CODED candidate tier: `coded` is the stored
+   * [[sq8Coded]] table (scanned for the shortlist — the ¼-width integer
+   * pass), `floats` the full-precision table touched only by the
+   * broadcast-shortlist re-rank join. */
+  def topKSq8Coded(queries: DataFrame, coded: DataFrame, floats: DataFrame,
+      k: Int, shortlistFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.FloatVectorDot.intVectorDot
+    val c = coded
+    val q = sq8Coded(queries).select(
+      col("vec_id").as("query_id"), col("scale").as("q_scale"),
+      col("codes").as("q_codes"), col("nrm").as("q_norm"))
+    val denom = col("q_norm") * col("nrm")
+    val approx = ((col("q_scale") * col("scale")) *
+        intVectorDot(col("q_codes"), col("codes")).cast("double") / lit(16129.0)) / denom
+    val pairs = c
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("approx", when(denom =!= 0.0, approx))
+    // two-phase shortlist rank on the SQ8 score (same partition-local
+    // pre-cap as rankTopK so no single hot reducer carries the pair
+    // stream), carrying only ids + the approx score forward
+    val m = shortlistFactor * k
+    val short = pairs
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy("query_id", "__part").orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("__lr") <= m)
+      .withColumn("__sr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("__sr") <= m)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("approx"), 6).as("approx6"))
+    // exact re-rank: floats are read only for shortlist members (and the
+    // query anchors); the shortlist is ≤ m rows per query — broadcast it
+    val qf = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val reranked = floats.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_norm"))
+      .join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos6", round(
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
+    reranked
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos6").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos6"), col("approx6"))
+  }
+
+  /**
    * IVF-training E-step: assign every embedding to its nearest centroid
    * by squared L2, computed via the three-dot identity
    * |v−c|² = v·v − 2·v·c + c·c so each term is one fixed-order

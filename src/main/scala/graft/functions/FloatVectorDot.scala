@@ -319,11 +319,146 @@ object LshProbeKernel {
   }
 }
 
+/** One-pass int8 scalar quantization to the STORED form of a vector
+ * store's compressed tier: struct(scale, codes) where scale = max|v| and
+ * codes_i = floor(v_i·127/scale + 0.5) — the exact arithmetic of the
+ * [[graft.ext.Similarity.quantizeInt8]] HOF pair (equivalence-pinned in
+ * Sq8Spec) in a single primitive loop instead of two interpreted lambda
+ * passes. A zero vector (scale = 0) quantizes to all-zero codes. NULL
+ * elements poison the whole struct (a corrupted embedding must not
+ * quantize to a plausible code block), mirroring [[FloatVectorDot]]. */
+case class QuantizeInt8Codes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "quantize_int8_codes"
+  override def nullable: Boolean = true
+
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sq8Kernel.quantize(input.asInstanceOf[ArrayData], elementsNullable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = org.apache.spark.sql.graft.Sq8Kernel.quantize($x, $elementsNullable);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd integer dot over two `array<int>` code columns — the
+ * SQ8 serving path's per-pair hot loop (¼ the memory traffic of the
+ * float32 dot; 64 dims × |code| ≤ 127 keeps Σ well inside long).
+ * Null/mismatch semantics mirror [[FloatVectorDot]]: length mismatch or
+ * a null element yields NULL, never a plausible partial dot. */
+case class IntVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_vector_dot"
+  override def nullable: Boolean = true
+
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (long) $x.getInt($i) * (long) $y.getInt($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8Kernel {
+  /** Quantize one embedding to its stored form; null on a corrupt row
+   * (null element) so the caller's struct goes NULL as a unit. */
+  def quantize(emb: ArrayData, elementsNullable: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = emb.numElements()
+    if (elementsNullable) {
+      var i = 0
+      while (i < n) { if (emb.isNullAt(i)) return null; i += 1 }
+    }
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(emb.getFloat(i).toDouble)
+      if (a > scale) scale = a
+      i += 1
+    }
+    val codes = new Array[Int](n)
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        codes(i) = math.floor(emb.getFloat(i).toDouble * 127.0 / scale + 0.5).toInt
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)))
+  }
+}
+
 object FloatVectorDot {
   /** Column-API entry point (no session registration required). */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** struct(scale, codes) — the int8-quantized stored form, one pass. */
+  def quantizeInt8Codes(emb: Column): Column =
+    ExpressionUtils.column(QuantizeInt8Codes(ExpressionUtils.expression(emb)))
+
+  /** Integer dot of two int8-code arrays (long), one pass. */
+  def intVectorDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      IntVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** [scale, q_sum, max_err] of int8 scalar quantization, one pass. */
   def quantizeInt8Stats(emb: Column): Column =

@@ -385,6 +385,60 @@ object SimilarityQueries {
            |ORDER BY query_id, rank""".stripMargin
       }),
 
+    // X3 scale path 4 — SQ8 serving: symmetric int8 scalar-quantized
+    // shortlist (codegen'd INTEGER per-pair dot over the 4×-compressed
+    // stored tier) + exact float re-rank of the shortlistFactor·k
+    // survivors. The oracle mirrors the quantization arithmetic of
+    // embedding_quantize, the exact-integer code dot, and the
+    // association order of the approx score, so the double ranking key is
+    // bit-identical; both ranks tie-break on neighbor_id. approx6 rides
+    // along as proof the compressed path built the shortlist.
+    Q("topk_cosine_sq8",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.topKSq8(emb.filter(col("vec_id") < 10), emb, k = 3, shortlistFactor = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding,
+              |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |      list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+              |      (acc, x) -> greatest(acc, x)) AS s,
+              |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM embeddings),
+              |coded AS (
+              |  SELECT vec_id, embedding, s, nrm,
+              |    list_transform(embedding, v -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+              |      ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT) END) AS q
+              |  FROM base),
+              |qs AS (SELECT vec_id AS query_id, embedding AS q_emb, s AS q_s, nrm AS q_nrm, q AS q_q
+              |       FROM coded WHERE vec_id < 10),
+              |p AS (
+              |  SELECT qs.query_id, c.vec_id AS neighbor_id, qs.q_emb, c.embedding AS c_emb,
+              |    qs.q_nrm, c.nrm AS c_nrm,
+              |    CASE WHEN qs.q_nrm * c.nrm = 0 THEN NULL
+              |      ELSE ((qs.q_s * c.s) * CAST(list_sum(
+              |          list_transform(range(1, 65), i -> qs.q_q[i] * c.q[i])) AS DOUBLE)
+              |        / 16129.0) / (qs.q_nrm * c.nrm) END AS approx
+              |  FROM coded c, qs
+              |  WHERE c.vec_id != qs.query_id),
+              |short AS (
+              |  SELECT query_id, neighbor_id, q_emb, c_emb, q_nrm, c_nrm,
+              |         round(approx, 6) AS approx6,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS srn
+              |  FROM p
+              |  QUALIFY srn <= 12),
+              |rr AS (
+              |  SELECT query_id, neighbor_id, approx6,
+              |    round(${dotSql("q_emb", "c_emb")} / (q_nrm * c_nrm), 6) AS cos6
+              |  FROM short)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
+              |       neighbor_id, cos6, approx6
+              |FROM rr
+              |QUALIFY rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // Skew-salted dimension join: results must equal the plain join (the
     // salt is invisible in the output) — verified against an unsalted
     // oracle formulation.

@@ -1,0 +1,81 @@
+package graft.run
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The shared ledger-swap transaction of the streaming state maintainers
+ * ([[StreamingCuration]], [[StreamingKnn]]): exactly-once STATE on top of
+ * `foreachBatch`'s at-least-once delivery, by composition of
+ *
+ *  - an applied-batch WATERMARK (`_batch`) stored INSIDE the swapped
+ *    directory — exactly as durable as the frames it describes; a
+ *    replayed batch (id ≤ watermark) is skipped whole, which is the
+ *    correct dedup granularity for NON-idempotent folds;
+ *  - an atomic directory swap: frames are written to `<dir>.__staging`,
+ *    sealed with a `_complete` marker only after every frame (and the
+ *    watermark) is durable, then renamed over the live directory — all
+ *    frames move together, a partial swap is never observable.
+ *
+ * Crash windows (the [[StreamingMigrate]] recovery proof, restated):
+ * unsealed staging → discard + replay re-folds; sealed staging with a
+ * live ledger → discard + replay re-folds; sealed staging without a live
+ * ledger (crash between delete and rename) → staging IS the state,
+ * recovery finishes the rename and the replay is skipped by its own
+ * watermark; crash after rename → replay skipped by the watermark.
+ */
+private[run] object LedgerSwap {
+
+  private val Complete = "_complete"
+  private val BatchFile = "_batch"
+
+  /** Repair any interrupted swap BEFORE anything reads state. */
+  def recover(spark: SparkSession, stateDir: String): Unit = {
+    val root = new Path(stateDir)
+    val staging = new Path(s"$stateDir.__staging")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) {
+      if (fs.exists(new Path(staging, Complete)) && !fs.exists(root))
+        require(fs.rename(staging, root), s"recovery rename failed for $root")
+      else fs.delete(staging, true): Unit
+    }
+  }
+
+  /** The applied-batch watermark, −1 when the ledger does not exist. */
+  def watermark(spark: SparkSession, stateDir: String): Long = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, BatchFile)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
+    }
+  }
+
+  /** Does a live ledger exist at all (false ⇒ the next batch bootstraps)? */
+  def exists(spark: SparkSession, stateDir: String): Boolean = {
+    val root = new Path(stateDir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(root)
+  }
+
+  /** Stage every frame of state′, seal, swap. The frames may read the
+   * LIVE ledger lazily — each staged write completes before the live
+   * directory is touched. */
+  def commit(spark: SparkSession, stateDir: String, batchId: Long,
+      frames: Seq[(String, DataFrame)]): Unit = {
+    val root = new Path(stateDir)
+    val staging = new Path(s"$stateDir.__staging")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(staging): Unit
+    frames.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$stateDir.__staging/$name.parquet")
+    }
+    val bf = fs.create(new Path(staging, BatchFile), true)
+    try bf.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally bf.close()
+    fs.create(new Path(staging, Complete), true).close()
+    if (fs.exists(root)) fs.delete(root, true): Unit
+    require(fs.rename(staging, root), s"ledger swap failed for $root")
+  }
+}

@@ -1,6 +1,5 @@
 package graft.run
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -56,9 +55,6 @@ import graft.ext.{PipelineIncremental, TextOps}
  */
 object StreamingCuration {
 
-  private val Complete = "_complete"
-  private val BatchFile = "_batch"
-
   /** Start the maintainer over a streaming frame of documents with the
    * same column contract as the batch pipeline. */
   def start(incoming: DataFrame, stateDir: String, checkpointDir: String,
@@ -84,31 +80,13 @@ object StreamingCuration {
       bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
       chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): Unit = {
     val spark = batch.sparkSession
-    val root = new Path(stateDir)
-    val staging = new Path(s"$stateDir.__staging")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    // crash recovery BEFORE anything reads state (see object doc)
-    if (fs.exists(staging)) {
-      if (fs.exists(new Path(staging, Complete)) && !fs.exists(root))
-        require(fs.rename(staging, root), s"recovery rename failed for $root")
-      else fs.delete(staging, true): Unit
-    }
-
-    // replay guard: the watermark lives INSIDE the swapped directory, so
-    // it is exactly as durable as the frames it describes
-    val watermark: Long = {
-      val p = new Path(root, BatchFile)
-      if (!fs.exists(p)) -1L
-      else {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
-      }
-    }
-    if (batchId <= watermark) return
+    // crash recovery BEFORE anything reads state; then the replay guard
+    // (watermark lives INSIDE the swapped directory — see LedgerSwap)
+    LedgerSwap.recover(spark, stateDir)
+    if (batchId <= LedgerSwap.watermark(spark, stateDir)) return
 
     val next =
-      if (!fs.exists(root))
+      if (!LedgerSwap.exists(spark, stateDir))
         // bootstrap: the first batch IS the corpus
         PipelineIncremental.curationState(batch, idCol, textCol, langCol,
           srcCol, evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap)
@@ -118,18 +96,8 @@ object StreamingCuration {
           batch, idCol, textCol, langCol, srcCol,
           evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap)
 
-    // stage the folded ledger (reads the live dir lazily — every write
-    // completes before the swap), seal, swap
-    fs.mkdirs(staging): Unit
-    PipelineIncremental.toFrames(next).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$stateDir.__staging/$name.parquet")
-    }
-    val bf = fs.create(new Path(staging, BatchFile), true)
-    try bf.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally bf.close()
-    fs.create(new Path(staging, Complete), true).close()
-    if (fs.exists(root)) fs.delete(root, true): Unit
-    require(fs.rename(staging, root), s"ledger swap failed for $root")
+    LedgerSwap.commit(spark, stateDir, batchId,
+      PipelineIncremental.toFrames(next).toSeq)
   }
 
   /** The run-ledger census over the persisted state — what a monitoring

@@ -1,0 +1,100 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.Similarity
+
+/**
+ * Streaming face of the X36e(d) incremental banded kNN state (§2.10 ∘
+ * X36e(d)): a `foreachBatch` maintainer that folds each micro-batch of
+ * embeddings into a persisted two-frame ledger —
+ *
+ *  - `corpus`  : (vec_id, embedding) of everything ingested so far;
+ *  - `directed`: the banded multi-probe DIRECTED top-k edge state,
+ *                maintained by [[Similarity.knnDirectedBandedIncremental]]
+ *                (spec-pinned rebuild-equal batch after batch).
+ *
+ * Transactionality is [[LedgerSwap]] verbatim (the [[StreamingCuration]]
+ * pattern): checkpointed offsets give at-least-once delivery, the
+ * in-ledger watermark dedups replays at batch level (the fold is not
+ * idempotent — re-folding a batch double-inserts its vectors), and the
+ * sealed staging swap moves both frames together so a reader never sees
+ * a corpus without its edges.
+ *
+ * Contract: ingest is APPEND-ONLY with batch-disjoint `vec_id`s (the
+ * incremental fold's exactness argument needs corpus ∩ delta = ∅), and
+ * the banding parameters are operator contract — grow them by
+ * REBUILDING, never mid-stream.
+ *
+ * Scale: each batch pays the incremental delta pass (affected-query
+ * footprint only — SCALING.md's measured localized-regime economics)
+ * plus one parquet rewrite of the two frames. The rewrite is
+ * corpus-linear; a 100 TB deployment would keep `corpus` as an
+ * append-only table and `directed` behind an Iceberg/Delta-style merge
+ * (the fold's algebra — anti-join affected src, union recomputed — maps
+ * 1:1 onto a merge predicate); the directory swap keeps the harness
+ * dependency-free. A diffuse batch is the measured uniform-delta regime
+ * (cost ≈ rebuild, exactness unaffected) — gate on the X42d-style
+ * touched-bucket audit before choosing this path for such a batch.
+ */
+object StreamingKnn {
+
+  /** Start the maintainer over a streaming frame with columns
+   * (vec_id, embedding: array<float>). */
+  def start(incoming: DataFrame, stateDir: String, checkpointDir: String,
+      k: Int, bands: Int = 4, bandPlanes: Int = Similarity.LshPlanes,
+      bucketCap: Long = 10000L, probes: Int = 1,
+      symmetric: Boolean = false): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, stateDir, k, bands, bandPlanes,
+          bucketCap, probes, symmetric)
+      }
+      .start()
+
+  /** One batch application — public so a backfill driver can apply
+   * parquet-sourced batches through the identical transaction. */
+  def foldBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      k: Int, bands: Int = 4, bandPlanes: Int = Similarity.LshPlanes,
+      bucketCap: Long = 10000L, probes: Int = 1,
+      symmetric: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    LedgerSwap.recover(spark, stateDir)
+    if (batchId <= LedgerSwap.watermark(spark, stateDir)) return
+
+    val slim = batch.select(col("vec_id"), col("embedding"))
+    val (corpusNext, directedNext) =
+      if (!LedgerSwap.exists(spark, stateDir))
+        // bootstrap: the first batch IS the corpus
+        (slim, Similarity.knnDirectedBanded(slim, k, bands, bandPlanes,
+          bucketCap, probes, symmetric))
+      else {
+        val corpus = spark.read.parquet(s"$stateDir/corpus.parquet")
+        val directed = spark.read.parquet(s"$stateDir/directed.parquet")
+        (corpus.unionByName(slim),
+          Similarity.knnDirectedBandedIncremental(corpus, slim, directed,
+            k, bands, bandPlanes, bucketCap, probes, symmetric))
+      }
+    LedgerSwap.commit(spark, stateDir, batchId,
+      Seq("corpus" -> corpusNext, "directed" -> directedNext))
+  }
+
+  /** The persisted directed edge state (what the next fold reads). */
+  def directed(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/directed.parquet")
+
+  /** The MUTUAL graph view over the persisted state — what
+   * `knn_communities` consumes between batches (the standard mutuality
+   * self-join over the slim int edge list, no embeddings). */
+  def mutualGraph(spark: SparkSession, stateDir: String): DataFrame = {
+    val d = directed(spark, stateDir)
+    d.as("a")
+      .join(d.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+  }
+}
