@@ -467,9 +467,10 @@ object ScaleBench {
       // the SQ8 serving pair: identical 10-query workload, float brute
       // force vs the int8-coded shortlist + exact re-rank over the
       // STAGED stored tier (production scans codes, not floats). Both
-      // must be linear; sq8's full-corpus pass reads ¼ the bytes and
-      // skips the per-pair double dot, so its curve should sit clearly
-      // under brute's at 2M vectors.
+      // must be linear; measured (SCALING.md r15) the 2M point sits at
+      // CPU PARITY (65 vs 62 CPU-s min) because the 20M-row shortlist
+      // rank dominates both — the SQ8 win here is the ¼-width in-memory
+      // tier (array<byte>), not the pair loop.
       ("topk_brute", Seq(20000L, 200000L, 2000000L),
         (s, n) => {
           val emb = staged(s, "embs", n)(knnEmbeddings(s, n))

@@ -237,18 +237,18 @@ object Similarity {
     val denom = col("q_norm") * col("nrm")
     val approx = ((col("q_scale") * col("scale")) *
         intVectorDot(col("q_codes"), col("codes")).cast("double") / lit(16129.0)) / denom
+    // project to (ids, approx) BEFORE the rank: the shortlist sort must
+    // move 3 slim columns per pair, not the 64-int code arrays
     val pairs = c
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("approx", when(denom =!= 0.0, approx))
-    // two-phase shortlist rank on the SQ8 score (same partition-local
-    // pre-cap as rankTopK so no single hot reducer carries the pair
-    // stream), carrying only ids + the approx score forward
+      .select(col("query_id"), col("vec_id"), when(denom =!= 0.0, approx).as("approx"))
+    // one row_number window: Spark's WindowGroupLimit inserts a PARTIAL
+    // per-partition top-m pass before the exchange, so only ≤ m rows per
+    // (query, input partition) ever shuffle — the planner-native form of
+    // the manual two-phase local/global rank (verified in the formatted
+    // plan: Sort+WindowGroupLimit(Partial) → Exchange → Final)
     val m = shortlistFactor * k
     val short = pairs
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__lr", row_number().over(
-        Window.partitionBy("query_id", "__part").orderBy(col("approx").desc, col("vec_id"))))
-      .filter(col("__lr") <= m)
       .withColumn("__sr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))))
       .filter(col("__sr") <= m)

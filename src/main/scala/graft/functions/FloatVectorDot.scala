@@ -324,16 +324,20 @@ object LshProbeKernel {
  * codes_i = floor(v_i·127/scale + 0.5) — the exact arithmetic of the
  * [[graft.ext.Similarity.quantizeInt8]] HOF pair (equivalence-pinned in
  * Sq8Spec) in a single primitive loop instead of two interpreted lambda
- * passes. A zero vector (scale = 0) quantizes to all-zero codes. NULL
- * elements poison the whole struct (a corrupted embedding must not
- * quantize to a plausible code block), mirroring [[FloatVectorDot]]. */
+ * passes. Codes are array<byte> (the values fit [−127, 127] exactly):
+ * UnsafeArrayData packs byte elements 1-per-slot, so the stored tier is
+ * genuinely ¼ the in-memory width of the float32 vector — array<int>
+ * would silently cost the same 4 bytes/dim as the floats. A zero vector
+ * (scale = 0) quantizes to all-zero codes. NULL elements poison the
+ * whole struct (a corrupted embedding must not quantize to a plausible
+ * code block), mirroring [[FloatVectorDot]]. */
 case class QuantizeInt8Codes(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
-    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
   override def prettyName: String = "quantize_int8_codes"
   override def nullable: Boolean = true
 
@@ -355,7 +359,7 @@ case class QuantizeInt8Codes(child: Expression)
     copy(child = newChild)
 }
 
-/** Codegen'd integer dot over two `array<int>` code columns — the
+/** Codegen'd integer dot over two `array<byte>` code columns — the
  * SQ8 serving path's per-pair hot loop (¼ the memory traffic of the
  * float32 dot; 64 dims × |code| ≤ 127 keeps Σ well inside long).
  * Null/mismatch semantics mirror [[FloatVectorDot]]: length mismatch or
@@ -363,7 +367,7 @@ case class QuantizeInt8Codes(child: Expression)
 case class IntVectorDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(ByteType), ArrayType(ByteType))
   override def dataType: DataType = LongType
   override def prettyName: String = "int_vector_dot"
   override def nullable: Boolean = true
@@ -382,7 +386,7 @@ case class IntVectorDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
-      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      acc += x.getByte(i).toLong * y.getByte(i).toLong
       i += 1
     }
     acc
@@ -405,7 +409,7 @@ case class IntVectorDot(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullCheck
-         |    $acc += (long) $x.getInt($i) * (long) $y.getInt($i);
+         |    $acc += (long) $x.getByte($i) * (long) $y.getByte($i);
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
@@ -432,16 +436,18 @@ object Sq8Kernel {
       if (a > scale) scale = a
       i += 1
     }
-    val codes = new Array[Int](n)
+    // codes are in [-127, 127] by construction — byte-exact
+    val codes = new Array[Byte](n)
     if (scale > 0) {
       i = 0
       while (i < n) {
-        codes(i) = math.floor(emb.getFloat(i).toDouble * 127.0 / scale + 0.5).toInt
+        codes(i) = math.floor(emb.getFloat(i).toDouble * 127.0 / scale + 0.5).toByte
         i += 1
       }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)))
+      Array[Any](scale,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)))
   }
 }
 

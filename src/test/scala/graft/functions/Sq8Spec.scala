@@ -45,8 +45,11 @@ class Sq8Spec extends SparkSpec {
       col("vec_id"),
       FloatVectorDot.quantizeInt8Codes(col("embedding")).as("k"),
       hofScale.as("h_scale"), hofCodes.as("h_codes"))
+    // kernel codes are array<byte> (the ¼-width stored tier); the HOF
+    // reference produces array<int> — value-compare through a widening cast
     val bad = cmp.filter(
-      col("k.scale") =!= col("h_scale") || col("k.codes") =!= col("h_codes"))
+      col("k.scale") =!= col("h_scale") ||
+        col("k.codes").cast("array<int>") =!= col("h_codes"))
     assert(bad.isEmpty, "kernel quantization diverged from the HOF reference")
     assert(cmp.count() > 0)
   }
@@ -63,13 +66,15 @@ class Sq8Spec extends SparkSpec {
 
   test("IntVectorDot == HOF integer fold; mismatch and null element go NULL") {
     val schema = StructType(Seq(
-      StructField("a", ArrayType(IntegerType, containsNull = true)),
-      StructField("b", ArrayType(IntegerType, containsNull = true))))
+      StructField("a", ArrayType(ByteType, containsNull = true)),
+      StructField("b", ArrayType(ByteType, containsNull = true))))
+    def bytes(xs: Int*): Seq[Byte] = xs.map(_.toByte)
     val rows = java.util.Arrays.asList(
-      Row(Seq(1, -2, 3, 127), Seq(-127, 5, 9, 11)),
-      Row(Seq.fill(64)(127), Seq.fill(64)(-127)), // extreme magnitude: 64·127² inside long
-      Row(Seq(1, 2), Seq(1, 2, 3)), // length mismatch -> null
-      Row(Seq(1, null.asInstanceOf[Any]).map(_.asInstanceOf[Integer]), Seq[Integer](1, 2))) // null element -> null
+      Row(bytes(1, -2, 3, 127), bytes(-127, 5, 9, 11)),
+      Row(bytes(Seq.fill(64)(127): _*), bytes(Seq.fill(64)(-127): _*)), // extreme magnitude: 64·127² inside long
+      Row(bytes(1, 2), bytes(1, 2, 3)), // length mismatch -> null
+      Row(Seq[Any](1.toByte, null).map(_.asInstanceOf[java.lang.Byte]),
+        Seq[java.lang.Byte](1.toByte, 2.toByte))) // null element -> null
     val df = spark.createDataFrame(rows, schema)
     val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
