@@ -1131,6 +1131,53 @@ object Similarity {
   }
 
   /**
+   * X36e(f) — delta-REGIME audit for the banded incremental state (the
+   * kNN twin of the curation side's X42d `deltaRegimeAudit`): one row a
+   * continuous-ingest loop reads BEFORE choosing
+   * [[knnDirectedBandedIncremental]] over a rebuild. The incremental's
+   * cost is driven by the AFFECTED-query footprint (every affected query
+   * re-enters the quadratic stage), and SCALING.md measures the boundary
+   * — a LOCALIZED batch touches few buckets and runs 4–8× under rebuild,
+   * a UNIFORM batch's touched set covers most of the index and costs ≈
+   * rebuild. This surfaces that fraction as numbers, not a footnote:
+   *
+   *   n_delta, n_touched (delta TRUE (band, bucket) keys — where index
+   *   membership changes), n_total (union index bucket count), n_aff
+   *   (base queries probing ≥1 touched bucket — the FORWARD affected
+   *   set; the symmetric fold adds reverse-probe terms on top, so this
+   *   is the leading indicator, exact for the asymmetric fold),
+   *   affected_ppm = n_aff·10⁶ div n_base, advise_rebuild.
+   *
+   * Cost: the linear probe-melt passes the incremental pays anyway
+   * (kernel + two slim distinct/join aggregates) — auditing-then-folding
+   * re-spends only this prefix, never the quadratic stage.
+   */
+  def knnDeltaRegimeAudit(base: DataFrame, delta: DataFrame, bands: Int = 4,
+      bandPlanes: Int = LshPlanes, probes: Int = 1,
+      adviseAbovePpm: Long = 300000L): DataFrame = {
+    def melt(df: DataFrame) = df.select(col("vec_id"),
+        posexplode(org.apache.spark.sql.graft.FloatVectorDot.lshBandProbes(
+          col("embedding"), bands, bandPlanes, probes)).as(Seq("band", "__pb")))
+      .withColumn("bucket", element_at(col("__pb"), 1))
+    val mb = melt(base).localCheckpoint(eager = false)
+    val md = melt(delta)
+    val touched = md.select("band", "bucket").distinct()
+      .localCheckpoint(eager = false)
+    val nDelta = delta.agg(count(lit(1)).as("n_delta"))
+    val nTouched = touched.agg(count(lit(1)).as("n_touched"))
+    val nTotal = mb.select("band", "bucket").union(md.select("band", "bucket"))
+      .distinct().agg(count(lit(1)).as("n_total"))
+    val nAff = mb.select(col("vec_id"), col("band"), explode(col("__pb")).as("bucket"))
+      .join(broadcast(touched), Seq("band", "bucket"))
+      .agg(countDistinct(col("vec_id")).as("n_aff"))
+    val nBase = base.agg(count(lit(1)).as("n_base"))
+    nDelta.crossJoin(nTouched).crossJoin(nTotal).crossJoin(nAff).crossJoin(nBase)
+      .select(col("n_delta"), col("n_touched"), col("n_total"), col("n_aff"),
+        expr("n_aff * 1000000 div n_base").as("affected_ppm"))
+      .withColumn("advise_rebuild", col("affected_ppm") > adviseAbovePpm)
+  }
+
+  /**
    * kNN-GRAPH QUALITY AUDIT — the X36 mirror of the text-LSH side's
    * `lshRecallAudit`: over a deterministic query sample (`vec_id mod
    * sampleMod = 0` — hash-free, reproducible, never rand()), compare the

@@ -97,6 +97,22 @@ object SimilarityQueries {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Per-band (vec_id, bucket, margins) CTE chain over `embeddings` for
+   * the X36e(f) regime audit — the bucket/argmin fragments of
+   * [[bandedDirectedCtes]] without the capped index or pair stages. */
+  private def bandedAuditCtes(bands: Int, bandPlanes: Int): String =
+    (0 until bands).map { b =>
+      val dcols = (0 until bandPlanes).map(j => s"d$j")
+      val dots = (0 until bandPlanes)
+        .map(j => s"${planeDotSql("embedding", b * bandPlanes + j)} AS d$j").mkString(",\n        ")
+      val bucket = dcols.zipWithIndex
+        .map { case (d, j) => s"CASE WHEN $d > 0 THEN ${1L << j} ELSE 0 END" }
+        .mkString("(", " + ", ")")
+      s"""adb$b AS (SELECT vec_id, $dots FROM embeddings),
+         |abb$b AS (SELECT vec_id, $bucket AS bucket,
+         |        [${dcols.map(d => s"abs($d)").mkString(", ")}] AS mg FROM adb$b)""".stripMargin
+    }.mkString(",\n")
+
   /** DuckDB mirrors of the LSH plane machinery (identical plane literals
    * generated from Similarity.planeComponent). */
   private def planeListSql(j: Int): String =
@@ -1033,6 +1049,37 @@ object SimilarityQueries {
               |FROM d a JOIN d bb ON a.src = bb.dst AND a.dst = bb.src
               |WHERE a.src < a.dst
               |ORDER BY 1, 2""".stripMargin)),
+
+    // X36e(f) — the delta-REGIME audit on knn_banded_incremental's exact
+    // split: the forward affected-query fraction (the incremental's cost
+    // driver) plus touched/total bucket counts and the rebuild advice an
+    // ingest loop reads before choosing the incremental path. Oracle
+    // mirrors the banded probe arithmetic (true bucket + lowest-|margin|
+    // flip) at the registered 12×5×2 config.
+    Q("knn_regime_audit",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        graft.ext.Similarity.knnDeltaRegimeAudit(
+          emb.filter(col("vec_id") % 5 =!= 4), emb.filter(col("vec_id") % 5 === 4),
+          bands = 12, bandPlanes = 5, probes = 2)
+      },
+      Some(s"""WITH ${bandedAuditCtes(12, 5)},
+              |atb AS (${(0 until 12).map(b => s"SELECT $b AS band, vec_id, bucket, mg FROM abb$b").mkString("\n  UNION ALL ")}),
+              |att AS (SELECT DISTINCT band, bucket FROM atb WHERE vec_id % 5 = 4),
+              |apr AS (SELECT vec_id, band,
+              |          unnest([bucket, xor(bucket, 1 << (list_position(mg, list_min(mg)) - 1))]) AS pb
+              |        FROM atb WHERE vec_id % 5 <> 4),
+              |naff AS (SELECT CAST(count(DISTINCT apr.vec_id) AS BIGINT) AS n_aff
+              |         FROM apr JOIN att ON apr.band = att.band AND apr.pb = att.bucket),
+              |nbase AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM embeddings WHERE vec_id % 5 <> 4)
+              |SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 4) AS n_delta,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM att) AS n_touched,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT band, bucket FROM atb)) AS n_total,
+              |  n_aff,
+              |  CAST(n_aff * 1000000 // n_base AS BIGINT) AS affected_ppm,
+              |  (n_aff * 1000000 // n_base) > 300000 AS advise_rebuild
+              |FROM naff, nbase""".stripMargin)),
 
     // X36e(b) — the banded variant under the SAME recall audit as
     // knn_recall_audit: one row proving the banding buys its recall

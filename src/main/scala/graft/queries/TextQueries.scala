@@ -770,8 +770,75 @@ object TextQueries {
              |                  ORDER BY surp, label) AS rk
              |         FROM grid)
              |SELECT actual, predicted, count(*) AS n_docs FROM pred WHERE rk = 1
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // X44 — full-batch integer perceptron (the discriminative sibling of
+    // X39): trained from zero weights on the doc_id%5=0 split over
+    // 64 hashed-token buckets for exactly 3 epochs (margin, misclassified
+    // set incl. margin 0, gradient — all exact int64 sums, so partition
+    // order cannot perturb the model), then the trajectory's final
+    // weight table pinned dim by dim. The oracle unrolls the 3 epochs
+    // as CTE triples m_t/g_t/w_t.
+    Q("perceptron_weights",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val feats = graft.ext.Perceptron.featureStream(
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+            when(col("source") === "src0", lit(1)).otherwise(lit(-1)), dims = 64)
+          .localCheckpoint(eager = false) // staged once, read 2x per epoch
+        graft.ext.Perceptron.train(feats, "doc_id", dims = 64, epochs = 3)
+          .orderBy("dim")
+      },
+      Some(s"""$perceptronCtes
+             |SELECT dim, w FROM w3 ORDER BY dim""".stripMargin)),
+
+    // X44 scoring face: the held-out 80% scored against the trained
+    // boundary — per-doc integer margin and the ±1 prediction (margin 0
+    // predicts -1, the same side the training rule calls misclassified).
+    Q("perceptron_quality",
+      (s, dir) => {
+        val docs = TableIO.read(s, dir, "documents")
+        val feats = graft.ext.Perceptron.featureStream(
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+            when(col("source") === "src0", lit(1)).otherwise(lit(-1)), dims = 64)
+          .localCheckpoint(eager = false)
+        val w = graft.ext.Perceptron.train(feats, "doc_id", dims = 64, epochs = 3)
+        graft.ext.Perceptron.classify(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", w, dims = 64)
+          .orderBy("doc_id")
+      },
+      Some(s"""$perceptronCtes
+             |SELECT f.doc_id, CAST(sum(f.tf * w.w) AS BIGINT) AS margin,
+             |       CASE WHEN sum(f.tf * w.w) > 0 THEN 1 ELSE -1 END AS pred
+             |FROM feat f JOIN w3 w USING (dim)
+             |WHERE f.doc_id % 5 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** Shared perceptron oracle prelude: ±1 labels from the source column,
+   * 64-bucket hashed tf stream, the %5=0 train split, zero init, and the
+   * three unrolled epochs (mirror of Perceptron.train at epochs = 3). */
+  private lazy val perceptronCtes: String = {
+    val epochs = (1 to 3).map { t =>
+      s"""m$t AS (SELECT tr.doc_id, tr.y, CAST(sum(tr.tf * w.w) AS BIGINT) AS margin
+         |        FROM tr JOIN w${t - 1} w USING (dim) GROUP BY 1, 2),
+         |g$t AS (SELECT tr.dim, CAST(sum(tr.y * tr.tf) AS BIGINT) AS g
+         |        FROM tr JOIN m$t ON tr.doc_id = m$t.doc_id
+         |        WHERE m$t.y * m$t.margin <= 0 GROUP BY 1),
+         |w$t AS (SELECT w.dim, w.w + coalesce(g.g, 0) AS w
+         |        FROM w${t - 1} w LEFT JOIN g$t g USING (dim))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE -1 END AS y,
+       |         unnest(string_split(text, ' ')) AS t FROM documents),
+       |feat AS (SELECT doc_id, y, CAST(${hSql("t")} % 64 AS BIGINT) AS dim,
+       |                CAST(count(*) AS BIGINT) AS tf
+       |         FROM tok GROUP BY 1, 2, 3),
+       |tr AS (SELECT * FROM feat WHERE doc_id % 5 = 0),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w
+       |       FROM range(0, 64)),
+       |$epochs""".stripMargin
+  }
 
   /** Shared NB oracle prelude: token-hash tf stream, doc lengths, the
    * train-split class-conditional counts, and the pruned model (mirror
