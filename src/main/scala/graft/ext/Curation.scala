@@ -26,25 +26,19 @@ object Curation {
 
   /**
    * Group-wise top-k by an explicit total order — the "best k documents
-   * per domain/language" curation primitive. Two-phase, like
-   * Similarity.rankTopK: a local rank inside each input partition caps
-   * the shuffle at k rows per (group, partition) BEFORE the global
-   * window, so a group with millions of rows never funnels them all
-   * through one reducer. `orderCols` must define a total order within
-   * each group (end it with a unique id) or survivors are
-   * partitioning-dependent.
+   * per domain/language" curation primitive. One row_number window:
+   * Spark's WindowGroupLimit rule plants a PARTIAL per-partition top-k
+   * before the single exchange, so a group with millions of rows never
+   * funnels them all through one reducer (the planner-native form of
+   * the manual spark_partition_id two-phase this replaced in r15).
+   * `orderCols` must define a total order within each group (end it
+   * with a unique id) or survivors are partitioning-dependent.
    */
   def topkPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
       k: Int, rankCol: String = "rank"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    requireFreeColumns(df, Seq("__part", "__lr", rankCol))
-    val local = df
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__lr", row_number().over(
-        Window.partitionBy((groupCols.map(col) :+ col("__part")): _*).orderBy(orderCols: _*)))
-      .filter(col("__lr") <= k)
-      .drop("__part", "__lr")
-    local
+    requireFreeColumns(df, Seq(rankCol))
+    df
       .withColumn(rankCol, row_number().over(
         Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)))
       .filter(col(rankCol) <= k)

@@ -88,20 +88,18 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  /** Two-phase top-k: local rank inside each shuffle partition bounds the
-   * data before the global rank — no single hot reducer at scale. */
-  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
-    val local = pairs
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__lr", row_number().over(
-        Window.partitionBy("query_id", "__part").orderBy(col("cos6").desc, col("vec_id"))))
-      .filter(col("__lr") <= k)
-    local
+  /** Top-k rank: one row_number window — Spark's WindowGroupLimit rule
+   * plants a PARTIAL per-partition top-k pass before the single
+   * exchange, so no hot reducer ever sees more than k rows per (query,
+   * upstream partition). This replaces the manual spark_partition_id
+   * local/global two-phase, which expressed the same bound but paid a
+   * second exchange and two extra sorts (plan-verified, r15). */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos6").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos6"))
-  }
 
   /**
    * X3 scale path 2 — random-hyperplane LSH bucketing (sign-of-projection
@@ -359,13 +357,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("pdist_us").as("adc_us"))
-    // two-phase ascending rank (same no-hot-reducer shape as rankTopK)
-    val local = pairs
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__lr", row_number().over(
-        Window.partitionBy("query_id", "__part").orderBy(col("adc_us").asc, col("vec_id"))))
-      .filter(col("__lr") <= k)
-    local
+    // ascending rank, same WindowGroupLimit-partial shape as rankTopK
+    pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_us").asc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -445,10 +438,6 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg(sum("pdist_us").as("adc_us"))
     val short = pairs
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__lr", row_number().over(
-        Window.partitionBy("query_id", "__part").orderBy(col("adc_us").asc, col("vec_id"))))
-      .filter(col("__lr") <= shortlist)
       .withColumn("__sr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_us").asc, col("vec_id"))))
       .filter(col("__sr") <= shortlist)
