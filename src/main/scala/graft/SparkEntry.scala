@@ -39,7 +39,13 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every CTE is marked MATERIALIZED (OracleSql.mat): DuckDB otherwise
+    * re-inlines a CTE per reference, which made the round-15 sf0.01
+    * correctness gate time out on the banded-kNN mirrors
+    * (`knn_communities`' oracle: 343 s → 3 s at sf0.001). A pure DuckDB
+    * performance hint — the hash-compared results are unchanged. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registry.flatMap(q => q.oracle.map(sql => q.name -> OracleSql.mat(sql))).toMap
 }

@@ -246,18 +246,25 @@ object DedupQueries {
               |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
-    // X2b — 16-bit simhash per document.
+    // X2b — 16-bit simhash per document. The shingle-hash list is staged
+    // ONCE per doc (the per-bit lambda would otherwise re-evaluate the
+    // whole shingle expression 16x per row — 21 s of the round-15 oracle
+    // suite; OracleSql.mat pins the staging).
     Q("dedup_simhash",
       (s, dir) => Dedup.simhash16(TableIO.read(s, dir, "documents"), "text", "simhash")
         .select("doc_id", "simhash")
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id,
-              |  CASE WHEN len($shinglesSql) = 0 THEN NULL ELSE
+      Some(s"""WITH hs AS (
+              |  SELECT doc_id,
+              |    list_transform($shinglesSql,
+              |      s -> CAST((s * 2654435761) % 65536 AS BIGINT)) AS hl
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CASE WHEN len(hl) = 0 THEN NULL ELSE
               |  CAST(list_sum(list_transform(range(0, 16), b ->
-              |    CASE WHEN list_sum(list_transform($shinglesSql,
-              |                 s -> ((CAST((s * 2654435761) % 65536 AS BIGINT) >> b) & 1) * 2 - 1)) > 0
+              |    CASE WHEN list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) > 0
               |         THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) END AS simhash
-              |FROM documents
+              |FROM hs
               |ORDER BY doc_id""".stripMargin)),
 
     // X2b — SimHash pairs within Hamming distance 3 via the 4-block
@@ -271,14 +278,18 @@ object DedupQueries {
           TableIO.read(s, dir, "documents").filter(col("doc_id") < 300),
           "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH s AS (
+      Some(s"""WITH hs AS (
               |  SELECT doc_id,
-              |    CASE WHEN len($shinglesSql) = 0 THEN NULL ELSE
+              |    list_transform($shinglesSql,
+              |      s -> CAST((s * 2654435761) % 65536 AS BIGINT)) AS hl
+              |  FROM documents WHERE doc_id < 300),
+              |s AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(hl) = 0 THEN NULL ELSE
               |    CAST(list_sum(list_transform(range(0, 16), b ->
-              |      CASE WHEN list_sum(list_transform($shinglesSql,
-              |                   s -> ((CAST((s * 2654435761) % 65536 AS BIGINT) >> b) & 1) * 2 - 1)) > 0
+              |      CASE WHEN list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) > 0
               |           THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) END AS simhash
-              |  FROM documents WHERE doc_id < 300)
+              |  FROM hs)
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
               |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -295,17 +306,24 @@ object DedupQueries {
           "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b"),
       Some {
-        def half(m: Long, off: Int) =
+        def half(hl: String, off: Int) =
           s"""CAST(list_sum(list_transform(range(0, 30), b ->
-             |      CASE WHEN list_sum(list_transform($shinglesSql,
-             |                   s -> ((CAST((s * $m) % 1073741824 AS BIGINT) >> b) & 1) * 2 - 1)) > 0
+             |      CASE WHEN list_sum(list_transform($hl, h -> ((h >> b) & 1) * 2 - 1)) > 0
              |           THEN CAST(1 AS BIGINT) << (b + $off) ELSE 0 END)) AS BIGINT)""".stripMargin
-        s"""WITH s AS (
+        s"""WITH shg AS (
+           |  SELECT doc_id, $shinglesSql AS shl
+           |  FROM documents WHERE doc_id < 300),
+           |hs AS (
            |  SELECT doc_id,
-           |    CASE WHEN len($shinglesSql) = 0 THEN NULL ELSE
-           |    ${half(2654435761L, 0)}
-           |    + ${half(2246822519L, 30)} END AS simhash
-           |  FROM documents WHERE doc_id < 300)
+           |    list_transform(shl, s -> CAST((s * 2654435761) % 1073741824 AS BIGINT)) AS hl1,
+           |    list_transform(shl, s -> CAST((s * 2246822519) % 1073741824 AS BIGINT)) AS hl2
+           |  FROM shg),
+           |s AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(hl1) = 0 THEN NULL ELSE
+           |    ${half("hl1", 0)}
+           |    + ${half("hl2", 30)} END AS simhash
+           |  FROM hs)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
            |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -52,6 +52,22 @@ object OracleSql {
     s"coalesce($packed, -(doc_id & ${Dedup.SentinelMask}) - 2)"
   }
 
+  /** Force DuckDB to MATERIALIZE every CTE of an oracle query (a pure
+   * performance hint — results are unchanged). DuckDB inlines
+   * non-materialized CTEs once per reference, so a CTE chain whose
+   * stages each hold 60+ `list_reduce` plane dots (the banded-kNN
+   * mirrors) or a per-bit lambda over the shingle expression (simhash)
+   * re-evaluates the whole upstream expression tree at every reference
+   * — the round-15 gate died on exactly this (`knn_communities` 343 s →
+   * 3 s with materialization). Recursive CTE heads cannot be
+   * materialized; pass them in `recursive`. Named `WINDOW w AS (...)`
+   * clauses are excluded by the lookbehind. */
+  def mat(sql: String, recursive: Set[String] = Set("reach")): String =
+    """(?<!WINDOW )\b(\w+) AS \(""".r.replaceAllIn(sql, m =>
+      if (recursive(m.group(1))) m.matched
+      else java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} AS MATERIALIZED ("))
+
   /** Mirror of Dedup.withChunkHashes: fixed-stride token-chunk rolling
    * hashes (empty for documents shorter than one chunk, matching the
    * Spark-side `< chunkSize` guard). */
