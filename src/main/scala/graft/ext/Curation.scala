@@ -33,10 +33,14 @@ object Curation {
    * the manual spark_partition_id two-phase this replaced in r15).
    * `orderCols` must define a total order within each group (end it
    * with a unique id) or survivors are partitioning-dependent.
+   * Precondition (guarded): k below
+   * `spark.sql.optimizer.windowGroupLimitThreshold`, or the partial
+   * top-k never plants and the no-hot-reducer posture silently breaks.
    */
   def topkPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
       k: Int, rankCol: String = "rank"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    graft.ops.SqlTypes.requireWindowGroupLimit(df, k)
     requireFreeColumns(df, Seq(rankCol))
     df
       .withColumn(rankCol, row_number().over(

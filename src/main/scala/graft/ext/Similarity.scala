@@ -93,13 +93,17 @@ object Similarity {
    * exchange, so no hot reducer ever sees more than k rows per (query,
    * upstream partition). This replaces the manual spark_partition_id
    * local/global two-phase, which expressed the same bound but paid a
-   * second exchange and two extra sorts (plan-verified, r15). */
-  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+   * second exchange and two extra sorts (plan-verified, r15). The
+   * partial only plants for k below
+   * `spark.sql.optimizer.windowGroupLimitThreshold` — guarded. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    graft.ops.SqlTypes.requireWindowGroupLimit(pairs, k)
     pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos6").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos6"))
+  }
 
   /**
    * X3 scale path 2 — random-hyperplane LSH bucketing (sign-of-projection
@@ -244,8 +248,11 @@ object Similarity {
     // per-partition top-m pass before the exchange, so only ≤ m rows per
     // (query, input partition) ever shuffle — the planner-native form of
     // the manual two-phase local/global rank (verified in the formatted
-    // plan: Sort+WindowGroupLimit(Partial) → Exchange → Final)
+    // plan: Sort+WindowGroupLimit(Partial) → Exchange → Final). The
+    // partial only plants for m below the windowGroupLimitThreshold —
+    // guarded, since both factors are caller-supplied.
     val m = shortlistFactor * k
+    graft.ops.SqlTypes.requireWindowGroupLimit(pairs, m)
     val short = pairs
       .withColumn("__sr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))))
@@ -358,6 +365,7 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg(sum("pdist_us").as("adc_us"))
     // ascending rank, same WindowGroupLimit-partial shape as rankTopK
+    graft.ops.SqlTypes.requireWindowGroupLimit(pairs, k)
     pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_us").asc, col("vec_id"))))

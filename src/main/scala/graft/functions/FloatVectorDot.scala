@@ -422,7 +422,12 @@ case class IntVectorDot(left: Expression, right: Expression)
 
 object Sq8Kernel {
   /** Quantize one embedding to its stored form; null on a corrupt row
-   * (null element) so the caller's struct goes NULL as a unit. */
+   * (null or non-finite element) so the caller's struct goes NULL as a
+   * unit. The NaN/Inf branch keeps the kernel aligned with the HOF
+   * reference mirror (Similarity.quantizeInt8): floor(NaN).toByte would
+   * otherwise emit 0 — a plausible code — where the HOF's
+   * floor(NaN).cast("int") yields NULL, and NaN feeds the two scale
+   * computations differently (SQL greatest treats NaN as the maximum). */
   def quantize(emb: ArrayData, elementsNullable: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val n = emb.numElements()
     if (elementsNullable) {
@@ -432,7 +437,9 @@ object Sq8Kernel {
     var scale = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(emb.getFloat(i).toDouble)
+      val v = emb.getFloat(i)
+      if (!java.lang.Float.isFinite(v)) return null
+      val a = math.abs(v.toDouble)
       if (a > scale) scale = a
       i += 1
     }

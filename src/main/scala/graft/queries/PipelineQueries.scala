@@ -327,14 +327,14 @@ object PipelineQueries {
       Some(pipelineCensusOracle)),
 
     // X42b — the INCREMENTAL face of the curation pipeline: documents
-    // split 95/5 (doc_id % 20 = 19 as the delta batch — a production
-    // ingest-batch size; the uniform 20% split the query used through
-    // r14 sits ON the measured uniform-delta regime boundary where
-    // incremental ≈ rebuild by construction, so it timed the boundary,
-    // not the operator. The 5% batch is the shape the ScaleBench family
-    // measures at 7.7 vs 40 CPU-s rebuild),
-    // the corpus curated into the stored-state ledger, the delta then
-    // curated incrementally against it — chunk-df flips re-rewriting
+    // split 95/5 (doc_id % 20 = 19 as the delta batch, a production
+    // ingest-batch size), the corpus curated into the stored-state
+    // ledger, the delta then curated incrementally against it. The
+    // uniform 20% split the query used through r14 sat ON the measured
+    // uniform-delta regime boundary where incremental ≈ rebuild by
+    // construction — it timed the boundary, not the operator; the 5%
+    // batch is the shape the ScaleBench family measures at 7.7 vs 40
+    // CPU-s rebuild. The incremental pass: chunk-df flips re-rewriting
     // stored docs, touched candidate buckets recomputed whole under
     // union caps (cap flips can resurrect state-dropped docs), stored
     // Jaccard verdicts carried for untouched buckets, eval-set growth

@@ -108,7 +108,7 @@ object SimilarityQueries {
       val bucket = dcols.zipWithIndex
         .map { case (d, j) => s"CASE WHEN $d > 0 THEN ${1L << j} ELSE 0 END" }
         .mkString("(", " + ", ")")
-      s"""adb$b AS (SELECT vec_id, $dots FROM embeddings),
+      s"""adb$b AS (SELECT vec_id, $dots FROM embeddings WHERE embedding IS NOT NULL),
          |abb$b AS (SELECT vec_id, $bucket AS bucket,
          |        [${dcols.map(d => s"abs($d)").mkString(", ")}] AS mg FROM adb$b)""".stripMargin
     }.mkString(",\n")
@@ -149,7 +149,15 @@ object SimilarityQueries {
    * the DISTINCT + rank — equal to the engine's per-band 2k-heap merge
    * by the usual subset argument (any globally-top-k pair ranks ≤ k
    * among each discovering band's distinct candidates, hence ≤ 2k in its
-   * ≤2-fold multiset). */
+   * ≤2-fold multiset).
+   *
+   * NULL embeddings are filtered at the per-band scan, mirroring the
+   * engine's drop-null contract (a NULL embedding yields a NULL probe
+   * array from LshBandProbes and the vector joins the graph as neither
+   * query nor candidate — see knnDirectedBanded's NULL-EMBEDDING
+   * SEMANTICS note); without the explicit filter the mirror would
+   * bucket NULL rows at 0 via `NULL > 0 = false` and diverge on the
+   * first corpus with null embedding rows. */
   private def bandedDirectedCtes(bands: Int, bandPlanes: Int = Similarity.LshPlanes,
       probes: Int = 1, symmetric: Boolean = false): String = {
     require(probes == 1 || probes == 2, s"oracle mirror supports probes 1|2, got $probes")
@@ -170,7 +178,7 @@ object SimilarityQueries {
              |        FROM bb$b bb JOIN f$b f ON f.vec_id = bb.vec_id)""".stripMargin
       s"""db$b AS (SELECT vec_id,
          |        $dots
-         |        FROM embeddings),
+         |        FROM embeddings WHERE embedding IS NOT NULL),
          |bb$b AS (SELECT vec_id, $bucket AS bucket,
          |        [${dcols.map(d => s"abs($d)").mkString(", ")}] AS mg FROM db$b),
          |f$b AS (SELECT vec_id, bucket FROM bb$b
@@ -446,7 +454,13 @@ object SimilarityQueries {
               |  QUALIFY srn <= 12),
               |rr AS (
               |  SELECT query_id, neighbor_id, approx6,
-              |    round(${dotSql("q_emb", "c_emb")} / (q_nrm * c_nrm), 6) AS cos6
+              |    -- zero-norm guard mirroring cosineFrom: a zero-norm vector can
+              |    -- reach the shortlist when a query has fewer than
+              |    -- shortlistFactor*k candidates (its NULL approx sorts last
+              |    -- rather than being filtered), and must re-rank to NULL, not
+              |    -- a raw division by zero
+              |    CASE WHEN q_nrm * c_nrm = 0 THEN NULL
+              |      ELSE round(${dotSql("q_emb", "c_emb")} / (q_nrm * c_nrm), 6) END AS cos6
               |  FROM short)
               |SELECT query_id,
               |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,

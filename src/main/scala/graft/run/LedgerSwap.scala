@@ -17,12 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    watermark) is durable, then renamed over the live directory — all
  *    frames move together, a partial swap is never observable.
  *
- * Crash windows (the [[StreamingMigrate]] recovery proof, restated):
+ * Crash windows (the [[StreamingMigrate]] recovery proof, restated).
+ * The swap is rename(live → __old) + rename(staging → live) +
+ * delete(__old) — the live ledger is only ever MOVED atomically, never
+ * deleted in place, so no window leaves it partially present:
  * unsealed staging → discard + replay re-folds; sealed staging with a
- * live ledger → discard + replay re-folds; sealed staging without a live
- * ledger (crash between delete and rename) → staging IS the state,
+ * live ledger (crash before the live dir was moved aside) → discard +
+ * replay re-folds against the intact ledger; sealed staging without a
+ * live ledger (crash between the two renames) → staging IS the state,
  * recovery finishes the rename and the replay is skipped by its own
- * watermark; crash after rename → replay skipped by the watermark.
+ * watermark; crash after the swap (mid- or pre-delete of `__old`) →
+ * replay skipped by the watermark, recovery sweeps the leftover.
  */
 private[run] object LedgerSwap {
 
@@ -33,12 +38,17 @@ private[run] object LedgerSwap {
   def recover(spark: SparkSession, stateDir: String): Unit = {
     val root = new Path(stateDir)
     val staging = new Path(s"$stateDir.__staging")
+    val old = new Path(s"$stateDir.__old")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(staging)) {
       if (fs.exists(new Path(staging, Complete)) && !fs.exists(root))
+        // crash between the two swap renames: the sealed staging IS the
+        // state — finish the rename (the replay skips via its watermark)
         require(fs.rename(staging, root), s"recovery rename failed for $root")
       else fs.delete(staging, true): Unit
     }
+    // leftover pre-swap state (crash before/while deleting `__old`)
+    if (fs.exists(old)) fs.delete(old, true): Unit
   }
 
   /** The applied-batch watermark, −1 when the ledger does not exist. */
@@ -59,14 +69,15 @@ private[run] object LedgerSwap {
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(root)
   }
 
-  /** Stage every frame of state′, seal, swap. The frames may read the
-   * LIVE ledger lazily — each staged write completes before the live
-   * directory is touched. */
-  def commit(spark: SparkSession, stateDir: String, batchId: Long,
-      frames: Seq[(String, DataFrame)]): Unit = {
-    val root = new Path(stateDir)
+  /** Stage every frame of state′ and seal the staging directory — the
+   * first half of [[commit]], exposed separately so the crash-window
+   * tests can reproduce "sealed staging, swap not yet run". The frames
+   * may read the LIVE ledger lazily — each staged write completes before
+   * the live directory is touched. */
+  private[run] def commitStagingForTest(spark: SparkSession, stateDir: String,
+      batchId: Long, frames: Seq[(String, DataFrame)]): Unit = {
     val staging = new Path(s"$stateDir.__staging")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(staging): Unit
     frames.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$stateDir.__staging/$name.parquet")
@@ -75,7 +86,25 @@ private[run] object LedgerSwap {
     try bf.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally bf.close()
     fs.create(new Path(staging, Complete), true).close()
-    if (fs.exists(root)) fs.delete(root, true): Unit
+  }
+
+  /** Stage every frame of state′, seal, swap. */
+  def commit(spark: SparkSession, stateDir: String, batchId: Long,
+      frames: Seq[(String, DataFrame)]): Unit = {
+    val root = new Path(stateDir)
+    val staging = new Path(s"$stateDir.__staging")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commitStagingForTest(spark, stateDir, batchId, frames)
+    // Swap via rename(live -> __old) so the live ledger is never
+    // partially deleted: a recursive delete is not atomic on local
+    // filesystems or object stores, and a crash mid-delete would leave a
+    // PARTIAL live ledger that recover() would then treat as intact
+    // (discarding the sealed staging and re-folding against it).
+    val old = new Path(s"$stateDir.__old")
+    if (fs.exists(old)) fs.delete(old, true): Unit
+    if (fs.exists(root))
+      require(fs.rename(root, old), s"ledger swap (move-aside) failed for $root")
     require(fs.rename(staging, root), s"ledger swap failed for $root")
+    fs.delete(old, true): Unit
   }
 }

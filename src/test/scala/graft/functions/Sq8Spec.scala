@@ -64,6 +64,23 @@ class Sq8Spec extends SparkSpec {
     assert(out.isNullAt(0), "corrupt embedding must not quantize to a plausible code block")
   }
 
+  test("QuantizeInt8Codes: non-finite element poisons the struct") {
+    // NaN/Inf are corrupt embeddings, not quantizable values: the kernel's
+    // floor(NaN).toByte would emit 0 — a plausible code — where the HOF
+    // mirror's floor(NaN).cast("int") yields NULL, so the contract (never
+    // a plausible code block from a corrupt row) demands a NULL struct.
+    val schema = StructType(Seq(
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row((0 until 64).map(i => if (i == 3) Float.NaN else i.toFloat)),
+      Row((0 until 64).map(i => if (i == 60) Float.PositiveInfinity else i.toFloat)),
+      Row((0 until 64).map(i => if (i == 0) Float.NegativeInfinity else i.toFloat)))
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(FloatVectorDot.quantizeInt8Codes(col("embedding")).as("k")).collect()
+    assert(out.forall(_.isNullAt(0)),
+      "non-finite embedding must not quantize to a plausible code block")
+  }
+
   test("IntVectorDot == HOF integer fold; mismatch and null element go NULL") {
     val schema = StructType(Seq(
       StructField("a", ArrayType(ByteType, containsNull = true)),
@@ -88,11 +105,19 @@ class Sq8Spec extends SparkSpec {
   test("topKSq8 with a corpus-covering shortlist equals brute-force topK") {
     val queries = emb.filter(col("vec_id") < 10)
     val n = emb.count().toInt
-    val sq = Similarity.topKSq8(queries, emb, k = 3, shortlistFactor = n)
-      .select("query_id", "rank", "neighbor_id", "cos6")
-    val brute = Similarity.topK(queries, emb, k = 3)
-    assert(sq.exceptAll(brute).isEmpty && brute.exceptAll(sq).isEmpty,
-      "with the shortlist cut removed, the exact re-rank must reproduce brute force")
+    // the corpus-covering shortlist (3n) is exactly the over-threshold k
+    // the requireWindowGroupLimit guard exists for — raise the conf, the
+    // documented escape hatch, for this equivalence-only check
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, (3 * n + 1).toString)
+    try {
+      val sq = Similarity.topKSq8(queries, emb, k = 3, shortlistFactor = n)
+        .select("query_id", "rank", "neighbor_id", "cos6")
+      val brute = Similarity.topK(queries, emb, k = 3)
+      assert(sq.exceptAll(brute).isEmpty && brute.exceptAll(sq).isEmpty,
+        "with the shortlist cut removed, the exact re-rank must reproduce brute force")
+    } finally spark.conf.set(key, saved)
   }
 
   test("registered shortlist factor 4 holds high fixture recall") {
