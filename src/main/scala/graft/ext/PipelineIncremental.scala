@@ -134,6 +134,28 @@ object PipelineIncremental {
       .select(col(idCol), col(textCol), col(langCol),
         Pipeline.rawTok(col(textCol)).as("n_raw_tokens"))
       .localCheckpoint(eager = false)
+    val evalSh = Dedup.withShingleHashes(
+        corpusDocs.filter(col(srcCol) === evalSource), textCol)
+      .select(explode_outer(col(Dedup.ShinglesCol)).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+      .localCheckpoint(eager = false)
+    curationStateFromLedgerInputs(train0, evalSh, idCol, textCol, langCol,
+      stopwords, bounds, chunkSize, minJaccard, bucketCap)
+  }
+
+  /** [[curationState]] from the two LEDGER-SHAPED inputs — the train0
+   * frame (id, text, lang, n_raw_tokens) and the distinct eval shingle
+   * set — instead of raw documents. This is the REBUILD arm of the
+   * streaming maintainer: both inputs are reconstructible from a stored
+   * ledger plus a delta by plain unions (train0 rows and eval shingles
+   * are append-only and delta-disjoint), so
+   * `curationStateRebuild(state, delta)` ≡ `curationState(corpus ∪
+   * delta)` without the ledger ever persisting eval TEXT. */
+  private[graft] def curationStateFromLedgerInputs(train0In: DataFrame,
+      evalShIn: DataFrame, idCol: String, textCol: String, langCol: String,
+      stopwords: Seq[String], bounds: TextOps.GopherBounds,
+      chunkSize: Int, minJaccard: Double, bucketCap: Int): CurationState = {
+    val train0 = train0In
     val kept1 = train0
       .join(TextOps.gopherRules(train0, idCol, textCol, stopwords, bounds)
         .filter(col("passes")).select(col(idCol)), Seq(idCol))
@@ -193,11 +215,7 @@ object PipelineIncremental {
       .select(col(idCol), explode_outer(array_distinct(col(Dedup.ShinglesCol))).as("sh"))
       .filter(col("sh").isNotNull)
       .localCheckpoint(eager = false)
-    val evalSh = Dedup.withShingleHashes(
-        corpusDocs.filter(col(srcCol) === evalSource), textCol)
-      .select(explode_outer(col(Dedup.ShinglesCol)).as("sh"))
-      .filter(col("sh").isNotNull).distinct()
-      .localCheckpoint(eager = false)
+    val evalSh = evalShIn
     val words = Bloom.buildWords(evalSh, "sh")
     val contaminated = shingles
       .filter(Bloom.mightContain(words, col("sh")))
@@ -298,6 +316,33 @@ object PipelineIncremental {
       .union(oldKeysT2.select("band", "bkey")).distinct()
       .localCheckpoint(eager = false)
     DeltaFootprint(deltaTrain, k1d, chunksD, dfD, t2, k2d, bandsChanged, touchedKeys)
+  }
+
+  /** The REBUILD arm over a stored ledger + delta: reconstruct the two
+   * ledger-shaped inputs by union (train0 rows and eval shingles are
+   * append-only and delta-disjoint, so the unions ARE the union corpus's
+   * inputs) and re-run the full batch build. Equal to
+   * `curationState(corpus ∪ delta)` frame by frame — the arm a
+   * maintainer takes when [[deltaRegimeAudit]] advises that the delta is
+   * diffuse enough that the incremental fold would cost ≈ rebuild
+   * through a slower path. */
+  def curationStateRebuild(state: CurationState, delta: DataFrame,
+      idCol: String, textCol: String, langCol: String, srcCol: String,
+      evalSource: String = "src0",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
+      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): CurationState = {
+    val deltaTrain0 = delta.filter(col(srcCol) =!= evalSource)
+      .select(col(idCol), col(textCol), col(langCol),
+        Pipeline.rawTok(col(textCol)).as("n_raw_tokens"))
+    val deltaEvalSh = Dedup.withShingleHashes(
+        delta.filter(col(srcCol) === evalSource), textCol)
+      .select(explode_outer(col(Dedup.ShinglesCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+    curationStateFromLedgerInputs(
+      state.train0.unionByName(deltaTrain0).localCheckpoint(eager = false),
+      state.evalSh.unionByName(deltaEvalSh).distinct().localCheckpoint(eager = false),
+      idCol, textCol, langCol, stopwords, bounds, chunkSize, minJaccard, bucketCap)
   }
 
   def curationStateIncremental(state: CurationState, delta: DataFrame,

@@ -29,20 +29,11 @@ import graft.ext.{PipelineIncremental, TextOps}
  *    the watermark) is durable, and only then swapped in. All ten frames
  *    move together — a partial swap would be an inconsistent ledger.
  *
- * Crash windows (mirroring StreamingMigrate's recovery proof):
- *  - during staging write (no marker): staging is discarded, the live
- *    ledger is untouched, the checkpoint replays the batch — it re-folds
- *    (its id is above the watermark) and rewrites staging;
- *  - after the marker, before the live delete: staging is complete but a
- *    live ledger exists — staging is discarded and the replayed batch
- *    re-folds (same as above; cheaper than reasoning about which of the
- *    two is newer);
- *  - between the live delete and the rename: a complete staging and no
- *    live ledger — staging IS the new state, recovery finishes the
- *    rename; the replayed batch's id equals the recovered watermark and
- *    is skipped;
- *  - after the rename, before the checkpoint commit: replay is skipped
- *    by the watermark.
+ * Crash windows: see [[LedgerSwap]] — the swap moves the live ledger
+ * aside by rename (never a non-atomic recursive delete), finishes an
+ * interrupted swap from the sealed staging, and sweeps leftovers; each
+ * window is pinned in LedgerSwapSpec, and the replayed batch is either
+ * re-folded (its id above the recovered watermark) or skipped.
  *
  * Scale: each batch pays exactly the incremental delta pass (the fold's
  * per-stage exactness argument — the expensive kernels touch
@@ -62,42 +53,73 @@ object StreamingCuration {
       evalSource: String = "src0",
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
       bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
-      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): StreamingQuery =
+      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50,
+      rebuildThresholdPpm: Long = 250000L): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, stateDir, idCol, textCol, langCol, srcCol,
-          evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap)
+          evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap,
+          rebuildThresholdPpm): Unit
       }
       .start()
 
   /** One batch application — public so a backfill/catch-up driver can
-   * apply parquet-sourced batches through the identical transaction. */
+   * apply parquet-sourced batches through the identical transaction.
+   *
+   * Each non-bootstrap batch first consults
+   * [[PipelineIncremental.deltaRegimeAudit]] (X42d): a DIFFUSE batch —
+   * touched-bucket fraction at or above `rebuildThresholdPpm` — is the
+   * measured uniform-delta regime where the incremental fold costs ≈ a
+   * rebuild through a slower path, so the maintainer folds it via
+   * [[PipelineIncremental.curationStateRebuild]] instead (frame-equal by
+   * the pinned rebuild-equality, same [[LedgerSwap]] transaction either
+   * way). The audit itself is a delta-proportional pass over slim stored
+   * frames — cheap against the corpus-linear ledger rewrite every batch
+   * already pays.
+   *
+   * @return true when the batch folded via full rebuild (bootstrap or
+   *         audit-advised), false for the incremental arm or a skipped
+   *         replay. */
   def foldBatch(batch: DataFrame, batchId: Long, stateDir: String,
       idCol: String, textCol: String, langCol: String, srcCol: String,
       evalSource: String = "src0",
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on"),
       bounds: TextOps.GopherBounds = TextOps.GopherBounds(),
-      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50): Unit = {
+      chunkSize: Int = 8, minJaccard: Double = 0.5, bucketCap: Int = 50,
+      rebuildThresholdPpm: Long = 250000L): Boolean = {
     val spark = batch.sparkSession
     // crash recovery BEFORE anything reads state; then the replay guard
     // (watermark lives INSIDE the swapped directory — see LedgerSwap)
     LedgerSwap.recover(spark, stateDir)
-    if (batchId <= LedgerSwap.watermark(spark, stateDir)) return
+    if (batchId <= LedgerSwap.watermark(spark, stateDir)) return false
 
-    val next =
+    val (next, rebuilt) =
       if (!LedgerSwap.exists(spark, stateDir))
         // bootstrap: the first batch IS the corpus
-        PipelineIncremental.curationState(batch, idCol, textCol, langCol,
-          srcCol, evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap)
-      else
-        PipelineIncremental.curationStateIncremental(
-          PipelineIncremental.fromFrames(n => spark.read.parquet(s"$stateDir/$n.parquet")),
-          batch, idCol, textCol, langCol, srcCol,
-          evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap)
+        (PipelineIncremental.curationState(batch, idCol, textCol, langCol,
+          srcCol, evalSource, stopwords, bounds, chunkSize, minJaccard, bucketCap),
+          true)
+      else {
+        val state = PipelineIncremental.fromFrames(
+          n => spark.read.parquet(s"$stateDir/$n.parquet"))
+        val advise = PipelineIncremental.deltaRegimeAudit(state, batch,
+            idCol, textCol, langCol, srcCol, evalSource, stopwords, bounds,
+            chunkSize, rebuildThresholdPpm)
+          .select("advise_rebuild").head().getBoolean(0)
+        if (advise)
+          (PipelineIncremental.curationStateRebuild(state, batch,
+            idCol, textCol, langCol, srcCol, evalSource, stopwords, bounds,
+            chunkSize, minJaccard, bucketCap), true)
+        else
+          (PipelineIncremental.curationStateIncremental(state, batch,
+            idCol, textCol, langCol, srcCol, evalSource, stopwords, bounds,
+            chunkSize, minJaccard, bucketCap), false)
+      }
 
     LedgerSwap.commit(spark, stateDir, batchId,
       PipelineIncremental.toFrames(next).toSeq)
+    rebuilt
   }
 
   /** The run-ledger census over the persisted state — what a monitoring

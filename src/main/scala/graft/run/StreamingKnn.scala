@@ -36,8 +36,9 @@ import graft.ext.Similarity
  * (the fold's algebra — anti-join affected src, union recomputed — maps
  * 1:1 onto a merge predicate); the directory swap keeps the harness
  * dependency-free. A diffuse batch is the measured uniform-delta regime
- * (cost ≈ rebuild, exactness unaffected) — gate on the X42d-style
- * touched-bucket audit before choosing this path for such a batch.
+ * (cost ≈ rebuild, exactness unaffected) — each fold consults the
+ * X36e(f) regime audit and takes the full-rebuild arm when advised
+ * (see [[foldBatch]]).
  */
 object StreamingKnn {
 
@@ -46,40 +47,63 @@ object StreamingKnn {
   def start(incoming: DataFrame, stateDir: String, checkpointDir: String,
       k: Int, bands: Int = 4, bandPlanes: Int = Similarity.LshPlanes,
       bucketCap: Long = 10000L, probes: Int = 1,
-      symmetric: Boolean = false): StreamingQuery =
+      symmetric: Boolean = false,
+      rebuildThresholdPpm: Long = 300000L): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, stateDir, k, bands, bandPlanes,
-          bucketCap, probes, symmetric)
+          bucketCap, probes, symmetric, rebuildThresholdPpm): Unit
       }
       .start()
 
   /** One batch application — public so a backfill driver can apply
-   * parquet-sourced batches through the identical transaction. */
+   * parquet-sourced batches through the identical transaction.
+   *
+   * Each non-bootstrap batch first consults
+   * [[Similarity.knnDeltaRegimeAudit]] (X36e(f)): a DIFFUSE batch —
+   * affected-query fraction at or above `rebuildThresholdPpm` — is the
+   * measured uniform-delta regime where the incremental fold recomputes
+   * ≈ the whole graph through a slower path, so the maintainer folds it
+   * via a full [[Similarity.knnDirectedBanded]] rebuild over the union
+   * instead (edge-equal by the pinned incremental-equals-rebuild
+   * property, same [[LedgerSwap]] transaction either way).
+   *
+   * @return true when the batch folded via full rebuild (bootstrap or
+   *         audit-advised), false for the incremental arm or a skipped
+   *         replay. */
   def foldBatch(batch: DataFrame, batchId: Long, stateDir: String,
       k: Int, bands: Int = 4, bandPlanes: Int = Similarity.LshPlanes,
       bucketCap: Long = 10000L, probes: Int = 1,
-      symmetric: Boolean = false): Unit = {
+      symmetric: Boolean = false,
+      rebuildThresholdPpm: Long = 300000L): Boolean = {
     val spark = batch.sparkSession
     LedgerSwap.recover(spark, stateDir)
-    if (batchId <= LedgerSwap.watermark(spark, stateDir)) return
+    if (batchId <= LedgerSwap.watermark(spark, stateDir)) return false
 
     val slim = batch.select(col("vec_id"), col("embedding"))
-    val (corpusNext, directedNext) =
+    val (corpusNext, directedNext, rebuilt) =
       if (!LedgerSwap.exists(spark, stateDir))
         // bootstrap: the first batch IS the corpus
         (slim, Similarity.knnDirectedBanded(slim, k, bands, bandPlanes,
-          bucketCap, probes, symmetric))
+          bucketCap, probes, symmetric), true)
       else {
         val corpus = spark.read.parquet(s"$stateDir/corpus.parquet")
         val directed = spark.read.parquet(s"$stateDir/directed.parquet")
-        (corpus.unionByName(slim),
-          Similarity.knnDirectedBandedIncremental(corpus, slim, directed,
-            k, bands, bandPlanes, bucketCap, probes, symmetric))
+        val union = corpus.unionByName(slim)
+        val advise = Similarity.knnDeltaRegimeAudit(corpus, slim,
+            bands, bandPlanes, probes, rebuildThresholdPpm)
+          .select("advise_rebuild").head().getBoolean(0)
+        if (advise)
+          (union, Similarity.knnDirectedBanded(union, k, bands, bandPlanes,
+            bucketCap, probes, symmetric), true)
+        else
+          (union, Similarity.knnDirectedBandedIncremental(corpus, slim, directed,
+            k, bands, bandPlanes, bucketCap, probes, symmetric), false)
       }
     LedgerSwap.commit(spark, stateDir, batchId,
       Seq("corpus" -> corpusNext, "directed" -> directedNext))
+    rebuilt
   }
 
   /** The persisted directed edge state (what the next fold reads). */

@@ -35,8 +35,13 @@ class StreamingCurationSpec extends SparkSpec {
     val stateDir = tmpDir() + "/ledger"
     val source = MemoryStream[(Long, String, String, String)]
     val stream = source.toDF().toDF("doc_id", "text", "lang", "source")
+    // threshold above any possible ppm pins the INCREMENTAL arm — tiny
+    // fixture batches are diffuse by construction, and the default audit
+    // gate would route every batch to the rebuild arm, dropping this
+    // test's fold coverage
     val q = StreamingCuration.start(stream, stateDir, tmpDir(),
-      "doc_id", "text", "lang", "source", bounds = Bounds)
+      "doc_id", "text", "lang", "source", bounds = Bounds,
+      rebuildThresholdPpm = 1000001L)
     try {
       // batch 1 (bootstrap): includes an eval doc so the eval set is live
       val b1 = Seq(doc(100L, 0), doc(101L, 7), doc(900L, 21, "src0"))
@@ -76,7 +81,8 @@ class StreamingCurationSpec extends SparkSpec {
     val b1 = Seq(doc(100L, 0), doc(900L, 21, "src0"))
     val b2 = Seq(doc(101L, 5))
     val q1 = StreamingCuration.start(stream, stateDir, ckpt,
-      "doc_id", "text", "lang", "source", bounds = Bounds)
+      "doc_id", "text", "lang", "source", bounds = Bounds,
+      rebuildThresholdPpm = 1000001L)
     try {
       source.addData(b1: _*); q1.processAllAvailable()
       source.addData(b2: _*); q1.processAllAvailable()
@@ -95,7 +101,8 @@ class StreamingCurationSpec extends SparkSpec {
     source.addData(b3: _*)
 
     val q2 = StreamingCuration.start(stream, stateDir, ckpt,
-      "doc_id", "text", "lang", "source", bounds = Bounds)
+      "doc_id", "text", "lang", "source", bounds = Bounds,
+      rebuildThresholdPpm = 1000001L)
     try {
       q2.processAllAvailable()
       assert(censusRows(StreamingCuration.census(spark, stateDir, "doc_id", "lang"))
@@ -123,5 +130,38 @@ class StreamingCurationSpec extends SparkSpec {
       assert(censusRows(StreamingCuration.census(spark, stateDir, "doc_id", "lang"))
         == batchCensus(b1.toDF("doc_id", "text", "lang", "source")))
     } finally q.stop()
+  }
+
+  test("regime gate: a diffuse batch takes the rebuild arm, ledger equal to the incremental arm's") {
+    // fresh-content docs (no shared chunks with b1) spread across the
+    // banded bucket space — diffuse by the touched-bucket measure
+    val b1 = (Seq(doc(900L, 21, "src0")) ++ (0 until 8).map(i => doc(100L + i, i)))
+      .toDF("doc_id", "text", "lang", "source")
+    val diffuse = (0 until 8).map(i => doc(200L + i, 40 + 3 * i))
+      .toDF("doc_id", "text", "lang", "source")
+    val viaGate = tmpDir() + "/cur_gate"
+    val viaIncr = tmpDir() + "/cur_incr"
+
+    def fold(dir: String, df: org.apache.spark.sql.DataFrame, id: Long,
+        threshold: Long): Boolean =
+      StreamingCuration.foldBatch(df, id, dir, "doc_id", "text", "lang",
+        "source", bounds = Bounds, rebuildThresholdPpm = threshold)
+
+    assert(fold(viaGate, b1, 0L, 250000L), "bootstrap must report the rebuild arm")
+    assert(fold(viaGate, diffuse, 1L, 250000L),
+      "diffuse batch must take the audit-advised rebuild arm")
+
+    assert(fold(viaIncr, b1, 0L, 1000001L))
+    assert(!fold(viaIncr, diffuse, 1L, 1000001L),
+      "with the gate disabled the fold must stay incremental")
+
+    for (frame <- graft.ext.PipelineIncremental.FrameNames) {
+      val read = (d: String) => spark.read.parquet(s"$d/$frame.parquet")
+        .orderBy(spark.read.parquet(s"$d/$frame.parquet").columns.map(
+          org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSeq
+      assert(read(viaGate) == read(viaIncr),
+        s"ledger frame '$frame' diverged between the rebuild and incremental arms")
+    }
   }
 }

@@ -48,8 +48,12 @@ class StreamingKnnSpec extends SparkSpec {
     val b1 = fixture.filter(col("vec_id") < 40)
     val b2 = fixture.filter(col("vec_id") >= 40 && col("vec_id") < 55)
     val b3 = fixture.filter(col("vec_id") >= 55 && col("vec_id") < 70)
+    // threshold above any possible ppm pins the INCREMENTAL arm — at
+    // fixture scale almost every base query probes a delta-touched
+    // bucket, so the default audit gate would route every batch to the
+    // rebuild arm and this parity test would stop exercising the fold
     val q = StreamingKnn.start(stream, stateDir, tmpDir(), K, Bands,
-      BandPlanes, symmetric = true)
+      BandPlanes, symmetric = true, rebuildThresholdPpm = 1000001L)
     try {
       source.addData(asRows(b1): _*); q.processAllAvailable()
       assert(persisted(stateDir) == rebuild(Seq(b1)), "bootstrap state diverged")
@@ -82,7 +86,7 @@ class StreamingKnnSpec extends SparkSpec {
     val b3 = fixture.filter(col("vec_id") >= 55 && col("vec_id") < 70)
 
     val q1 = StreamingKnn.start(stream, stateDir, ckpt, K, Bands,
-      BandPlanes, symmetric = true)
+      BandPlanes, symmetric = true, rebuildThresholdPpm = 1000001L)
     try {
       source.addData(asRows(b1): _*); q1.processAllAvailable()
       source.addData(asRows(b2): _*); q1.processAllAvailable()
@@ -98,11 +102,37 @@ class StreamingKnnSpec extends SparkSpec {
 
     source.addData(asRows(b3): _*) // arrives while the maintainer is down
     val q2 = StreamingKnn.start(stream, stateDir, ckpt, K, Bands,
-      BandPlanes, symmetric = true)
+      BandPlanes, symmetric = true, rebuildThresholdPpm = 1000001L)
     try {
       q2.processAllAvailable()
       assert(persisted(stateDir) == rebuild(Seq(b1, b2, b3)),
         "restart broke exactly-once kNN state")
     } finally q2.stop()
+  }
+
+  test("regime gate: a diffuse batch takes the rebuild arm, state equal to the incremental arm's") {
+    val b1 = fixture.filter(col("vec_id") < 40)
+    // a uniform slice of the id space touches most of the small banded
+    // bucket space — the engineered diffuse batch the audit must catch
+    val diffuse = fixture.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+    val viaGate = tmpDir() + "/knn_gate"
+    val viaIncr = tmpDir() + "/knn_incr"
+
+    assert(StreamingKnn.foldBatch(b1, 0L, viaGate, K, Bands, BandPlanes,
+      symmetric = true), "bootstrap must report the rebuild arm")
+    assert(StreamingKnn.foldBatch(diffuse, 1L, viaGate, K, Bands, BandPlanes,
+      symmetric = true), "diffuse batch must take the audit-advised rebuild arm")
+
+    assert(StreamingKnn.foldBatch(b1, 0L, viaIncr, K, Bands, BandPlanes,
+      symmetric = true, rebuildThresholdPpm = 1000001L))
+    assert(!StreamingKnn.foldBatch(diffuse, 1L, viaIncr, K, Bands, BandPlanes,
+      symmetric = true, rebuildThresholdPpm = 1000001L),
+      "with the gate disabled the fold must stay incremental")
+
+    assert(persisted(viaGate) == persisted(viaIncr),
+      "rebuild arm diverged from the incremental arm")
+    val corpus = (d: String) => spark.read.parquet(s"$d/corpus.parquet")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(corpus(viaGate) == corpus(viaIncr), "corpus frames diverged across arms")
   }
 }
