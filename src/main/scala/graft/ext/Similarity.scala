@@ -462,6 +462,64 @@ object Similarity {
   }
 
   /**
+   * X3sq8+ — END-TO-END ANN SERVING over the SQ8 tier: coarse ROUTE to
+   * the query's IVF cell, SQ8 integer-dot shortlist WITHIN the cell,
+   * exact full-dimension re-rank — the composition a production store
+   * often serves for small cells instead of PQ-ADC (one int8 code block
+   * per vector beats a per-query LUT when the cell fits the shortlist
+   * scan). The cell equality lives IN the shortlist join key, so
+   * cross-cell pairs never reach the integer dot — at 100 TB the SQ8
+   * code table is stored partitioned by cell and the scan itself prunes
+   * to the probed cells; the join-key form is the single-table-harness
+   * equivalent. Shortlist and re-rank are [[topKSq8Coded]]'s stages with
+   * the route added; the `ann_serve_sq8` oracle chains the verified SQ8
+   * mirrors with the same route so the hash match proves the
+   * composition (the X42 pattern).
+   */
+  def ivfSq8ServeTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      shortlistFactor: Int = 4, cellCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.graft.FloatVectorDot.intVectorDot
+    def coded(df: DataFrame) = df
+      .select(col("vec_id"),
+        org.apache.spark.sql.graft.FloatVectorDot.quantizeInt8Codes(col("embedding")).as("sq"),
+        norm(col("embedding")).as("nrm"), col(cellCol).as("__cell"))
+      .select(col("vec_id"), col("sq.scale").as("scale"), col("sq.codes").as("codes"),
+        col("nrm"), col("__cell"))
+    val c = coded(candidates)
+    val q = coded(queries).select(
+      col("vec_id").as("query_id"), col("scale").as("q_scale"),
+      col("codes").as("q_codes"), col("nrm").as("q_norm"), col("__cell"))
+    val denom = col("q_norm") * col("nrm")
+    val approx = ((col("q_scale") * col("scale")) *
+        intVectorDot(col("q_codes"), col("codes")).cast("double") / lit(16129.0)) / denom
+    val pairs = c
+      .join(broadcast(q), Seq("__cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), when(denom =!= 0.0, approx).as("approx"))
+    val m = shortlistFactor * k
+    graft.ops.SqlTypes.requireWindowGroupLimit(pairs, m)
+    val short = pairs
+      .withColumn("__sr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("__sr") <= m)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("approx"), 6).as("approx6"))
+    val qf = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val reranked = candidates.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("c_norm"))
+      .join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos6", round(
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
+    reranked
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos6").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos6"), col("approx6"))
+  }
+
+  /**
    * X2d+ — SemDeDup-style semantic dedup (Abbas et al. 2023, public
    * arXiv:2303.09540): cluster embeddings to centroids (the IVF E-step,
    * [[assignToCentroids]]), compare pairs ONLY within a cluster, and drop

@@ -97,6 +97,63 @@ object SimilarityQueries {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Shared DuckDB mirror of the SQ8 serving chain (Similarity.topKSq8 /
+   * ivfSq8ServeTopK): quantize to struct(scale, codes), integer-dot
+   * approx within the (optionally cell-ROUTED) pair stream, shortlist of
+   * shortlistFactor·k = 12, exact re-rank to k = 3. `routed = true` adds
+   * the IVF cell equality to the pair join — mirroring ivfSq8ServeTopK's
+   * (__cell) join key — so ann_serve_sq8 reuses topk_cosine_sq8's
+   * verified CTEs verbatim and the hash match proves the composition. */
+  private def sq8ServeOracle(routed: Boolean, queryMax: Int): String = {
+    val routePred = if (routed) "\n  AND c.label = qs.q_label" else ""
+    s"""WITH base AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+       |      (acc, x) -> greatest(acc, x)) AS s,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |coded AS (
+       |  SELECT vec_id, label, embedding, s, nrm,
+       |    list_transform(embedding, v -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT) END) AS q
+       |  FROM base),
+       |qs AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb,
+       |              s AS q_s, nrm AS q_nrm, q AS q_q
+       |       FROM coded WHERE vec_id < $queryMax),
+       |p AS (
+       |  SELECT qs.query_id, c.vec_id AS neighbor_id, qs.q_emb, c.embedding AS c_emb,
+       |    qs.q_nrm, c.nrm AS c_nrm,
+       |    CASE WHEN qs.q_nrm * c.nrm = 0 THEN NULL
+       |      ELSE ((qs.q_s * c.s) * CAST(list_sum(
+       |          list_transform(range(1, 65), i -> qs.q_q[i] * c.q[i])) AS DOUBLE)
+       |        / 16129.0) / (qs.q_nrm * c.nrm) END AS approx
+       |  FROM coded c, qs
+       |  WHERE c.vec_id != qs.query_id$routePred),
+       |short AS (
+       |  SELECT query_id, neighbor_id, q_emb, c_emb, q_nrm, c_nrm,
+       |         round(approx, 6) AS approx6,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS srn
+       |  FROM p
+       |  QUALIFY srn <= 12),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, approx6,
+       |    -- zero-norm guard mirroring cosineFrom: a zero-norm vector can
+       |    -- reach the shortlist when a query has fewer than
+       |    -- shortlistFactor*k candidates (its NULL approx sorts last
+       |    -- rather than being filtered), and must re-rank to NULL, not
+       |    -- a raw division by zero
+       |    CASE WHEN q_nrm * c_nrm = 0 THEN NULL
+       |      ELSE round(${dotSql("q_emb", "c_emb")} / (q_nrm * c_nrm), 6) END AS cos6
+       |  FROM short)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
+       |       neighbor_id, cos6, approx6
+       |FROM rr
+       |QUALIFY rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Per-band (vec_id, bucket, margins) CTE chain over `embeddings` for
    * the X36e(f) regime audit — the bucket/argmin fragments of
    * [[bandedDirectedCtes]] without the capped index or pair stages. */
@@ -423,51 +480,26 @@ object SimilarityQueries {
         Similarity.topKSq8(emb.filter(col("vec_id") < 10), emb, k = 3, shortlistFactor = 4)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH base AS (
-              |  SELECT vec_id, embedding,
-              |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              |      list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
-              |      (acc, x) -> greatest(acc, x)) AS s,
-              |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
-              |  FROM embeddings),
-              |coded AS (
-              |  SELECT vec_id, embedding, s, nrm,
-              |    list_transform(embedding, v -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
-              |      ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT) END) AS q
-              |  FROM base),
-              |qs AS (SELECT vec_id AS query_id, embedding AS q_emb, s AS q_s, nrm AS q_nrm, q AS q_q
-              |       FROM coded WHERE vec_id < 10),
-              |p AS (
-              |  SELECT qs.query_id, c.vec_id AS neighbor_id, qs.q_emb, c.embedding AS c_emb,
-              |    qs.q_nrm, c.nrm AS c_nrm,
-              |    CASE WHEN qs.q_nrm * c.nrm = 0 THEN NULL
-              |      ELSE ((qs.q_s * c.s) * CAST(list_sum(
-              |          list_transform(range(1, 65), i -> qs.q_q[i] * c.q[i])) AS DOUBLE)
-              |        / 16129.0) / (qs.q_nrm * c.nrm) END AS approx
-              |  FROM coded c, qs
-              |  WHERE c.vec_id != qs.query_id),
-              |short AS (
-              |  SELECT query_id, neighbor_id, q_emb, c_emb, q_nrm, c_nrm,
-              |         round(approx, 6) AS approx6,
-              |         row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS srn
-              |  FROM p
-              |  QUALIFY srn <= 12),
-              |rr AS (
-              |  SELECT query_id, neighbor_id, approx6,
-              |    -- zero-norm guard mirroring cosineFrom: a zero-norm vector can
-              |    -- reach the shortlist when a query has fewer than
-              |    -- shortlistFactor*k candidates (its NULL approx sorts last
-              |    -- rather than being filtered), and must re-rank to NULL, not
-              |    -- a raw division by zero
-              |    CASE WHEN q_nrm * c_nrm = 0 THEN NULL
-              |      ELSE round(${dotSql("q_emb", "c_emb")} / (q_nrm * c_nrm), 6) END AS cos6
-              |  FROM short)
-              |SELECT query_id,
-              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS INTEGER) AS rank,
-              |       neighbor_id, cos6, approx6
-              |FROM rr
-              |QUALIFY rank <= 3
-              |ORDER BY query_id, rank""".stripMargin)),
+      Some(sq8ServeOracle(routed = false, queryMax = 10))),
+
+    // X3sq8+ — END-TO-END ANN SERVING over the SQ8 tier (ann_serve_sq8):
+    // the small-cell production alternative to PQ-ADC — coarse ROUTE to
+    // the query's IVF cell (the cell equality lives IN the shortlist
+    // join, so cross-cell pairs never reach the integer dot; at 100 TB
+    // the SQ8 code table is cell-partitioned and the scan itself
+    // prunes), int8 shortlist of 12 within the cell, exact re-rank to
+    // the final 3. The oracle chains the verified SQ8 mirrors
+    // (topk_cosine_sq8's CTEs) with the same route, so the hash match
+    // proves the composition — the X42 pattern applied to the SQ8
+    // serving face.
+    Q("ann_serve_sq8",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        Similarity.ivfSq8ServeTopK(emb.filter(col("vec_id") < 5), emb,
+            k = 3, shortlistFactor = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(sq8ServeOracle(routed = true, queryMax = 5))),
 
     // Skew-salted dimension join: results must equal the plain join (the
     // salt is invisible in the output) — verified against an unsalted
