@@ -277,6 +277,49 @@ object BenchAB {
         time(s"knn_communities $tag", 5)(communities(symFlag))
       }
     }
+    if (which("probe_postheap")) {
+      // r16: WHERE should symmetrization happen? The registered pre-heap
+      // form doubles the scored stream before the per-band 2k heaps
+      // (exact wrt the both-orientations candidate set); NN-descent's
+      // published form reverses neighbor LISTS — i.e. symmetrize the
+      // per-band top-k SURVIVORS (slim N·k·bands rows), then merge.
+      // Post-heap is an approximation of the pre-heap set (a reversed
+      // pair only survives if it was top-k for its discoverer), so this
+      // A/B measures BOTH the wall delta and the mutual-recall delta.
+      import graft.ext.{Dedup, Similarity}
+      val topk = org.apache.spark.sql.graft.plans.GroupTopK
+      val emb = TableIO.read(s, sfDir, "embeddings")
+      val (k, bands, planes, probes) = (4, 12, 5, 2)
+      val ord = Seq(col("cos6").desc, col("vec_id").asc)
+      def pairs = Similarity.bandPairs(emb, bands, planes, 10000L, probes)
+      def mutualOf(d: DataFrame) = d.as("a")
+        .join(d.as("b"), col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("id_a"), col("a.dst").as("id_b"), col("a.cos6").as("cos6"))
+      def preHeap = Similarity.knnDirectedBanded(emb, k, bands, planes,
+        probes = probes, symmetric = true)
+      def postHeap = {
+        val fwd = topk.topkPerKey(pairs, Seq("query_id", "band"), ord, k)
+        val rev = fwd.select(col("vec_id").as("query_id"), col("band"),
+          col("query_id").as("vec_id"), col("cos6"))
+        val merged = fwd.union(rev)
+          .groupBy("query_id", "vec_id").agg(max("cos6").as("cos6"))
+        topk.topkPerKey(merged, Seq("query_id"), ord, k)
+          .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
+      }
+      def asym = Similarity.knnDirectedBanded(emb, k, bands, planes,
+        probes = probes, symmetric = false)
+      time("directed PRE-HEAP sym", 5)(preHeap)
+      time("directed POST-HEAP sym", 5)(postHeap)
+      time("directed ASYM", 5)(asym)
+      for ((label, d) <- Seq("pre-heap" -> preHeap, "post-heap" -> postHeap,
+          "asym" -> asym)) {
+        val r = Similarity.mutualRecallAudit(emb, mutualOf(d), k).head()
+        println(s"[ab] mutual recall $label: " +
+          s"n_true=${r.getLong(0)} n_cand=${r.getLong(1)} n_hits=${r.getLong(2)} " +
+          s"recall_ppm=${r.getLong(4)}")
+      }
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

@@ -512,11 +512,11 @@ object ScaleBench {
           graft.ext.Similarity.knnGraphBanded(emb, k = 4, bands = bands,
             bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2)
         }),
-      // the r15 SYMMETRIZED-discovery face (what knn_communities consumes
-      // now): the cosine volume equals the multiprobe family's — only the
-      // heap stream doubles (the explode of both orientations) — so the
-      // claim is the same linear curve at a bounded constant over
-      // knn_banded_multiprobe, with zero spill
+      // the SYMMETRIZED-discovery face (what knn_communities consumes;
+      // post-heap since r16): the cosine volume AND heap volume equal the
+      // multiprobe family's — symmetrization is a slim survivor-list
+      // reversal after the heaps — so the claim is the same linear curve
+      // at a near-zero constant over knn_banded_multiprobe, zero spill
       ("knn_banded_sym", Seq(5000L, 50000L, 500000L),
         (s, n) => {
           val emb = staged(s, "embs", n)(knnEmbeddings(s, n))
@@ -614,8 +614,8 @@ object ScaleBench {
           val base = emb.filter(pmod(col("vec_id"), lit(100)) =!= 99)
           val delta = emb.filter(pmod(col("vec_id"), lit(100)) === 99)
           val state = staged(s, s"knnbstate_p$bandPlanes", n)(
-            graft.ext.Similarity.knnDirectedBanded(base, k = 4, bands = bands,
-              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2, symmetric = true))
+            graft.ext.Similarity.bandSurvivors(base, k = 4, bands = bands,
+              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2))
           graft.ext.Similarity.knnGraphBandedIncremental(base, delta, state,
             k = 4, bands = bands, bandPlanes = bandPlanes, bucketCap = 2000L,
             probes = 2, symmetric = true)
@@ -641,8 +641,8 @@ object ScaleBench {
                   pmod(xxhash64(col("id") * 64 + i), lit(7)) / lit(1000.0f))
                   .cast("float")).as("embedding")))
           val state = staged(s, s"knnbstateF_p$bandPlanes", n)(
-            graft.ext.Similarity.knnDirectedBanded(emb, k = 4, bands = bands,
-              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2, symmetric = true))
+            graft.ext.Similarity.bandSurvivors(emb, k = 4, bands = bands,
+              bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2))
           graft.ext.Similarity.knnGraphBandedIncremental(emb, delta, state,
             k = 4, bands = bands, bandPlanes = bandPlanes, bucketCap = 2000L,
             probes = 2, symmetric = true)

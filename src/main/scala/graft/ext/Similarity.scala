@@ -753,6 +753,15 @@ object Similarity {
   def knnDirectedBanded(emb: DataFrame, k: Int, bands: Int = 4, bandPlanes: Int = LshPlanes,
       bucketCap: Long = 10000L, probes: Int = 1, symmetric: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    rankBandPairs(bandPairs(emb, bands, bandPlanes, bucketCap, probes), k, symmetric)
+  }
+
+  /** The banded discovery stages of [[knnDirectedBanded]] — kernel melt,
+   * hot-key-safe cap, (band, bucket) probe join, cosine — returning the
+   * scored (query_id, band, vec_id, cos6) pair stream the rank tail
+   * consumes. Exposed for tail A/Bs (BenchAB probe_postheap). */
+  private[graft] def bandPairs(emb: DataFrame, bands: Int, bandPlanes: Int,
+      bucketCap: Long, probes: Int): DataFrame = {
     require(bands >= 1 && bandPlanes >= 1 && bands * bandPlanes <= 62,
       s"bands >= 1, bandPlanes >= 1, bands*bandPlanes <= 62 required, " +
         s"got bands=$bands bandPlanes=$bandPlanes")
@@ -761,7 +770,6 @@ object Similarity {
     // ONE melted pipeline — one cap gate, one (band, bucket) join, one
     // native-GroupTopK rank — not a per-band loop (the loop form ran
     // `bands` gate jobs and `bands` separate join stages)
-    val topk = org.apache.spark.sql.graft.plans.GroupTopK
     // every band's bucket + multi-probe set in ONE codegen kernel pass
     // (LshBandProbes): the per-plane column formulation it replaces ran
     // bands·bandPlanes separate FloatVectorDot projections — ~60 columns
@@ -790,63 +798,99 @@ object Similarity {
       col("band"), col("bucket"))
     val qry = capped.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_norm"), col("band"), explode(col("__pb")).as("bucket"))
-    val pairs = qry
+    qry
       .join(idx, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("band"), col("vec_id"),
         round(cosineFrom(dot(col("q_emb"), col("embedding")),
           col("q_norm"), col("c_norm")), 6).as("cos6"))
-    rankBandPairs(pairs, k, symmetric)
   }
 
   /** The banded family's rank tail: optional SYMMETRIZED discovery, then
    * the per-band native-GroupTopK merge.
    *
-   * `symmetric = true` makes each DISCOVERED pair count for BOTH
-   * endpoints' top-k (the NN-descent neighbor-list symmetrization): the
-   * asymmetric form loses a true edge a→b whenever no bucket a PROBES
-   * holds b — even though b may well probe a's bucket — and mutual-edge
-   * recall pays that loss in both directions. Symmetrizing the scored
-   * stream raises mutual recall the way only extra bands otherwise could
-   * — measured on the fixtures at 12×5-band probes=2: 552 k → 642 k ppm
-   * mutual (sf0.001), 590 k → 769 k (sf0.01) — at ZERO extra candidate
-   * volume: the reversal reuses the already-computed cosine, so the
-   * expensive discovery join and kernel stages are untouched; only the
-   * heap pass reads 2× rows.
+   * `symmetric = true` makes each SURVIVING discovery count for BOTH
+   * endpoints' top-k — NN-descent's published neighbor-LIST reversal
+   * (Dong et al. 2011): the asymmetric form loses a true edge a→b
+   * whenever no bucket a PROBES holds b — even though b may well probe
+   * a's bucket — and mutual-edge recall pays that loss in both
+   * directions. The symmetrization is POST-HEAP: per-band forward top-k
+   * survivor lists are computed first ([[bandSurvivors]] — the
+   * asymmetric cost, and the persisted state of the incremental fold),
+   * then the SLIM survivor rows (N·k·bands, ids + cos6, no embeddings)
+   * are reversed and merged ([[directedFromSurvivors]]).
+   *
+   * r15 symmetrized the scored stream BEFORE the heaps (2× rows through
+   * 2k-wide heaps). The r16 A/B (BenchAB probe_postheap, sf0.1, 2 000
+   * vectors, min-of-5) measured the post-heap form at the SAME mutual
+   * recall — 761 744 ppm vs exact truth, identical hit set — for 4.4 s
+   * vs the pre-heap form's 9.7 s (the asymmetric form: 4.6 s at
+   * 604 026 ppm). Reversing survivor LISTS instead of candidate streams
+   * keeps the whole symmetrization in slim-row land, which is also what
+   * makes the incremental fold's reverse face a table join instead of a
+   * gated 944 MB embedding-melt broadcast (see
+   * [[bandSurvivorsIncremental]]).
    *
    * NATIVE GroupTopK keyed (query, band) == the per-band top-k: bounded
    * partial heaps cap output BEFORE any exchange — the massive pair
-   * stream never shuffles. Global top-k over the deduped union of band
-   * candidates equals the merge of per-band top-k's: a band's candidates
-   * are a subset of the union's, so any globally-top-k pair is top-k in
-   * every band that produced it. Under symmetrization a pair can appear
-   * TWICE per band (discovered in both directions), so the per-band heap
-   * widens to 2k: top-2k of the ≤2-fold multiset contains the top-k of
-   * the distinct set, which keeps the merge argument intact. */
-  private def rankBandPairs(pairs: DataFrame, k: Int, symmetric: Boolean): DataFrame = {
-    val stream =
-      if (!symmetric) pairs
-      else
-        // both orientations from one generator row (explode of a 2-array
-        // of structs): stays inside whole-stage codegen and never
-        // materializes the pair stream — a staged union form cached the
-        // full multi-million-row stream just to read it twice
-        pairs.select(col("band"), col("cos6"), explode(array(
-            struct(col("query_id"), col("vec_id")),
-            struct(col("vec_id").as("query_id"), col("query_id").as("vec_id")))).as("__e"))
-          .select(col("__e.query_id").as("query_id"), col("band"),
-            col("__e.vec_id").as("vec_id"), col("cos6"))
-    rankBandTail(stream, k, heapK = if (symmetric) 2 * k else k)
+   * stream never shuffles unranked. Within one band a (query, candidate)
+   * pair occurs at most once (a candidate lives in exactly one bucket
+   * per band), so heapK = k is exact. */
+  private def rankBandPairs(pairs: DataFrame, k: Int, symmetric: Boolean): DataFrame =
+    if (!symmetric) rankBandTail(pairs, k)
+    else
+      // staged: directedFromSurvivors reads the survivor frame TWICE
+      // (forward + reversal) — without the checkpoint the whole banded
+      // discovery pipeline executes twice (measured: the un-staged form
+      // doubled the family wall at sf0.1)
+      directedFromSurvivors(
+        bandSurvivorsOf(pairs, k).localCheckpoint(eager = false), k)
+
+  /** Per-band forward top-k SURVIVOR lists over a scored pair stream:
+   * (query_id, band, vec_id, cos6), ≤ k rows per (query, band). This is
+   * the symmetric family's persisted state — slim (ids + cos6, never
+   * embeddings), recomputable per affected query, and sufficient to
+   * derive the directed graph ([[directedFromSurvivors]]) because the
+   * reversal face only ever reads survivor lists. */
+  private[graft] def bandSurvivorsOf(pairs: DataFrame, k: Int): DataFrame =
+    org.apache.spark.sql.graft.plans.GroupTopK
+      .topkPerKey(pairs, Seq("query_id", "band"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
+      .select(col("query_id"), col("band"), col("vec_id"), col("cos6"))
+
+  /** [[bandSurvivorsOf]] over the full banded discovery pipeline — the
+   * state-building entry point ([[graft.run.StreamingKnn]],
+   * StateStore-backed registrations). */
+  def bandSurvivors(emb: DataFrame, k: Int, bands: Int = 4,
+      bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
+      probes: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    bandSurvivorsOf(bandPairs(emb, bands, bandPlanes, bucketCap, probes), k)
   }
 
-  /** The per-band heap merge over an (optionally pre-symmetrized) scored
-   * stream — shared by the batch generator and the incremental's
-   * recompute, whose stream arrives already symmetrized (forward pairs
-   * of affected queries + reversed discoveries targeting them). */
-  private def rankBandTail(stream: DataFrame, k: Int, heapK: Int): DataFrame = {
+  /** The symmetric merge over a survivor table: forward survivor rows ∪
+   * their reversals (both carry the already-computed cosine), distinct
+   * per (query, candidate), global native-GroupTopK to the final k. All
+   * slim rows — the reversal never touches embeddings. */
+  def directedFromSurvivors(survivors: DataFrame, k: Int): DataFrame = {
+    val fwd = survivors.select(col("query_id"), col("vec_id"), col("cos6"))
+    val rev = survivors.select(col("vec_id").as("query_id"),
+      col("query_id").as("vec_id"), col("cos6"))
+    val merged = fwd.union(rev)
+      .groupBy("query_id", "vec_id").agg(max("cos6").as("cos6"))
+    org.apache.spark.sql.graft.plans.GroupTopK
+      .topkPerKey(merged, Seq("query_id"),
+        Seq(col("cos6").desc, col("vec_id").asc), k)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
+  }
+
+  /** The per-band heap merge over a scored forward stream — the
+   * asymmetric rank tail, shared by the batch generator and the
+   * incremental's recompute. */
+  private def rankBandTail(stream: DataFrame, k: Int): DataFrame = {
     val topk = org.apache.spark.sql.graft.plans.GroupTopK
     val merged = topk.topkPerKey(stream, Seq("query_id", "band"),
-        Seq(col("cos6").desc, col("vec_id").asc), heapK)
+        Seq(col("cos6").desc, col("vec_id").asc), k)
       .groupBy("query_id", "vec_id").agg(max("cos6").as("cos6"))
     topk.topkPerKey(merged, Seq("query_id"),
         Seq(col("cos6").desc, col("vec_id").asc), k)
@@ -915,7 +959,17 @@ object Similarity {
    */
   def knnRecallAuditMutual(emb: DataFrame, k: Int, bands: Int = 4,
       bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
-      sampleMod: Long = 20L, probes: Int = 1, symmetric: Boolean = false): DataFrame = {
+      sampleMod: Long = 20L, probes: Int = 1, symmetric: Boolean = false): DataFrame =
+    mutualRecallAudit(emb,
+      knnGraphBanded(emb, k, bands, bandPlanes, bucketCap, probes, symmetric),
+      k, sampleMod)
+
+  /** The mutual-edge recall audit over a SUPPLIED mutual graph (id_a,
+   * id_b) — the measurement half of [[knnRecallAuditMutual]], exposed so
+   * tail A/Bs (BenchAB probe_postheap) can score variant graphs against
+   * the same sample-bounded exact truth. */
+  private[graft] def mutualRecallAudit(emb: DataFrame, mutualIn: DataFrame,
+      k: Int, sampleMod: Long = 20L): DataFrame = {
     def exactTopK(queries: DataFrame): DataFrame = {
       val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
@@ -932,7 +986,7 @@ object Similarity {
     val truth = topS.join(topB,
       topS("query_id") === topB("neighbor_id") && topS("neighbor_id") === topB("query_id"))
       .select(topS("query_id"), topS("neighbor_id"))
-    val mutual = knnGraphBanded(emb, k, bands, bandPlanes, bucketCap, probes, symmetric)
+    val mutual = mutualIn
       .localCheckpoint(eager = false) // both orientation filters below
     val cand = mutual.filter(col("id_a") % sampleMod === 0)
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
@@ -1056,12 +1110,21 @@ object Similarity {
   }
 
   /**
-   * X36e(d) — INCREMENTAL maintenance of the BANDED multi-probe directed
-   * kNN state (the production face of the graph `knn_communities`
-   * consumes): ingest `delta` against `baseDirected` =
-   * `knnDirectedBanded(base, same params)` without re-running the
-   * quadratic candidate stage over the whole corpus. Exactness argument,
-   * banded edition of the X36d per-bucket contract:
+   * X36e(d) — INCREMENTAL maintenance of the BANDED multi-probe kNN
+   * state (the production face of the graph `knn_communities`
+   * consumes): ingest `delta` against the stored state without
+   * re-running the quadratic candidate stage over the whole corpus.
+   *
+   * The STATE depends on the face: the asymmetric fold stores the
+   * directed edges themselves (`state` = `knnDirectedBanded(base, …,
+   * symmetric = false)`); the symmetric fold stores the per-band
+   * forward SURVIVOR lists (`state` = [[bandSurvivors]](base, …)) —
+   * the reversal face is a pure slim-row derivation over survivors
+   * ([[directedFromSurvivors]]), so survivors are the minimal foldable
+   * state. Exactness argument, banded edition of the X36d per-bucket
+   * contract (identical for both faces, because survivor lists and
+   * directed top-k are both pure functions of a query's FORWARD
+   * candidate multiset):
    *
    *  - index membership changes ONLY in the delta's TRUE buckets
    *    (append-only ingest; probes are query-side, a pure function of
@@ -1070,26 +1133,75 @@ object Similarity {
    *    rows, since its true bucket is always in its probe set — is a
    *    function of the buckets it PROBES: if none is touched, every one
    *    of those buckets has identical membership and therefore identical
-   *    union-level cap status, so the query's directed top-k is carried
-   *    VERBATIM from state;
+   *    union-level cap status, so the query's rows are carried VERBATIM
+   *    from state;
    *  - queries probing ≥1 touched bucket (plus every delta query) are
    *    recomputed whole against the union's capped index — which handles
    *    cap FLIPS exactly (a bucket pushed over `bucketCap` drops whole,
-   *    and edges a state query drew from it vanish because that query is
+   *    and rows a state query drew from it vanish because that query is
    *    affected by definition).
+   *
+   * Until r15 the symmetric fold symmetrized the SCORED STREAM, which
+   * forced a reverse-discovery pass joining the full embedding-carrying
+   * probe melt against the affected index slice (the gated 944 MB
+   * broadcast in SCALING.md). The post-heap survivor state retires that
+   * machinery: the reverse face never touches embeddings, and the
+   * regime audit's forward affected count is now EXACT for both faces.
    *
    * Cost: one linear union re-bucketing pass (the kernel + cap count —
    * production stores the bucket index and counts as tables and skips
    * it) plus the quadratic stage over the affected queries' bucket
-   * footprint only. Returns the UPDATED directed state — foldable batch
-   * to batch (state′ = this(corpus, batch, state); spec-pinned equal to
-   * a rebuild after every batch of a multi-batch fold).
+   * footprint only. Returns the updated DIRECTED edges; the symmetric
+   * FOLDABLE state is produced by [[bandSurvivorsIncremental]] (state′ =
+   * that(corpus, batch, state); spec-pinned equal to a rebuild after
+   * every batch of a multi-batch fold).
    */
   def knnDirectedBandedIncremental(base: DataFrame, delta: DataFrame,
-      baseDirected: DataFrame, k: Int, bands: Int = 4,
+      state: DataFrame, k: Int, bands: Int = 4,
       bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
       probes: Int = 1, symmetric: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    if (symmetric)
+      // staged for the same two-reads reason as rankBandPairs
+      directedFromSurvivors(
+        bandSurvivorsIncremental(base, delta, state, k, bands, bandPlanes,
+          bucketCap, probes).localCheckpoint(eager = false), k)
+    else {
+      val (affIds, fwd) = affectedForwardPairs(base, delta, bands, bandPlanes,
+        bucketCap, probes)
+      val recomputed = rankBandTail(fwd, k)
+      state.join(affIds.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+        .select(col("src"), col("dst"), col("cos6"))
+        .union(recomputed)
+    }
+  }
+
+  /** The symmetric fold: updated per-band survivor state for
+   * `base ∪ delta` from the stored `baseSurvivors` =
+   * [[bandSurvivors]](base, same params) — affected queries' lists
+   * recomputed against the union's capped index, every other list
+   * carried verbatim (see [[knnDirectedBandedIncremental]] for the
+   * exactness argument). Foldable batch to batch. */
+  def bandSurvivorsIncremental(base: DataFrame, delta: DataFrame,
+      baseSurvivors: DataFrame, k: Int, bands: Int = 4,
+      bandPlanes: Int = LshPlanes, bucketCap: Long = 10000L,
+      probes: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (affIds, fwd) = affectedForwardPairs(base, delta, bands, bandPlanes,
+      bucketCap, probes)
+    val recomputed = bandSurvivorsOf(fwd, k)
+    baseSurvivors.join(affIds.withColumnRenamed("vec_id", "query_id"),
+        Seq("query_id"), "left_anti")
+      .select(col("query_id"), col("band"), col("vec_id"), col("cos6"))
+      .union(recomputed)
+  }
+
+  /** Shared incremental prefix: the affected-query id set (base queries
+   * probing a delta-touched bucket, plus every delta id) and their
+   * scored FORWARD pair stream against the union's capped index. */
+  private def affectedForwardPairs(base: DataFrame, delta: DataFrame,
+      bands: Int, bandPlanes: Int, bucketCap: Long,
+      probes: Int): (DataFrame, DataFrame) = {
     def staged(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"),
         org.apache.spark.sql.graft.FloatVectorDot.lshBandProbes(
@@ -1102,38 +1214,13 @@ object Similarity {
     val md = melt(staged(delta)).localCheckpoint(eager = false)
     val touched = md.select("band", "bucket").distinct()
       .localCheckpoint(eager = false)
-    // affected base queries, FORWARD face: ANY probed bucket (incl. the
-    // true bucket, whose cap status may flip) is touched
+    // affected base queries: ANY probed bucket (incl. the true bucket,
+    // whose cap status may flip) is touched
     val affectedFwd = mb.select(col("vec_id"), col("band"),
         explode(col("__pb")).as("bucket"))
       .join(touched, Seq("band", "bucket"))
       .select("vec_id").distinct()
-    // SYMMETRIC face: a base vector's REVERSE candidates (vectors probing
-    // its true bucket) change exactly when a prober's row-existence
-    // changes in that band — new delta probers, or base members of a
-    // CAP-FLIPPED bucket (their qry+idx rows in that band appear/vanish
-    // with the flip; append-only ingest means flips only go under→over,
-    // but the predicate covers both). So the affected set additionally
-    // pulls every base vector whose TRUE (band, bucket) is probed by a
-    // delta vector or by a flipped bucket's base members.
-    val affectedBase =
-      if (!symmetric) affectedFwd
-      else {
-        val sizesBase = mb.groupBy("band", "bucket").agg(count(lit(1)).as("__nb"))
-        val sizesU = mb.select("band", "bucket").union(md.select("band", "bucket"))
-          .groupBy("band", "bucket").agg(count(lit(1)).as("__nu"))
-        val flipped = sizesU.join(sizesBase, Seq("band", "bucket"), "left_outer")
-          .filter((coalesce(col("__nb"), lit(0L)) > bucketCap) =!= (col("__nu") > bucketCap))
-          .select("band", "bucket")
-        val flipMembers = mb.join(flipped, Seq("band", "bucket"))
-        val changedProbes = md.select(col("band"), explode(col("__pb")).as("bucket"))
-          .union(flipMembers.select(col("band"), explode(col("__pb")).as("bucket")))
-          .distinct()
-        val affectedRev = mb.join(changedProbes, Seq("band", "bucket"))
-          .select("vec_id").distinct()
-        affectedFwd.union(affectedRev).distinct()
-      }
-    val affIds = affectedBase.union(md.select("vec_id").distinct()).distinct()
+    val affIds = affectedFwd.union(md.select("vec_id").distinct()).distinct()
       .localCheckpoint(eager = false)
     // union index under UNION-level caps — rebuild-identical semantics
     // (production: stored index + stored counts; here one linear pass)
@@ -1149,40 +1236,7 @@ object Similarity {
       .select(col("query_id"), col("band"), col("vec_id"),
         round(cosineFrom(dot(col("q_emb"), col("embedding")),
           col("q_norm"), col("c_norm")), 6).as("cos6"))
-    // symmetric recompute: the affected queries' scored stream must also
-    // carry the REVERSED discoveries targeting them — every union
-    // vector's probe hitting an affected vector's true bucket. One
-    // linear pass over the union probe melt against the (small) affected
-    // index slice: the same multiset the batch's symmetrization emits
-    // for these queries, so the 2k-heap tail is bit-equal per query.
-    val pairs =
-      if (!symmetric) fwd
-      else {
-        // gated broadcast of the affected index slice: in the LOCALIZED
-        // regime it is a few thousand rows and the full probe melt (the
-        // embedding-carrying big side) must not exchange for it
-        // (measured: 944 MB of melt shuffle at 500 k vectors without the
-        // gate, 421 vs 92 CPU-s family point); in the uniform regime the
-        // slice is corpus-sized and the gate degrades to SHUFFLE_HASH
-        val idxAff = HotKeys.broadcastIfSmall(
-          capped.join(affIds, Seq("vec_id"))
-            .select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),
-              col("band"), col("bucket")))
-        val qryAll = capped.select(col("vec_id").as("query_id"),
-          col("embedding").as("q_emb"), col("nrm").as("q_norm"), col("band"),
-          explode(col("__pb")).as("bucket"))
-        val rev = qryAll.join(idxAff, Seq("band", "bucket"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("vec_id").as("query_id"), col("band"),
-            col("query_id").as("vec_id"),
-            round(cosineFrom(dot(col("q_emb"), col("embedding")),
-              col("q_norm"), col("c_norm")), 6).as("cos6"))
-        fwd.union(rev)
-      }
-    val recomputed = rankBandTail(pairs, k, heapK = if (symmetric) 2 * k else k)
-    baseDirected.join(affIds.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
-      .select(col("src"), col("dst"), col("cos6"))
-      .union(recomputed)
+    (affIds, fwd)
   }
 
   /**
@@ -1199,8 +1253,9 @@ object Similarity {
    *   n_delta, n_touched (delta TRUE (band, bucket) keys — where index
    *   membership changes), n_total (union index bucket count), n_aff
    *   (base queries probing ≥1 touched bucket — the FORWARD affected
-   *   set; the symmetric fold adds reverse-probe terms on top, so this
-   *   is the leading indicator, exact for the asymmetric fold),
+   *   set, which since the r16 post-heap survivor state IS the exact
+   *   recompute set of BOTH folds: the symmetric reversal face is a
+   *   slim derivation, not extra recompute),
    *   affected_ppm = n_aff·10⁶ div n_base, advise_rebuild.
    *
    * Cost: the linear probe-melt passes the incremental pays anyway

@@ -201,12 +201,15 @@ object SimilarityQueries {
    * surviving pair, per-src rank. Ends with CTE `d` = directed top-4
    * edges (src, dst, cos6).
    *
-   * `symmetric` mirrors the engine's symmetrized discovery: each
-   * discovered pair enters the candidate set in BOTH orientations before
-   * the DISTINCT + rank — equal to the engine's per-band 2k-heap merge
-   * by the usual subset argument (any globally-top-k pair ranks ≤ k
-   * among each discovering band's distinct candidates, hence ≤ 2k in its
-   * ≤2-fold multiset).
+   * `symmetric` mirrors the engine's POST-HEAP symmetrization
+   * (Similarity.bandSurvivors + directedFromSurvivors, the NN-descent
+   * neighbor-LIST reversal): per band, the forward candidates rank to
+   * top-k SURVIVORS (within one band a pair occurs at most once — a
+   * candidate lives in exactly one bucket per band — so the per-band
+   * rank is exact), the survivor rows are reversed, and the global
+   * top-k runs over the DISTINCT union of both orientations. The
+   * engine's GroupTopK stages compute the same sets under the identical
+   * (cos6 DESC, id) tie-break.
    *
    * NULL embeddings are filtered at the per-band scan, mirroring the
    * engine's drop-null contract (a NULL embedding yields a NULL probe
@@ -246,23 +249,48 @@ object SimilarityQueries {
         .stripMargin
     }.mkString(",\n")
     val unions = (0 until bands).map(b => s"SELECT * FROM p$b").mkString(" UNION ALL ")
-    val candBody =
-      if (!symmetric) unions
-      else s"""SELECT query_id, vec_id FROM ($unions)
-              |  UNION ALL
-              |  SELECT vec_id AS query_id, query_id AS vec_id FROM ($unions)""".stripMargin
-    s"""WITH $perBand,
-       |cand AS (SELECT DISTINCT query_id, vec_id FROM ($candBody)),
-       |sc AS (
-       |  SELECT c.query_id AS src, c.vec_id AS dst,
-       |         ${cosSql("qe.embedding", "ce.embedding")} AS cos6
-       |  FROM cand c
-       |  JOIN embeddings qe ON qe.vec_id = c.query_id
-       |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
-       |r AS (SELECT src, dst, cos6,
-       |        row_number() OVER (PARTITION BY src ORDER BY cos6 DESC, dst) AS rk
-       |      FROM sc),
-       |d AS (SELECT src, dst, cos6 FROM r WHERE rk <= 4)""".stripMargin
+    if (!symmetric)
+      s"""WITH $perBand,
+         |cand AS (SELECT DISTINCT query_id, vec_id FROM ($unions)),
+         |sc AS (
+         |  SELECT c.query_id AS src, c.vec_id AS dst,
+         |         ${cosSql("qe.embedding", "ce.embedding")} AS cos6
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+         |r AS (SELECT src, dst, cos6,
+         |        row_number() OVER (PARTITION BY src ORDER BY cos6 DESC, dst) AS rk
+         |      FROM sc),
+         |d AS (SELECT src, dst, cos6 FROM r WHERE rk <= 4)""".stripMargin
+    else {
+      val bandUnions = (0 until bands)
+        .map(b => s"SELECT $b AS band, query_id, vec_id FROM p$b")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $perBand,
+         |pball AS ($bandUnions),
+         |dp AS (SELECT DISTINCT query_id, vec_id FROM pball),
+         |dsc AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${cosSql("qe.embedding", "ce.embedding")} AS cos6
+         |  FROM dp c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+         |sv AS (
+         |  SELECT band, query_id, vec_id, cos6 FROM (
+         |    SELECT pball.band, pball.query_id, pball.vec_id, dsc.cos6,
+         |           row_number() OVER (PARTITION BY pball.query_id, pball.band
+         |                              ORDER BY dsc.cos6 DESC, pball.vec_id) AS rk
+         |    FROM pball JOIN dsc USING (query_id, vec_id))
+         |  WHERE rk <= 4),
+         |cand AS (SELECT DISTINCT query_id, vec_id, cos6 FROM (
+         |    SELECT query_id, vec_id, cos6 FROM sv
+         |    UNION ALL
+         |    SELECT vec_id AS query_id, query_id AS vec_id, cos6 FROM sv)),
+         |r AS (SELECT query_id AS src, vec_id AS dst, cos6,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rk
+         |      FROM cand),
+         |d AS (SELECT src, dst, cos6 FROM r WHERE rk <= 4)""".stripMargin
+    }
   }
 
   /** Synthetic hot key for the skew-stress pair: 90% of lineitem rows on
@@ -971,13 +999,15 @@ object SimilarityQueries {
     // edge SQL + the same recursive-CTE transitive closure that pins
     // both CC algorithms.
     // Community edges come from the BANDED MULTI-PROBE candidate
-    // generator with SYMMETRIZED discovery (each found pair scores for
-    // both endpoints' top-k) — the single-bucket graph's ~3 % directed
-    // recall made the clusters an artifact of the hashing; the 12x5-band
-    // 2-probe symmetric edges carry the measured 660-770 k ppm directed
-    // and 642-769 k ppm MUTUAL recall (knn_recall_banded /
-    // knn_recall_mutual rows) at the same candidate volume as r14's
-    // asymmetric form (552 k mutual).
+    // generator with POST-HEAP SYMMETRIZED discovery (per-band survivor
+    // lists reversed — NN-descent's list reversal; r16 moved the
+    // reversal after the heaps at IDENTICAL measured recall and ~half
+    // the pre-heap form's wall) — the single-bucket graph's ~3 %
+    // directed recall made the clusters an artifact of the hashing; the
+    // 12x5-band 2-probe symmetric edges carry the measured 660-770 k
+    // ppm directed and 642-769 k ppm MUTUAL recall (knn_recall_banded /
+    // knn_recall_mutual rows) vs the asymmetric form's 552-604 k
+    // mutual, at the same candidate volume.
     Q("knn_communities",
       (s, dir) => {
         val edges = graft.ext.Similarity.knnGraphBanded(
@@ -1061,21 +1091,24 @@ object SimilarityQueries {
 
     // X36e(d) — INCREMENTAL maintenance of the BANDED multi-probe graph
     // (the production face of the graph knn_communities consumes): a 20%
-    // delta batch against the stored banded directed state — only
-    // queries probing a delta-touched bucket recompute (against the
-    // union's capped index, so cap flips resurrect/drop edges exactly);
-    // untouched queries carry their edges verbatim. The oracle is the
-    // FULL REBUILD over the union (identical SQL to knn_graph_banded),
-    // so the hash match IS the incremental-equals-rebuild proof for the
-    // banded geometry; BandedIncrementalSpec pins the multi-batch fold
-    // and an engineered cap-flip fixtures may not hit.
+    // delta batch against the stored per-band SURVIVOR state (the
+    // post-heap design's minimal foldable state) — only queries probing
+    // a delta-touched bucket recompute their survivor lists (against the
+    // union's capped index, so cap flips resurrect/drop rows exactly);
+    // untouched lists carry verbatim, and the directed graph is a slim
+    // derivation over survivors (no embeddings in the reversal face).
+    // The oracle is the FULL REBUILD over the union (identical SQL to
+    // knn_graph_banded), so the hash match IS the
+    // incremental-equals-rebuild proof for the banded geometry;
+    // BandedIncrementalSpec pins the multi-batch fold and an engineered
+    // cap-flip fixtures may not hit.
     //
-    // The directed edge state is PERSISTED (StateStore): built + written
-    // to parquet once per JVM per sf dir, then every execution reloads
-    // the table and pays only state read + the delta pass — the
-    // production ingest-loop cost (r14 verdict item 1; the in-timer
-    // state build is gone). PersistedStateSpec pins the reloaded-state
-    // result bit-equal to the in-memory-state result.
+    // The survivor state is PERSISTED (StateStore): built + written to
+    // parquet once per JVM per sf dir, then every execution reloads the
+    // table and pays only state read + the delta pass — the production
+    // ingest-loop cost (r14 verdict item 1; the in-timer state build is
+    // gone). PersistedStateSpec pins the reloaded-state result bit-equal
+    // to the in-memory-state result.
     Q("knn_banded_incremental",
       (s, dir) => {
         val emb = TableIO.read(s, dir, "embeddings")
@@ -1083,10 +1116,10 @@ object SimilarityQueries {
         val delta = emb.filter(col("vec_id") % 5 === 4)
         val load = graft.run.StateStore.materialize(
           s, s"knnbanded_${graft.run.StateStore.dirKey(dir)}",
-          Map("directed" -> graft.ext.Similarity.knnDirectedBanded(
-            base, k = 4, bands = 12, bandPlanes = 5, probes = 2, symmetric = true)))
+          Map("survivors" -> graft.ext.Similarity.bandSurvivors(
+            base, k = 4, bands = 12, bandPlanes = 5, probes = 2)))
         graft.ext.Similarity.knnGraphBandedIncremental(
-            base, delta, load("directed"), k = 4, bands = 12, bandPlanes = 5,
+            base, delta, load("survivors"), k = 4, bands = 12, bandPlanes = 5,
             probes = 2, symmetric = true)
           .orderBy("id_a", "id_b")
       },

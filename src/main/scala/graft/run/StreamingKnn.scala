@@ -11,10 +11,16 @@ import graft.ext.Similarity
  * X36e(d)): a `foreachBatch` maintainer that folds each micro-batch of
  * embeddings into a persisted two-frame ledger —
  *
- *  - `corpus`  : (vec_id, embedding) of everything ingested so far;
- *  - `directed`: the banded multi-probe DIRECTED top-k edge state,
- *                maintained by [[Similarity.knnDirectedBandedIncremental]]
- *                (spec-pinned rebuild-equal batch after batch).
+ *  - `corpus`   : (vec_id, embedding) of everything ingested so far;
+ *  - `survivors`: (symmetric face only) the per-band forward top-k
+ *                 survivor lists — the minimal foldable state, maintained
+ *                 by [[Similarity.bandSurvivorsIncremental]] (spec-pinned
+ *                 rebuild-equal batch after batch);
+ *  - `directed` : the banded multi-probe DIRECTED top-k edge view —
+ *                 derived from survivors on the symmetric face
+ *                 ([[Similarity.directedFromSurvivors]]), maintained by
+ *                 [[Similarity.knnDirectedBandedIncremental]] on the
+ *                 asymmetric one.
  *
  * Transactionality is [[LedgerSwap]] verbatim (the [[StreamingCuration]]
  * pattern): checkpointed offsets give at-least-once delivery, the
@@ -82,27 +88,45 @@ object StreamingKnn {
     if (batchId <= LedgerSwap.watermark(spark, stateDir)) return false
 
     val slim = batch.select(col("vec_id"), col("embedding"))
-    val (corpusNext, directedNext, rebuilt) =
+    // the symmetric face folds the per-band SURVIVOR lists (the minimal
+    // state — the directed graph is a slim derivation over them, see
+    // Similarity.directedFromSurvivors) and persists BOTH frames:
+    // survivors for the next fold, directed for readers. The asymmetric
+    // face folds the directed edges themselves.
+    def build(emb: DataFrame): Seq[(String, DataFrame)] =
+      if (symmetric) {
+        val sv = Similarity.bandSurvivors(emb, k, bands, bandPlanes,
+          bucketCap, probes).localCheckpoint(eager = false)
+        Seq("survivors" -> sv, "directed" -> Similarity.directedFromSurvivors(sv, k))
+      } else
+        Seq("directed" -> Similarity.knnDirectedBanded(emb, k, bands, bandPlanes,
+          bucketCap, probes, symmetric = false))
+    val (corpusNext, stateFrames, rebuilt) =
       if (!LedgerSwap.exists(spark, stateDir))
         // bootstrap: the first batch IS the corpus
-        (slim, Similarity.knnDirectedBanded(slim, k, bands, bandPlanes,
-          bucketCap, probes, symmetric), true)
+        (slim, build(slim), true)
       else {
         val corpus = spark.read.parquet(s"$stateDir/corpus.parquet")
-        val directed = spark.read.parquet(s"$stateDir/directed.parquet")
         val union = corpus.unionByName(slim)
         val advise = Similarity.knnDeltaRegimeAudit(corpus, slim,
             bands, bandPlanes, probes, rebuildThresholdPpm)
           .select("advise_rebuild").head().getBoolean(0)
         if (advise)
-          (union, Similarity.knnDirectedBanded(union, k, bands, bandPlanes,
-            bucketCap, probes, symmetric), true)
-        else
-          (union, Similarity.knnDirectedBandedIncremental(corpus, slim, directed,
-            k, bands, bandPlanes, bucketCap, probes, symmetric), false)
+          (union, build(union), true)
+        else if (symmetric) {
+          val sv = Similarity.bandSurvivorsIncremental(corpus, slim,
+              spark.read.parquet(s"$stateDir/survivors.parquet"),
+              k, bands, bandPlanes, bucketCap, probes)
+            .localCheckpoint(eager = false)
+          (union, Seq("survivors" -> sv,
+            "directed" -> Similarity.directedFromSurvivors(sv, k)), false)
+        } else
+          (union, Seq("directed" -> Similarity.knnDirectedBandedIncremental(
+            corpus, slim, spark.read.parquet(s"$stateDir/directed.parquet"),
+            k, bands, bandPlanes, bucketCap, probes, symmetric = false)), false)
       }
     LedgerSwap.commit(spark, stateDir, batchId,
-      Seq("corpus" -> corpusNext, "directed" -> directedNext))
+      ("corpus" -> corpusNext) +: stateFrames)
     rebuilt
   }
 

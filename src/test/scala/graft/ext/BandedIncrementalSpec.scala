@@ -61,8 +61,8 @@ class BandedIncrementalSpec extends SparkSpec {
     val base = emb.filter(col("vec_id") % 5 =!= 4)
     val delta = emb.filter(col("vec_id") % 5 === 4)
     for ((bands, planes, probes) <- Seq((2, 3, 1), (3, 4, 2), (2, 4, 4))) {
-      val state = Similarity.knnDirectedBanded(base, 4, bands, planes,
-        probes = probes, symmetric = true)
+      // symmetric state = the per-band survivor lists (post-heap design)
+      val state = Similarity.bandSurvivors(base, 4, bands, planes, probes = probes)
       val inc = Similarity.knnDirectedBandedIncremental(base, delta, state,
         4, bands, planes, probes = probes, symmetric = true)
       val rebuild = Similarity.knnDirectedBanded(emb, 4, bands, planes,
@@ -77,27 +77,39 @@ class BandedIncrementalSpec extends SparkSpec {
     val b0 = emb.filter(col("vec_id") % 5 < 3)
     val d1 = emb.filter(col("vec_id") % 5 === 3)
     val d2 = emb.filter(col("vec_id") % 5 === 4)
-    val s0 = Similarity.knnDirectedBanded(b0, 4, bands = 2, bandPlanes = 3,
-      probes = 2, symmetric = true)
-    val s1 = Similarity.knnDirectedBandedIncremental(b0, d1, s0,
-      4, bands = 2, bandPlanes = 3, probes = 2, symmetric = true).localCheckpoint()
-    assert(sortedEdges(s1) == sortedEdges(Similarity.knnDirectedBanded(
+    // the symmetric FOLDABLE state is the survivor table; the directed
+    // graph is derived from it after each fold
+    val s0 = Similarity.bandSurvivors(b0, 4, bands = 2, bandPlanes = 3, probes = 2)
+    val s1 = Similarity.bandSurvivorsIncremental(b0, d1, s0,
+      4, bands = 2, bandPlanes = 3, probes = 2).localCheckpoint()
+    assert(sortedEdges(Similarity.directedFromSurvivors(s1, 4))
+        == sortedEdges(Similarity.knnDirectedBanded(
         b0.union(d1), 4, bands = 2, bandPlanes = 3, probes = 2, symmetric = true)),
       "sym fold diverged after batch 1")
-    val s2 = Similarity.knnDirectedBandedIncremental(b0.union(d1), d2, s1,
-      4, bands = 2, bandPlanes = 3, probes = 2, symmetric = true)
-    assert(sortedEdges(s2) == sortedEdges(Similarity.knnDirectedBanded(
+    val s2 = Similarity.bandSurvivorsIncremental(b0.union(d1), d2, s1,
+      4, bands = 2, bandPlanes = 3, probes = 2)
+    assert(sortedEdges(Similarity.directedFromSurvivors(s2, 4))
+        == sortedEdges(Similarity.knnDirectedBanded(
         emb, 4, bands = 2, bandPlanes = 3, probes = 2, symmetric = true)),
       "sym fold diverged after batch 2")
+    // the survivor state itself folds rebuild-equal, frame for frame
+    val svRows = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("query_id", "band", "vec_id", "cos6").collect()
+        .map(_.toString).toSeq.sorted
+    assert(svRows(s2) == svRows(Similarity.bandSurvivors(
+        emb, 4, bands = 2, bandPlanes = 3, probes = 2)),
+      "survivor state diverged from the rebuild")
   }
 
   test("SYMMETRIC reverse-only affected: a base query none of whose probed buckets are touched still recomputes") {
-    // the symmetric affected-set's A2/A3 terms exist for exactly this:
-    // a delta vector PROBES a base vector's true bucket (reverse
-    // discovery) while the base vector probes no delta-true bucket. The
+    // reverse discovery: a delta vector PROBES a base vector's true
+    // bucket while the base vector probes no delta-true bucket — its
+    // survivor LIST is untouched but its DIRECTED edges change through
+    // the reversal face. In the post-heap design this is handled by
+    // derivation (directedFromSurvivors recomputes the slim merge over
+    // the whole survivor table), not by a widened affected set; the
     // fired check scans the fixture for such a query whose edge set
-    // actually changed — an A1-only affected set (the asymmetric rule)
-    // would have carried its stale edges verbatim.
+    // actually changed and pins that the incremental still matches.
     // SPARSE buckets (planes >= 5 -> >= 32 buckets/band) and a SMALL
     // delta (4%), so most buckets stay untouched and reverse-only
     // affected queries can exist at all — at dense geometries the delta
@@ -118,11 +130,11 @@ class BandedIncrementalSpec extends SparkSpec {
           .join(touched, Seq("band", "bucket"))
           .select("vec_id").distinct()
           .collect().map(_.getLong(0)).toSet
-        val state = Similarity.knnDirectedBanded(base, 4, bands, planes,
-          probes = probes, symmetric = true)
+        val state = Similarity.bandSurvivors(base, 4, bands, planes, probes = probes)
         val rebuild = Similarity.knnDirectedBanded(base.union(delta), 4, bands, planes,
           probes = probes, symmetric = true)
-        val stateBy = sortedEdges(state).groupBy(_._1)
+        val stateDirected = Similarity.directedFromSurvivors(state, 4)
+        val stateBy = sortedEdges(stateDirected).groupBy(_._1)
         val rebuildBy = sortedEdges(rebuild).groupBy(_._1)
         val baseIds = base.select("vec_id").collect().map(_.getLong(0)).toSet
         val changedOutsideA1 = baseIds.exists(q =>
@@ -137,7 +149,7 @@ class BandedIncrementalSpec extends SparkSpec {
         changedOutsideA1
     }
     assert(fired,
-      "no geometry produced a reverse-only affected query — the A2/A3 terms went untested")
+      "no geometry produced a reverse-only affected query — the reversal face went untested")
   }
 
   test("SYMMETRIC cap flip: duplicate cluster over cap under symmetric discovery") {
@@ -153,15 +165,16 @@ class BandedIncrementalSpec extends SparkSpec {
     val deltaRows = Seq(1L, 2L).map(i => Row(i, dup.asJava))
     val base = spark.createDataFrame(baseRows.asJava, schema)
     val delta = spark.createDataFrame(deltaRows.asJava, schema)
-    val state = Similarity.knnDirectedBanded(base, 2, bands = 2, bandPlanes = 5,
-      bucketCap = 3L, probes = 2, symmetric = true)
+    val state = Similarity.bandSurvivors(base, 2, bands = 2, bandPlanes = 5,
+      bucketCap = 3L, probes = 2)
     val inc = Similarity.knnDirectedBandedIncremental(base, delta, state,
       2, bands = 2, bandPlanes = 5, bucketCap = 3L, probes = 2, symmetric = true)
     val rebuild = Similarity.knnDirectedBanded(base.union(delta),
       2, bands = 2, bandPlanes = 5, bucketCap = 3L, probes = 2, symmetric = true)
     assert(sortedEdges(inc) == sortedEdges(rebuild), "sym cap-flip edges diverged")
     val dupIds = Set(100L, 101L, 102L, 1L, 2L)
-    assert(sortedEdges(state).exists(e => dupIds(e._1) && dupIds(e._2)),
+    assert(sortedEdges(Similarity.directedFromSurvivors(state, 2))
+        .exists(e => dupIds(e._1) && dupIds(e._2)),
       "state should hold intra-cluster edges before the flip")
     assert(!sortedEdges(rebuild).exists(e => dupIds(e._1) && dupIds(e._2)),
       "rebuild should drop intra-cluster edges once the bucket is over cap")

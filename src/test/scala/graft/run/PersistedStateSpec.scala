@@ -71,13 +71,13 @@ class PersistedStateSpec extends SparkSpec {
     val emb = TableIO.read(spark, Sf, "embeddings").filter(col("vec_id") < 400)
     val base = emb.filter(col("vec_id") % 5 =!= 4)
     val delta = emb.filter(col("vec_id") % 5 === 4)
-    val st = Similarity.knnDirectedBanded(base, k = 4, bands = 6, bandPlanes = 4,
-      probes = 2, symmetric = true)
+    val st = Similarity.bandSurvivors(base, k = 4, bands = 6, bandPlanes = 4,
+      probes = 2)
     val inMem = Similarity.knnGraphBandedIncremental(
       base, delta, st, k = 4, bands = 6, bandPlanes = 4, probes = 2, symmetric = true)
-    val load = StateStore.materialize(spark, "spec_knnbanded", Map("directed" -> st))
+    val load = StateStore.materialize(spark, "spec_knnbanded", Map("survivors" -> st))
     val reloaded = Similarity.knnGraphBandedIncremental(
-      base, delta, load("directed"), k = 4, bands = 6, bandPlanes = 4,
+      base, delta, load("survivors"), k = 4, bands = 6, bandPlanes = 4,
       probes = 2, symmetric = true)
     assert(sortedRows(reloaded) == sortedRows(inMem),
       "banded incremental over the reloaded state diverged from the in-memory state")
