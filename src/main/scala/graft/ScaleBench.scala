@@ -42,7 +42,13 @@ object ScaleBench {
   /** Write `gen` to parquet once per (name, n) under java.io.tmpdir and
    * hand back the stored frame: the operator under test must consume a
    * scan, not the generator's expression lineage (see class doc). The
-   * write happens at plan-build time, BEFORE the timed noop run. */
+   * write happens at plan-build time, BEFORE the timed noop run.
+   *
+   * CONTRACT: the cache persists across JVMs, gated only on _SUCCESS —
+   * when a generator's OUTPUT SCHEMA changes, its key must be renamed
+   * (r16 advisor: the r15→r16 survivor-list change would have fed an
+   * old-schema directed-edge cache to knnGraphBandedIncremental on any
+   * host that ran the r15 bench; the keys are now `knnbsurv*`). */
   private def staged(spark: SparkSession, name: String, n: Long)(gen: => DataFrame): DataFrame = {
     val dir = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"), "graft-scalebench"), s"${name}_$n")
@@ -613,7 +619,7 @@ object ScaleBench {
           val bandPlanes = math.min(rule + (math.log(bands.toDouble) / math.log(2)).ceil.toInt, 20)
           val base = emb.filter(pmod(col("vec_id"), lit(100)) =!= 99)
           val delta = emb.filter(pmod(col("vec_id"), lit(100)) === 99)
-          val state = staged(s, s"knnbstate_p$bandPlanes", n)(
+          val state = staged(s, s"knnbsurv_p$bandPlanes", n)(
             graft.ext.Similarity.bandSurvivors(base, k = 4, bands = bands,
               bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2))
           graft.ext.Similarity.knnGraphBandedIncremental(base, delta, state,
@@ -640,7 +646,7 @@ object ScaleBench {
                 (pmod(xxhash64(i), lit(1000)) / lit(1000.0f) +
                   pmod(xxhash64(col("id") * 64 + i), lit(7)) / lit(1000.0f))
                   .cast("float")).as("embedding")))
-          val state = staged(s, s"knnbstateF_p$bandPlanes", n)(
+          val state = staged(s, s"knnbsurvF_p$bandPlanes", n)(
             graft.ext.Similarity.bandSurvivors(emb, k = 4, bands = bands,
               bandPlanes = bandPlanes, bucketCap = 2000L, probes = 2))
           graft.ext.Similarity.knnGraphBandedIncremental(emb, delta, state,

@@ -23,18 +23,24 @@ object SqlTypes {
    * off Spark's WindowGroupLimit optimization: the single-window top-k
    * form used by the rank/shortlist paths bounds the shuffle (a PARTIAL
    * per-partition top-k before the exchange) only when the rank limit is
-   * BELOW `spark.sql.optimizer.windowGroupLimitThreshold` (default
-   * 1000). Above it, results stay correct but whole groups funnel
-   * through one reducer — the documented no-hot-reducer scale posture
-   * breaks without any visible signal. A caller who really wants a
-   * larger k raises the threshold conf alongside. */
+   * AT OR BELOW `spark.sql.optimizer.windowGroupLimitThreshold`
+   * (default 1000; InferWindowGroupLimit in catalyst 4.1.2 plants the
+   * partial when `limit <= threshold` and is FULLY DISABLED at
+   * threshold = -1). Above it — or with the rule disabled — results
+   * stay correct but whole groups funnel through one reducer: the
+   * documented no-hot-reducer scale posture breaks without any visible
+   * signal, which is exactly the case this guard exists to catch, so a
+   * disabled rule must fail too. A caller who really wants a larger k
+   * raises the threshold conf alongside. */
   def requireWindowGroupLimit(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
     val threshold = df.sparkSession.conf
       .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
-    require(threshold < 0 || k < threshold,
-      s"top-k limit $k >= spark.sql.optimizer.windowGroupLimitThreshold ($threshold): " +
-        "the partial per-partition top-k would not plant and whole groups would " +
-        "shuffle to one reducer; raise the threshold conf if this k is intended")
+    require(threshold >= 0 && k <= threshold,
+      s"top-k limit $k would not plant a partial per-partition top-k " +
+        s"(spark.sql.optimizer.windowGroupLimitThreshold = $threshold" +
+        (if (threshold < 0) ", i.e. InferWindowGroupLimit is disabled" else "") +
+        "): whole groups would shuffle to one reducer; raise the threshold " +
+        "conf if this k is intended")
   }
 
   /** Fail fast when an input already carries one of an operator's

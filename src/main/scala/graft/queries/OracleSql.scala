@@ -59,14 +59,114 @@ object OracleSql {
    * mirrors) or a per-bit lambda over the shingle expression (simhash)
    * re-evaluates the whole upstream expression tree at every reference
    * — the round-15 gate died on exactly this (`knn_communities` 343 s →
-   * 3 s with materialization). Recursive CTE heads cannot be
-   * materialized; pass them in `recursive`. Named `WINDOW w AS (...)`
-   * clauses are excluded by the lookbehind. */
-  def mat(sql: String, recursive: Set[String] = Set("reach")): String =
-    """(?<!WINDOW )\b(\w+) AS \(""".r.replaceAllIn(sql, m =>
-      if (recursive(m.group(1))) m.matched
-      else java.util.regex.Matcher.quoteReplacement(
-        s"${m.group(1)} AS MATERIALIZED ("))
+   * 3 s with materialization).
+   *
+   * STRUCTURAL, not textual (r16 advisor): the rewrite anchors to real
+   * CTE-head positions — an identifier followed by `AS (` that sits at
+   * the WITH clause's own paren depth, reached from `WITH [RECURSIVE]`
+   * or from a clause-level comma after the previous CTE body. Named
+   * `WINDOW w AS (...), v AS (...)` clauses, `AS (` inside string
+   * literals, and subquery internals are never touched. Recursive heads
+   * (which DuckDB cannot materialize) are detected by self-reference —
+   * the CTE body mentioning its own name — instead of a hardcoded name
+   * set, so a future recursive oracle named anything keeps working. */
+  def mat(sql: String): String = {
+    // CTE heads found structurally: (headNameEndOffset) positions where
+    // "AS MATERIALIZED" may replace "AS". Collected first, spliced after.
+    val insertAfterAs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val n = sql.length
+    var i = 0
+    var inStr = false
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    def wordAt(p: Int): (String, Int) = {
+      var e = p
+      while (e < n && isIdent(sql(e))) e += 1
+      (sql.substring(p, e), e)
+    }
+    def skipWs(p: Int): Int = {
+      var q = p
+      while (q < n && sql(q).isWhitespace) q += 1
+      q
+    }
+    // matching close paren of the '(' at p (p points AT the '('),
+    // respecting string literals; returns index of the ')'
+    def closeOf(p: Int): Int = {
+      var q = p
+      var d = 0
+      var s = false
+      while (q < n) {
+        val c = sql(q)
+        if (s) { if (c == '\'') s = false }
+        else c match {
+          case '\'' => s = true
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) return q
+          case _ =>
+        }
+        q += 1
+      }
+      n - 1
+    }
+
+    while (i < n) {
+      val c = sql(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (isIdent(c) && (i == 0 || !isIdent(sql(i - 1)))) {
+        val (w, e) = wordAt(i)
+        if (w.equalsIgnoreCase("WITH")) {
+          var p = skipWs(e)
+          val (w2, e2) = wordAt(p)
+          val isRecursiveClause = w2.equalsIgnoreCase("RECURSIVE")
+          if (isRecursiveClause) p = skipWs(e2)
+          // parse the CTE-head chain: name [(cols)] AS ( body ) [, ...]
+          var more = true
+          while (more) {
+            more = false
+            val (name, ne) = wordAt(p)
+            if (name.nonEmpty) {
+              var q = skipWs(ne)
+              if (q < n && sql(q) == '(' && {
+                    // optional column list — only if an AS follows it
+                    val after = skipWs(closeOf(q) + 1)
+                    wordAt(after)._1.equalsIgnoreCase("AS")
+                  }) q = skipWs(closeOf(q) + 1)
+              val (as, ae) = wordAt(q)
+              var bo = skipWs(ae)
+              // hand-written `AS MATERIALIZED (` in an oracle: keep it,
+              // don't double-insert, keep walking the chain
+              val (maybeMat, me) = wordAt(bo)
+              val alreadyMat = maybeMat.equalsIgnoreCase("MATERIALIZED")
+              if (alreadyMat) bo = skipWs(me)
+              if (as.equalsIgnoreCase("AS") && bo < n && sql(bo) == '(') {
+                val bc = closeOf(bo)
+                val body = sql.substring(bo, bc + 1)
+                // recursive heads exist only under WITH RECURSIVE, and a
+                // recursive body reads itself FROM/JOIN — a column alias
+                // sharing the CTE's name (tf AS (… count(*) AS tf …))
+                // must NOT suppress materialization
+                val selfRef = isRecursiveClause && ("(?i)(?<![A-Za-z0-9_])(FROM|JOIN)\\s+" +
+                  java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
+                  .findFirstIn(body).isDefined
+                if (!selfRef && !alreadyMat) insertAfterAs += ae
+                val after = skipWs(bc + 1)
+                if (after < n && sql(after) == ',') { p = skipWs(after + 1); more = true }
+              }
+            }
+          }
+          i = e
+        } else i = e
+      } else i += 1
+    }
+
+    val sb = new StringBuilder
+    var last = 0
+    insertAfterAs.sorted.foreach { p =>
+      sb.append(sql.substring(last, p)).append(" MATERIALIZED")
+      last = p
+    }
+    sb.append(sql.substring(last, n)).toString
+  }
 
   /** Mirror of Dedup.withChunkHashes: fixed-stride token-chunk rolling
    * hashes (empty for documents shorter than one chunk, matching the

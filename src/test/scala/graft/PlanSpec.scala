@@ -84,16 +84,40 @@ class PlanSpec extends SparkSpec {
     // r14 advisory: the adaptive gate skips the cap join on fixture data,
     // so the per-operator anti-join shape under over-cap data was pinned
     // only by the generic HotKeysSpec frame. This pins it END-TO-END: a
-    // bucketCap of 1 makes every multi-member (band, bucket) over cap in
-    // knnDirectedBanded, so the gate must CHOOSE the anti-join — and the
-    // plan must show a broadcast anti-join on the bucket key, no Window.
+    // bucketCap of 1 makes every multi-member (band, bucket) over cap,
+    // so the gate must CHOOSE the anti-join — and the plan must show a
+    // broadcast anti-join on the bucket key, no Window. Pinned on the
+    // survivor generator (the pre-checkpoint lineage): the symmetric
+    // face stages survivors behind a localCheckpoint, which makes the
+    // cap join invisible in the FINAL symmetric plan (see the next pin).
+    val emb = TableIO.read(spark, Sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 200)
+    val p = plan(graft.ext.Similarity.bandSurvivors(
+      emb, k = 2, bands = 2, bandPlanes = 3, bucketCap = 1L, probes = 2))
+    assert(!p.contains("Window"), s"window on a content key:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"over-cap drop is not a broadcast anti-join:\n${p.take(3000)}")
+  }
+
+  test("symmetric banded face: staged survivors, native top-k merge, no Window") {
+    // the post-heap symmetrization stages per-band survivor lists behind
+    // a lazy localCheckpoint and derives the directed graph from slim
+    // rows only — the visible plan must start at the staged survivor
+    // frame (read twice: forward + reversal, never re-running discovery),
+    // merge the two orientations with a Union, and rank with the native
+    // GroupTopK partial/final pair — never a Window, never an embedding
+    // column past the checkpoint.
     val emb = TableIO.read(spark, Sf, "embeddings")
       .filter(org.apache.spark.sql.functions.col("vec_id") < 200)
     val p = plan(graft.ext.Similarity.knnDirectedBanded(
       emb, k = 2, bands = 2, bandPlanes = 3, bucketCap = 1L, probes = 2, symmetric = true))
-    assert(!p.contains("Window"), s"window on a content key:\n${p.take(2000)}")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"over-cap drop is not a broadcast anti-join:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"window in the symmetric merge:\n${p.take(2000)}")
+    assert("ExistingRDD".r.findAllIn(p).size >= 2,
+      s"survivor frame not staged (discovery would run twice):\n${p.take(2000)}")
+    assert(p.contains("Union"), s"two-orientation union missing:\n${p.take(2000)}")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      s"final rank is not native GroupTopK:\n${p.take(2000)}")
+    assert(!p.contains("embedding"), s"embeddings leaked past the checkpoint:\n${p.take(2000)}")
   }
 
   test("shard packing is one scan and one hash shuffle (the window key)") {
