@@ -320,6 +320,31 @@ object BenchAB {
           s"recall_ppm=${r.getLong(4)}")
       }
     }
+    if (which("probe_counter")) {
+      // counter_merge adjudication (r16 verdict: 1.01 s / 6.9× on the
+      // contended driver box, first over the watch line, zero operator
+      // change since round 8; oracle is a 0.15 s fixed floor). Min-of-5
+      // of the registered form plus two strip-downs locating the second:
+      // without the protocol's output sort, and with naive double
+      // accumulation instead of exact DECIMAL. Verdict recorded at the
+      // registration site (queries/DiffQueries.scala) and BASELINE.md.
+      val li = TableIO.read(s, sfDir, "lineitem")
+      time("counter_merge REG", 5)(
+        SparkEntry.queries("counter_merge")(s, sfDir))
+      time("counter_merge no-sort", 5)(
+        graft.ops.Counters.mergeDeltas(li, Seq("l_orderkey"), "l_quantity"))
+      time("counter_merge double-sum", 5)(
+        li.groupBy("l_orderkey").agg(sum("l_quantity").as("counter_value")))
+      // carve-out condition (b): the only plan knob a single hash-agg
+      // has is the exchange width — if 8 vs 32 reducers moves the wall
+      // <15 %, the residual is Spark's fixed per-query constant, not a
+      // plan defect
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try time("counter_merge REG sp=8", 5)(
+        SparkEntry.queries("counter_merge")(s, sfDir))
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

@@ -704,6 +704,20 @@ object ScaleBench {
               org.apache.spark.sql.expressions.Window.partitionBy("key")))
             .filter(col("__n") <= 1000L).drop("__n")
             .agg(count(lit(1)).as("n"), sum("payload").as("p"))
+        }),
+      // S4/A3 counter_merge (the grouped exact-DECIMAL delta sum),
+      // r16-verdict adjudication condition (c): the fixed-cost carve-out
+      // needs the shape proven LINEAR with a skewed PK. Same hotKeyed
+      // input as the cap families — ONE key owns 1 % of all delta rows
+      // (the hottest counter a migrate ever merges), the rest ~50
+      // rows/key. groupBy+sum map-side combines, so the hot key's rows
+      // collapse to one partial per task and never mass on the wire;
+      // linear cpu_sec + flat per-task peak = no hot-reducer risk at
+      // 100 TB, and the sf0.1 wall number is pure fixed overhead.
+      ("counter_merge", Seq(1000000L, 10000000L, 100000000L),
+        (s, n) => {
+          val in = staged(s, "hotkey", n)(hotKeyed(s, n))
+          graft.ops.Counters.mergeDeltas(in, Seq("key"), "payload")
         }))
 
     val only: Option[Set[String]] =

