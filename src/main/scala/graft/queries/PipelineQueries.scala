@@ -352,6 +352,20 @@ object PipelineQueries {
     // structural adjudication (state build inside the timer);
     // PersistedStateSpec pins reload→incremental bit-equal to
     // in-memory-state→incremental.
+    //
+    // Every ledger table is consumed as a PLAIN parquet scan — no
+    // re-pinning. The r16 form localCheckpointed the three
+    // multi-consumer tables (chunk_df/melted/shingles) per execution; the
+    // r17 both-orders min-of-5 A/B (BenchAB probe_pinc/probe_pinc_r,
+    // sf0.1) showed the re-cache LOSES to two pruned scans of slim
+    // tables: plain {4.54, 5.05} s vs pinned {4.99, 5.12} s — and plain
+    // is the production-faithful posture (state lives in tables; a
+    // maintainer does not re-heap its ledger each batch). 4.54–5.05 s vs
+    // the 2.66 s rebuild-oracle = 1.71–1.90×, under the 2× watch line;
+    // the residual gap is structural — the oracle is a plain batch
+    // rebuild at a scale where DuckDB's rebuild is cheap, while this
+    // path pays state reads that only amortize when the state >> delta
+    // (ScaleBench: 7.7 vs 40.1 CPU-s at a 1 % delta, 500 k docs).
     Q("pipeline_incremental",
       (s, dir) => {
         val docs = TableIO.read(s, dir, "documents")
@@ -362,17 +376,8 @@ object PipelineQueries {
             graft.ext.PipelineIncremental.curationState(
               docs.filter(col("doc_id") % 20 =!= 19),
               "doc_id", "text", "lang", "source", bounds = b)))
-        // pin only the slim MULTI-consumer ledger tables in executor
-        // memory (the fold reads chunkDf/melted/shingles twice); the
-        // text-heavy single-consumer frames (train0/kept1) stay plain
-        // parquet scans so the census reads them COLUMN-PRUNED — a
-        // blanket cache materialized the corpus text for nothing
         graft.ext.PipelineIncremental.curationPipelineIncremental(
-          graft.ext.PipelineIncremental.fromFrames {
-            case n @ ("chunk_df" | "melted" | "shingles") =>
-              load(n).localCheckpoint(eager = false)
-            case n => load(n)
-          },
+          graft.ext.PipelineIncremental.fromFrames(load),
           docs.filter(col("doc_id") % 20 === 19),
           "doc_id", "text", "lang", "source", bounds = b)
       },
