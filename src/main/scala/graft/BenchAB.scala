@@ -378,6 +378,97 @@ object BenchAB {
         time(s"pipeline_incr $tag", 5)(run(pin))
       }
     }
+    if (which("probe_recall")) {
+      // r16 verdict #4: can knn_recall_banded's symmetric floor drop via
+      // ANCHOR-RESTRICTED survivor derivation (survivors only for
+      // anchors ∪ queries that probe an anchor's true bucket, instead of
+      // the full symmetric graph)? First the bound itself is measured:
+      // the fraction of (query, band) probe groups that hit an anchor
+      // bucket. Structural expectation: VACUOUS — 5 % anchors nearly
+      // cover the 2^bandPlanes buckets per band at fixture scale, and
+      // under the committed plane-growth rule (buckets ≈ N/32) anchors
+      // at 5 % OUTNUMBER buckets at every N, so the keep-set is ~all
+      // queries and restriction only adds key-derivation work.
+      import graft.ext.Similarity
+      import org.apache.spark.sql.graft.FloatVectorDot
+      val emb = TableIO.read(s, sfDir, "embeddings")
+      val (k, bands, planes, probes, sampleMod) = (4, 12, 5, 2, 20L)
+      val probed = emb.select(col("vec_id"),
+          FloatVectorDot.lshBandProbes(col("embedding"), bands, planes, probes).as("__pbs"))
+        .select(col("vec_id"), posexplode(col("__pbs")).as(Seq("band", "__pb")))
+      val anchorKeys = probed.filter(col("vec_id") % sampleMod === 0)
+        .select(col("band"), element_at(col("__pb"), 1).as("bucket")).distinct()
+      val qb = probed.select(col("vec_id"), col("band"), explode(col("__pb")).as("bucket"))
+      val kept = qb.join(anchorKeys, Seq("band", "bucket"))
+        .select("vec_id", "band").distinct().count()
+      val total = probed.select("vec_id", "band").distinct().count()
+      println(s"[ab] anchor-restricted keep fraction: $kept/$total " +
+        s"(${kept * 100 / math.max(total, 1)}%) of (query, band) groups")
+      // the full registered audit vs the restricted derivation (the
+      // audit's truth side is identical in both; only the candidate
+      // graph derivation differs)
+      time("knn_recall_banded REG", 5)(Similarity.knnRecallAuditBanded(
+        emb, k = k, bands = bands, bandPlanes = planes, probes = probes, symmetric = true))
+      def restricted: DataFrame = {
+        // inline anchor-restricted bandPairs: same staged kernel pass,
+        // query side semi-joined to (query, band) groups probing an
+        // anchor true bucket (anchors keep all bands via their own hit)
+        val staged = emb.select(col("vec_id"), col("embedding"),
+            Similarity.norm(col("embedding")).as("nrm"),
+            FloatVectorDot.lshBandProbes(col("embedding"), bands, planes, probes).as("__pbs"))
+          .localCheckpoint(eager = false)
+        val melted = staged.select(col("vec_id"), col("embedding"), col("nrm"),
+            posexplode(col("__pbs")).as(Seq("band", "__pb")))
+          .withColumn("bucket", element_at(col("__pb"), 1))
+        val capped = graft.ext.HotKeys.dropOverCap(
+          melted, Seq("band", "bucket"), 10000L, stage = false)
+        val aKeys = capped.filter(col("vec_id") % sampleMod === 0)
+          .select(col("band"), col("bucket")).distinct()
+        val qryAll = capped.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("nrm").as("q_norm"),
+          col("band"), explode(col("__pb")).as("bucket"))
+        val qbKeep = qryAll.join(broadcast(aKeys), Seq("band", "bucket"))
+          .select(col("query_id"), col("band")).distinct()
+        val qry = qryAll.join(qbKeep, Seq("query_id", "band"), "left_semi")
+        val idx = capped.select(col("vec_id"), col("embedding"),
+          col("nrm").as("c_norm"), col("band"), col("bucket"))
+        val pairs = qry.join(idx, Seq("band", "bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("band"), col("vec_id"),
+            round(Similarity.cosineFrom(
+              Similarity.dot(col("q_emb"), col("embedding")),
+              col("q_norm"), col("c_norm")), 6).as("cos6"))
+        val cand = Similarity.directedFromSurvivors(
+            Similarity.bandSurvivorsOf(pairs, k).localCheckpoint(eager = false), k)
+          .filter(col("src") % sampleMod === 0)
+          .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+        // identical truth side to the registered audit
+        val q = emb.filter(col("vec_id") % sampleMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            Similarity.norm(col("embedding")).as("q_norm"))
+        val c = emb.withColumn("c_norm", Similarity.norm(col("embedding")))
+        val tp = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos6", round(Similarity.cosineFrom(
+            Similarity.dot(col("q_emb"), col("embedding")),
+            col("q_norm"), col("c_norm")), 6))
+        val truth = Similarity.rankTopK(tp, k).select(col("query_id"), col("neighbor_id"))
+        val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(col("n_true"), col("n_candidates"), col("n_hits"),
+            expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
+            expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))
+      }
+      time("knn_recall_banded RESTRICTED", 5)(restricted)
+      // equivalence: the restricted derivation must reproduce the
+      // registered audit's row exactly (it is a pure execution strategy)
+      val a = Similarity.knnRecallAuditBanded(
+        emb, k = k, bands = bands, bandPlanes = planes, probes = probes,
+        symmetric = true).collect()(0)
+      val b2 = restricted.collect()(0)
+      println(s"[ab] recall rows equal: ${a == b2}  reg=$a restricted=$b2")
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Widen a too-narrow corpus frame to the session's parallelism before
+   * a broadcast-joined kernel stage. A broadcast pair join runs in its
+   * STREAM side's stage — no exchange, so AQE cannot split it and the
+   * stage inherits the scan's partition count. A fixture/small-table
+   * scan arrives in 1–2 partitions (one parquet row-group), which put
+   * the ENTIRE banded pair scoring + partial heaps on one core (r17
+   * measured: 3.4 s single-core vs ~1 s after widening at sf0.1). At
+   * production scale a 100 TB scan carries thousands of partitions and
+   * the gate never fires; when it does fire the cost is one linear
+   * round-robin shuffle of the frame. Values are partition-independent
+   * (exact cosines, deterministic tie-breaks), so results are unchanged. */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Left-fold dot product with per-element double cast — bit-identical
    * to the oracle's list_reduce mirror. Backed by the codegen'd
    * FloatVectorDot kernel; [[dotHof]] keeps the declarative formulation
@@ -67,7 +83,7 @@ object Similarity {
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_norm"))
-    val c = candidates.withColumn("c_norm", norm(col("embedding")))
+    val c = widen(candidates).withColumn("c_norm", norm(col("embedding")))
     val pairs = c
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos6", round(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
@@ -80,7 +96,7 @@ object Similarity {
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("label").as("q_label"), norm(col("embedding")).as("q_norm"))
-    val c = candidates.withColumn("c_norm", norm(col("embedding")))
+    val c = widen(candidates).withColumn("c_norm", norm(col("embedding")))
     val pairs = c
       .join(broadcast(q), col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
       .drop("q_label")
@@ -96,7 +112,7 @@ object Similarity {
    * second exchange and two extra sorts (plan-verified, r15). The
    * partial only plants for k below
    * `spark.sql.optimizer.windowGroupLimitThreshold` — guarded. */
-  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     graft.ops.SqlTypes.requireWindowGroupLimit(pairs, k)
     pairs
       .withColumn("rank", row_number().over(
@@ -133,7 +149,7 @@ object Similarity {
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_norm"), lshBucket(col("embedding")).as("q_bucket"))
-    val c = candidates
+    val c = widen(candidates)
       .withColumn("c_norm", norm(col("embedding")))
       .withColumn("c_bucket", lshBucket(col("embedding")))
     val pairs = c
@@ -159,7 +175,7 @@ object Similarity {
         norm(col("embedding")).as("q_norm"), lshBucket(col("embedding")).as("q_bucket"))
       .withColumn("probe", explode(probes))
       .drop("q_bucket")
-    val c = candidates
+    val c = widen(candidates)
       .withColumn("c_norm", norm(col("embedding")))
       .withColumn("c_bucket", lshBucket(col("embedding")))
     val pairs = c
@@ -232,7 +248,7 @@ object Similarity {
   def topKSq8Coded(queries: DataFrame, coded: DataFrame, floats: DataFrame,
       k: Int, shortlistFactor: Int = 4): DataFrame = {
     import org.apache.spark.sql.graft.FloatVectorDot.intVectorDot
-    val c = coded
+    val c = widen(coded)
     val q = sq8Coded(queries).select(
       col("vec_id").as("query_id"), col("scale").as("q_scale"),
       col("codes").as("q_codes"), col("nrm").as("q_norm"))
@@ -287,7 +303,7 @@ object Similarity {
   def assignToCentroids(df: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       .withColumn("c_sq", dot(col("c_emb"), col("c_emb")))
-    df.withColumn("v_sq", dot(col("embedding"), col("embedding")))
+    widen(df).withColumn("v_sq", dot(col("embedding"), col("embedding")))
       .crossJoin(broadcast(c))
       .withColumn("dist6",
         round(col("v_sq") - lit(2.0) * dot(col("embedding"), col("c_emb")) + col("c_sq"), 6))
@@ -324,7 +340,7 @@ object Similarity {
    * per-(vec, sub) argmin. */
   def pqCodes(df: DataFrame, centroids: DataFrame,
       numSub: Int = PqSubspaces, subDim: Int = PqSubDim): DataFrame = {
-    val v = pqSubVectors(df, "vec_id", numSub, subDim)
+    val v = pqSubVectors(widen(df), "vec_id", numSub, subDim)
     val c = pqSubVectors(centroids.select(col("vec_id").as("c_id"), col("embedding")), "c_id", numSub, subDim)
       .withColumnRenamed("svec", "cvec")
     v.join(broadcast(c), "sub")
@@ -485,7 +501,7 @@ object Similarity {
         norm(col("embedding")).as("nrm"), col(cellCol).as("__cell"))
       .select(col("vec_id"), col("sq.scale").as("scale"), col("sq.codes").as("codes"),
         col("nrm"), col("__cell"))
-    val c = coded(candidates)
+    val c = widen(coded(candidates))
     val q = coded(queries).select(
       col("vec_id").as("query_id"), col("scale").as("q_scale"),
       col("codes").as("q_codes"), col("nrm").as("q_norm"), col("__cell"))
@@ -666,7 +682,7 @@ object Similarity {
     // row keeps its other bands). When that loss matters, measure it —
     // knnRecallAudit reports recall on a deterministic sample, and a
     // banded multi-bucket variant is the structural fix.
-    val b0 = emb.select(col("vec_id"), col("embedding"),
+    val b0 = widen(emb).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       lshBucketPlanes(col("embedding"), planes).as("bucket"))
     // hot-key-safe cap (HotKeys doc): the count branch map-side-combines,
@@ -780,7 +796,10 @@ object Similarity {
     // row per vector AFTER the kernel: every consumer below (the cap
     // gate, both join sides) re-derives only the cheap melt from this
     // cache, so the dot products run exactly one pass over the corpus.
-    val staged = emb.select(col("vec_id"), col("embedding"),
+    // widen FIRST: everything below the checkpoint — the (band, bucket)
+    // broadcast join, the cosines, the GroupTopK partial heaps — runs at
+    // the checkpoint's partition count (see [[widen]])
+    val staged = widen(emb).select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"),
         org.apache.spark.sql.graft.FloatVectorDot.lshBandProbes(
           col("embedding"), bands, bandPlanes, probes).as("__pbs"))
@@ -923,7 +942,7 @@ object Similarity {
     val q = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_norm"))
-    val c = emb.withColumn("c_norm", norm(col("embedding")))
+    val c = widen(emb).withColumn("c_norm", norm(col("embedding")))
     val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos6", round(
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
@@ -973,7 +992,7 @@ object Similarity {
     def exactTopK(queries: DataFrame): DataFrame = {
       val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
-      val c = emb.withColumn("c_norm", norm(col("embedding")))
+      val c = widen(emb).withColumn("c_norm", norm(col("embedding")))
       val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .withColumn("cos6", round(
           cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
@@ -1059,7 +1078,9 @@ object Similarity {
   def knnDirectedIncremental(base: DataFrame, delta: DataFrame, baseDirected: DataFrame,
       k: Int, planes: Int = LshPlanes, bucketCap: Long = 10000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    def bucketed(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+    // widen: the affected-bucket pair join runs in the union's own stage
+    // via the broadcast touchedSizes join (see [[widen]])
+    def bucketed(df: DataFrame) = widen(df).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       lshBucketPlanes(col("embedding"), planes).as("bucket"))
     val bb = bucketed(base)
@@ -1202,7 +1223,10 @@ object Similarity {
   private def affectedForwardPairs(base: DataFrame, delta: DataFrame,
       bands: Int, bandPlanes: Int, bucketCap: Long,
       probes: Int): (DataFrame, DataFrame) = {
-    def staged(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+    // widen: the union index feeds a broadcast-affIds join + the pair
+    // scoring in ITS OWN stage (see [[widen]] — a fixture scan's 1-2
+    // partitions would single-thread the kernel work)
+    def staged(df: DataFrame) = widen(df).select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"),
         org.apache.spark.sql.graft.FloatVectorDot.lshBandProbes(
           col("embedding"), bands, bandPlanes, probes).as("__pbs"))
@@ -1309,7 +1333,7 @@ object Similarity {
     val q = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_norm"))
-    val c = emb.withColumn("c_norm", norm(col("embedding")))
+    val c = widen(emb).withColumn("c_norm", norm(col("embedding")))
     val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos6", round(
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm")), 6))
