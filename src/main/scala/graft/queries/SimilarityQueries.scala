@@ -510,6 +510,121 @@ object SimilarityQueries {
       },
       Some(sq8ServeOracle(routed = false, queryMax = 10))),
 
+    // X3+ ∘ X3sq8 — HYBRID retrieval served from the COMPRESSED tier
+    // (r16 verdict stretch #7): hybrid_rrf_topk's fusion with the dense
+    // leg swapped from brute-force float cosine to the production path —
+    // SQ8 integer-dot shortlist (¼-width stored tier) + exact re-rank
+    // ([[Similarity.topKSq8]]) — then the same integer-RRF fuse with the
+    // sparse shingle-tf leg. The oracle chains the VERIFIED SQ8 mirror
+    // CTEs (quantize → int-dot shortlist → exact re-rank) with
+    // hybrid_rrf_topk's verified sparse CTEs, so the hash match proves
+    // the serving composition, not just the parts (the X42 pattern).
+    Q("hybrid_rrf_sq8",
+      (s, dir) => {
+        val emb = TableIO.read(s, dir, "embeddings")
+        val dense = Similarity.topKSq8(
+            emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") < 300),
+            k = 10, shortlistFactor = 4)
+          .select("query_id", "neighbor_id", "rank")
+        val pairs = graft.ext.TextOps.sparseCosinePairs(
+          graft.ext.Dedup.withShingleHashes(
+            TableIO.read(s, dir, "documents").filter(col("doc_id") < 300), "text"),
+          "doc_id", graft.ext.Dedup.ShinglesCol, minDot = 1L, maxTermDf = 20L)
+        val directed = pairs.filter(col("id_a") < 5)
+            .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cos6"))
+          .unionByName(pairs.filter(col("id_b") < 5)
+            .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cos6")))
+        val sparse = directed
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(col("cos6").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 10)
+          .select("query_id", "neighbor_id", "rank")
+        graft.ext.Hybrid.rrfFuse(Seq(dense, sparse), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding,
+              |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |      list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+              |      (acc, x) -> greatest(acc, x)) AS s,
+              |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM embeddings WHERE vec_id < 300),
+              |coded AS (
+              |  SELECT vec_id, embedding, s, nrm,
+              |    list_transform(embedding, v -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+              |      ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT) END) AS q
+              |  FROM base),
+              |qs AS (SELECT vec_id AS query_id, embedding AS q_emb,
+              |              s AS q_s, nrm AS q_nrm, q AS q_q
+              |       FROM coded WHERE vec_id < 5),
+              |p AS (
+              |  SELECT qs.query_id, c.vec_id AS neighbor_id, qs.q_emb, c.embedding AS c_emb,
+              |    qs.q_nrm, c.nrm AS c_nrm,
+              |    CASE WHEN qs.q_nrm * c.nrm = 0 THEN NULL
+              |      ELSE ((qs.q_s * c.s) * CAST(list_sum(
+              |          list_transform(range(1, 65), i -> qs.q_q[i] * c.q[i])) AS DOUBLE)
+              |        / 16129.0) / (qs.q_nrm * c.nrm) END AS approx
+              |  FROM coded c, qs
+              |  WHERE c.vec_id != qs.query_id),
+              |short AS (
+              |  SELECT query_id, neighbor_id, q_emb, c_emb, q_nrm, c_nrm,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS srn
+              |  FROM p
+              |  QUALIFY srn <= 40),
+              |rr AS (
+              |  SELECT query_id, neighbor_id,
+              |    CASE WHEN q_nrm * c_nrm = 0 THEN NULL
+              |      ELSE round(${dotSql("q_emb", "c_emb")} / (q_nrm * c_nrm), 6) END AS cos6
+              |  FROM short),
+              |dense AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+              |  FROM rr QUALIFY rank <= 10),
+              |tk AS (
+              |  SELECT doc_id, unnest(${OracleSql.shingles}) AS tok
+              |  FROM documents WHERE doc_id < 300),
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+              |f AS (
+              |  SELECT doc_id, tok, tf FROM (
+              |    SELECT doc_id, tok, tf, count(*) OVER (PARTITION BY tok) AS df FROM tf)
+              |  WHERE df <= 20),
+              |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM f GROUP BY 1),
+              |sd AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+              |  FROM f a JOIN f b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |  HAVING sum(a.tf * b.tf) >= 1),
+              |sp AS (
+              |  SELECT id_a, id_b,
+              |    round(CAST(dot AS DOUBLE) /
+              |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos6
+              |  FROM sd
+              |  JOIN norms na ON na.doc_id = id_a
+              |  JOIN norms nb ON nb.doc_id = id_b),
+              |directed AS (
+              |  SELECT id_a AS query_id, id_b AS neighbor_id, cos6 FROM sp WHERE id_a < 5
+              |  UNION ALL
+              |  SELECT id_b AS query_id, id_a AS neighbor_id, cos6 FROM sp WHERE id_b < 5),
+              |sparse AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+              |  FROM directed QUALIFY rank <= 10),
+              |u AS (
+              |  SELECT query_id, neighbor_id, CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM dense
+              |  UNION ALL
+              |  SELECT query_id, neighbor_id, CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM sparse),
+              |fused AS (
+              |  SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_us, count(*) AS n_systems
+              |  FROM u GROUP BY 1, 2)
+              |SELECT query_id,
+              |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_us DESC, neighbor_id) AS INTEGER) AS rank,
+              |       neighbor_id, rrf_us, n_systems
+              |FROM fused
+              |QUALIFY rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // X3sq8+ — END-TO-END ANN SERVING over the SQ8 tier (ann_serve_sq8):
     // the small-cell production alternative to PQ-ADC — coarse ROUTE to
     // the query's IVF cell (the cell equality lives IN the shortlist

@@ -28,6 +28,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * recovery finishes the rename and the replay is skipped by its own
  * watermark; crash after the swap (mid- or pre-delete of `__old`) →
  * replay skipped by the watermark, recovery sweeps the leftover.
+ *
+ * RETENTION CONTRACT: a ledger needs no compaction or vacuum job. Each
+ * [[commit]] REPLACES the whole directory — the only on-disk artifacts
+ * are the live frames plus the `_batch`/`_complete` markers, and the
+ * transient `__staging`/`__old` siblings exist only inside one commit
+ * (or until the next `recover()` after a crash). A maintainer folding
+ * forever therefore holds exactly one ledger's worth of files: entry
+ * count is O(frames) and bytes are O(current state) regardless of how
+ * many batches have been applied — there are no generations, no
+ * tombstones, no append logs to trim. (Pinned by LedgerSwapSpec's
+ * 50-commit retention test.) The trade is that each commit rewrites the
+ * full ledger — corpus-linear, as documented at the maintainers; a
+ * deployment that moves the big frames to append+merge tables
+ * (Iceberg/Delta) takes on that format's own compaction story in
+ * exchange.
  */
 private[run] object LedgerSwap {
 
