@@ -1244,13 +1244,30 @@ object Similarity {
         explode(col("__pb")).as("bucket"))
       .join(touched, Seq("band", "bucket"))
       .select("vec_id").distinct()
-    val affIds = affectedFwd.union(md.select("vec_id").distinct()).distinct()
+    val affIdsRaw = affectedFwd.union(md.select("vec_id").distinct()).distinct()
       .localCheckpoint(eager = false)
+    // gate the id set's join role by its REAL size (the HotKeys
+    // discipline): small → broadcast build (the localized win regime);
+    // corpus-sized (the uniform regime) → SHUFFLE_HASH build, never a
+    // driver-side broadcast of every id. The count materializes the
+    // checkpoint once — every consumer below reuses it.
+    val affIds =
+      if (affIdsRaw.count() <= 4000000L) broadcast(affIdsRaw)
+      else affIdsRaw.hint("SHUFFLE_HASH")
     // union index under UNION-level caps — rebuild-identical semantics
     // (production: stored index + stored counts; here one linear pass)
     val capped = HotKeys.dropOverCap(mb.union(md), Seq("band", "bucket"), bucketCap,
       stage = false)
-    val qry = capped.join(affIds, Seq("vec_id"))
+    // LEFT SEMI, not inner (r17): affIds is a filter, and the join's
+    // build side must be the id set — an inner join let the planner
+    // build-left the (small-stats) embedding melt and STREAM the
+    // affIds checkpoint, so the whole pair scoring below ran at the
+    // slim checkpoint's parallelism (the widen disease through a second
+    // door). Semi + the gated broadcast above pins the hash build to
+    // the id set and streams the widened melt: same-JVM min-of-3 at
+    // sf0.1 measured inner 5.0 / ungated semi 3.9 / gated-broadcast
+    // semi 2.0 s.
+    val qry = capped.join(affIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("band"), explode(col("__pb")).as("bucket"))
     val idx = capped.select(col("vec_id"), col("embedding"), col("nrm").as("c_norm"),

@@ -57,6 +57,27 @@ class PlanSpec extends SparkSpec {
       s"signature re-inlined into a Filter:\n${p.take(2000)}")
   }
 
+  test("narrow scan widens before the banded pair join: the kernel stage never runs single-core") {
+    // r17: a broadcast pair join executes in its STREAM side's stage (no
+    // exchange for AQE to split), so a 1-partition scan single-threads
+    // the whole pair scoring + partial heaps (measured 3.4 s vs 0.9 s at
+    // sf0.1). Similarity.widen must repartition a too-narrow source; the
+    // pair stream's RDD must carry at least the session parallelism.
+    val emb = TableIO.read(spark, Sf, "embeddings").coalesce(1)
+    val pairs = graft.ext.Similarity.bandPairs(emb, bands = 2, bandPlanes = 3,
+      bucketCap = 10000L, probes = 1)
+    val want = spark.sparkContext.defaultParallelism
+    assert(pairs.rdd.getNumPartitions >= want,
+      s"pair stream runs at ${pairs.rdd.getNumPartitions} < $want partitions " +
+        "— the kernel stage would single-thread on a narrow scan")
+    // and a source already at-or-above parallelism is NOT re-exchanged
+    val wide = TableIO.read(spark, Sf, "embeddings").repartition(want)
+    val p = graft.ext.Similarity.bandPairs(wide, bands = 2, bandPlanes = 3,
+      bucketCap = 10000L, probes = 1)
+    assert(!p.queryExecution.analyzed.toString.contains("RepartitionByExpression") ||
+      p.rdd.getNumPartitions >= want, "widen gate sanity")
+  }
+
   test("banded LSH pair stage computes each kernel once and shuffles once on (band,bkey)") {
     val banded = Dedup.withBandKeys(TableIO.read(spark, Sf, "documents"), "text")
     val p = plan(Dedup.minhashPairsBanded(banded, "doc_id"))
