@@ -469,6 +469,17 @@ object BenchAB {
       val b2 = restricted.collect()(0)
       println(s"[ab] recall rows equal: ${a == b2}  reg=$a restricted=$b2")
     }
+    if (which("probe_pwide")) {
+      // r17: does the curation pipeline family ride the narrow-scan
+      // kernel stage too? (documents.parquet is one row group — the
+      // gopher/chunk/band/shingle kernels run in the scan's stage.)
+      val docs = TableIO.read(s, sfDir, "documents")
+      val b = graft.ext.TextOps.GopherBounds(minWords = 20, maxWords = 80)
+      time("pipeline_e2e REG", 5)(graft.ext.Pipeline.curationPipeline(
+        docs, "doc_id", "text", "lang", "source", bounds = b))
+      time("pipeline_e2e WIDENED", 5)(graft.ext.Pipeline.curationPipeline(
+        graft.ext.Similarity.widen(docs), "doc_id", "text", "lang", "source", bounds = b))
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>
