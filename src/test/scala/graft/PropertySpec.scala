@@ -172,4 +172,22 @@ class PropertySpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
       "salted join must equal the plain join as a multiset")
   }
+
+  test("property: OracleSql.mat never throws and is insert-only on arbitrary SQL-ish text (r17)") {
+    // the structural CTE rewriter walks raw text (paren matching, string
+    // literals, keyword scanning) — fuzz it with adversarial token soup
+    // heavy in WITH/AS/parens/quotes/commas, including unbalanced
+    // fragments a future oracle-edit typo could produce. Invariant: the
+    // output minus every inserted " MATERIALIZED" equals the input
+    // (pure performance hint, never a content rewrite), and no crash.
+    val token = Gen.oneOf("WITH", "RECURSIVE", "AS", "(", ")", ",", "'",
+      "SELECT", "FROM", "a", "b1", "reach", "MATERIALIZED", "WINDOW",
+      "w", "''", "'x(y'", " ", "\n")
+    val inputs = sample(Gen.listOfN(400, Gen.listOf(token).map(_.mkString(" "))))
+    inputs.foreach { in =>
+      val out = graft.queries.OracleSql.mat(in)
+      assert(out.replace(" MATERIALIZED", "") == in.replace(" MATERIALIZED", ""),
+        s"mat() rewrote content on: $in")
+    }
+  }
 }
