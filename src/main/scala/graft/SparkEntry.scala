@@ -16,7 +16,7 @@ object SparkEntry {
       WindowQueries.all ++ TemporalQueries.all ++ TextQueries.all ++
       CurationQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ PatchQueries.all
     // a duplicated name would silently shadow its twin in the maps below
     val dups = all.groupBy(_.name).collect { case (n, qs) if qs.sizeIs > 1 => n }
     require(dups.isEmpty, s"duplicate query names registered: ${dups.mkString(", ")}")
