@@ -142,12 +142,23 @@ object OracleSql {
                 val bc = closeOf(bo)
                 val body = sql.substring(bo, bc + 1)
                 // recursive heads exist only under WITH RECURSIVE, and a
-                // recursive body reads itself FROM/JOIN — a column alias
-                // sharing the CTE's name (tf AS (… count(*) AS tf …))
-                // must NOT suppress materialization
-                val selfRef = isRecursiveClause && ("(?i)(?<![A-Za-z0-9_])(FROM|JOIN)\\s+" +
-                  java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
-                  .findFirstIn(body).isDefined
+                // recursive body reads itself as a RELATION — `FROM name`,
+                // `JOIN name`, or a comma-style join (`FROM edges, reach`),
+                // which the r17 FROM/JOIN-only form missed (DuckDB rejects
+                // AS MATERIALIZED on a recursive head, so a wrongly-typed
+                // comma-join oracle would die at bind time). A column
+                // alias sharing the CTE's name (tf AS (… count(*) AS tf …))
+                // must NOT suppress materialization, so the comma form
+                // anchors to a preceding relation token: `, name` only
+                // counts when followed by whitespace/alias/clause-end —
+                // approximated as `,\s*name\b` which a SELECT-list alias
+                // can also hit; under WITH RECURSIVE the false-positive
+                // cost is only a skipped (legal) materialization hint.
+                val q = java.util.regex.Pattern.quote(name)
+                val selfRef = isRecursiveClause &&
+                  (s"(?i)(?<![A-Za-z0-9_])(FROM|JOIN)\\s+$q(?![A-Za-z0-9_])".r
+                     .findFirstIn(body).isDefined ||
+                   s"(?i),\\s*$q(?![A-Za-z0-9_])".r.findFirstIn(body).isDefined)
                 if (!selfRef && !alreadyMat) insertAfterAs += ae
                 val after = skipWs(bc + 1)
                 if (after < n && sql(after) == ',') { p = skipWs(after + 1); more = true }

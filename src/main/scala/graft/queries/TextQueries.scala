@@ -588,15 +588,55 @@ object TextQueries {
     // [32, 128] around the 64-char target: the production posture that
     // bounds adversarial periodic text (divisor-aligned patterns blow the
     // unclamped chunk table up ~16×) and divisor-avoiding text (one
-    // doc-sized chunk). The boundary rule now depends on the previous cut
-    // — sequential, not ANSI-SQL-expressible — so rows-only here and
-    // pinned in CdcClampSpec against an independent sequential reference,
-    // the same verification pattern as the BPE trainer.
+    // doc-sized chunk). The boundary rule depends on the previous cut —
+    // a sequential recurrence — but the CANDIDATE boundary set stays
+    // position-independent (the rolling window polynomial), so the
+    // oracle expresses the recurrence as a DuckDB recursive CTE over the
+    // per-doc candidate list: from cut p the next cut is the first
+    // candidate ≥ p+minLen, forced at p+maxLen if none arrives sooner
+    // (r17 verdict #4 — graduated from rows-only; CdcClampSpec keeps the
+    // independent sequential reference pin).
     Q("chunk_cdc_clamped",
       (s, dir) => TextOps.cdcChunksClamped(
           TableIO.read(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "chunk_idx"),
-      None),
+      Some(s"""WITH RECURSIVE b AS (SELECT doc_id, text, length(text) AS len FROM documents),
+              |bnd AS (SELECT doc_id, len,
+              |  CASE WHEN len >= 4 THEN list_filter(range(4, len + 1),
+              |    i -> i < len AND
+              |      (ascii(substr(text, CAST(i - 3 AS INTEGER), 1)) * 2248091
+              |       + ascii(substr(text, CAST(i - 2 AS INTEGER), 1)) * 17161
+              |       + ascii(substr(text, CAST(i - 1 AS INTEGER), 1)) * 131
+              |       + ascii(substr(text, CAST(i AS INTEGER), 1))) % 64 = 0)
+              |  ELSE [] END AS bounds
+              |  FROM b),
+              |cuts AS (
+              |  SELECT doc_id, CAST(0 AS BIGINT) AS cut FROM b
+              |  UNION ALL
+              |  SELECT doc_id, nxt FROM (
+              |    SELECT c.doc_id,
+              |      least(coalesce(list_min(list_filter(n.bounds, x -> x >= c.cut + ${TextOps.CdcMinLen})),
+              |                     c.cut + ${TextOps.CdcMaxLen}),
+              |            c.cut + ${TextOps.CdcMaxLen}) AS nxt,
+              |      n.len AS len
+              |    FROM cuts c JOIN bnd n USING (doc_id)) q
+              |  WHERE nxt < len),
+              |sp AS (
+              |  SELECT c.doc_id, c.cut AS c_start,
+              |    coalesce(lead(c.cut) OVER (PARTITION BY c.doc_id ORDER BY c.cut), n.len) - c.cut AS c_len,
+              |    row_number() OVER (PARTITION BY c.doc_id ORDER BY c.cut) - 1 AS chunk_idx
+              |  FROM cuts c JOIN bnd n USING (doc_id)),
+              |h AS (
+              |  SELECT sp.doc_id, sp.chunk_idx, sp.c_start, sp.c_len,
+              |    CASE WHEN sp.c_len > 0 THEN
+              |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |        list_transform(range(1, sp.c_len + 1),
+              |          k -> CAST(ascii(substr(b.text, CAST(sp.c_start + k AS INTEGER), 1)) AS BIGINT))),
+              |        (acc, x) -> (acc * 131 + x) % ${graft.ext.Dedup.P})
+              |    ELSE CAST(0 AS BIGINT) END AS c_hash
+              |  FROM sp JOIN b USING (doc_id))
+              |SELECT doc_id, chunk_idx, c_start, c_len, c_hash FROM h
+              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // X21b — REAL BPE merge training (Sennrich 2016): distributed
     // word-type count (capped, deterministic), driver merge loop over

@@ -22,6 +22,18 @@ class OracleMatSpec extends AnyFunSuite {
     assert(out.contains("base AS MATERIALIZED (SELECT * FROM walk)"), out)
   }
 
+  test("comma-style self-join marks the head recursive (r17 ADVICE)") {
+    // a recursive body can read itself through a comma join (`FROM e, r`)
+    // — the FROM/JOIN-only form missed it and DuckDB rejects
+    // AS MATERIALIZED on a recursive head
+    val in = "WITH RECURSIVE r AS (SELECT 1 AS x UNION ALL " +
+      "SELECT e.x+1 FROM e, r WHERE r.x < 5), " +
+      "base AS (SELECT * FROM r) SELECT * FROM base"
+    val out = OracleSql.mat(in)
+    assert(out.contains("WITH RECURSIVE r AS (SELECT"), out)
+    assert(out.contains("base AS MATERIALIZED (SELECT * FROM r)"), out)
+  }
+
   test("a column alias sharing the CTE's name does not suppress materialization") {
     // the sparse_cosine_pairs shape: tf AS (SELECT ..., count(*) AS tf ...)
     val in = "WITH tf AS (SELECT k, count(*) AS tf FROM t GROUP BY 1) SELECT * FROM tf"
@@ -60,9 +72,13 @@ class OracleMatSpec extends AnyFunSuite {
     // the legacy textual rewrite all 183 driver-green oracles ran under —
     // equality on the CURRENT registry pins zero drift from the
     // structural rewrite (new oracles get the structural guarantees)
+    // recursive heads by name: `reach` (the r16-era X22 oracle) and
+    // `cuts` (the r18 chunk_cdc_clamped recurrence) — the legacy mirror
+    // needs the explicit list precisely because it is textual; mat()
+    // detects them structurally
     def legacy(sql: String): String =
       """(?<!WINDOW )\b(\w+) AS \(""".r.replaceAllIn(sql, m =>
-        if (m.group(1) == "reach") m.matched
+        if (m.group(1) == "reach" || m.group(1) == "cuts") m.matched
         else java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} AS MATERIALIZED ("))
     val oracles = SparkEntry.registry.flatMap(q => q.oracle.map(q.name -> _))
     assert(oracles.nonEmpty)
