@@ -6,6 +6,7 @@ import graft.io.TableIO
 import graft.jobs.{DiffData, Guardrail, Profile}
 import graft.ops.{Counters, Transforms}
 import graft.run.{Quarantine, RunLedger}
+import scala.jdk.CollectionConverters._
 
 /**
  * Harness queries for DiffData (J2: JN1–JN3, A1), GuardrailCheck (J3/A4),
@@ -341,6 +342,86 @@ object DiffQueries {
       Some("""SELECT r.range AS part_id
              |FROM range(0,100) r
              |WHERE (r.range * 7919) % 10 >= 8
-             |ORDER BY part_id""".stripMargin))
+             |ORDER BY part_id""".stripMargin)),
+
+    // T11 — nested struct/tuple/collection passthrough under the real
+    // write→read seam (the frozen-UDT migration face; upstream's SIT
+    // corpus exercises UDT columns the same way). The fixture has no
+    // struct column (FIXTURES.md), so one is SYNTHESIZED deterministically
+    // from orders — struct<ck:bigint, status:string(nullable),
+    // tags:array<bigint>, geo:struct<lat:bigint,lon:bigint>> with tp=6
+    // rows carrying a NULL inner field — written to parquet via the
+    // engine's own sink, read back, and rendered to_json for the
+    // cross-engine hash (null fields kept: ignoreNullFields=false mirrors
+    // DuckDB's to_json, and the driver's comparator cannot hash raw
+    // structs faithfully).
+    Q("struct_roundtrip",
+      (s, dir) => {
+        val o = TableIO.read(s, dir, "orders")
+          .select(col("o_orderkey"), structCol.as("s"))
+        val path = TableIO.scratchDir("structrt")
+        TableIO.write(o, path, "orders_struct")
+        TableIO.read(s, path, "orders_struct")
+          .select(col("o_orderkey"),
+            to_json(col("s"), Map("ignoreNullFields" -> "false").asJava).as("s_json"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey,
+              |  CAST(to_json(struct_pack(
+              |    ck := o_custkey,
+              |    status := CASE WHEN $tpSql = 6 THEN NULL ELSE o_orderstatus END,
+              |    tags := [o_orderkey % 7, o_custkey % 5],
+              |    geo := struct_pack(lat := o_orderkey % 90, lon := o_custkey % 180)
+              |  )) AS VARCHAR) AS s_json
+              |FROM orders
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // JN3 over a STRUCT column — the null-safe `<=>` compare path on
+    // nested data: target perturbs a field INSIDE the nested geo struct
+    // (tp=5: lat+1), nulls an inner field only on the target side (tp=8:
+    // status), and drops tp∈{3,4} rows (MISSING). tp=6 rows are null in
+    // BOTH structs' status — null<=>null inside a struct must classify
+    // VALID, which is exactly the inner-null compare semantics T11's
+    // spec-only grading could not prove.
+    Q("diff_struct",
+      (s, dir) => {
+        val base = TableIO.read(s, dir, "orders")
+        val origin = base.select(col("o_orderkey"), structCol.as("s"))
+        val target = base
+          .withColumn("__tp", tpCol)
+          .filter(!col("__tp").isin(3, 4))
+          .select(col("o_orderkey"),
+            structColOf(
+              status = when(tpCol.isin(6, 8), lit(null).cast("string"))
+                .otherwise(col("o_orderstatus")),
+              latShift = when(tpCol === 5, lit(1L)).otherwise(lit(0L))).as("s"))
+        DiffData.classify(origin, target, Pk)
+          .select("o_orderkey", "diff_class", "diff_cols")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey,
+              |  CASE WHEN $tpSql IN (3,4) THEN 'MISSING'
+              |       WHEN $tpSql IN (5,8) THEN 'MISMATCH'
+              |       ELSE 'VALID' END AS diff_class,
+              |  CASE WHEN $tpSql IN (5,8) THEN 's' ELSE '' END AS diff_cols
+              |FROM orders
+              |ORDER BY o_orderkey""".stripMargin))
   )
+
+  /** The synthesized T11 struct with parameterizable perturbation points
+   * (identity parameters = the origin struct). */
+  private def structColOf(status: org.apache.spark.sql.Column,
+      latShift: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      col("o_custkey").as("ck"),
+      status.as("status"),
+      array(pmod(col("o_orderkey"), lit(7L)), pmod(col("o_custkey"), lit(5L))).as("tags"),
+      struct(
+        (pmod(col("o_orderkey"), lit(90L)) + latShift).as("lat"),
+        pmod(col("o_custkey"), lit(180L)).as("lon")).as("geo"))
+
+  private def structCol: org.apache.spark.sql.Column =
+    structColOf(
+      status = when(tpCol === 6, lit(null).cast("string")).otherwise(col("o_orderstatus")),
+      latShift = lit(0L))
 }
