@@ -33,11 +33,80 @@ object Similarity {
    * measured: 3.4 s single-core vs ~1 s after widening at sf0.1). At
    * production scale a 100 TB scan carries thousands of partitions and
    * the gate never fires; when it does fire the cost is one linear
-   * round-robin shuffle of the frame. Values are partition-independent
-   * (exact cosines, deterministic tie-breaks), so results are unchanged. */
+   * round-robin shuffle of the frame.
+   *
+   * EMBEDDING frames only, deliberately: text-side pipelines measured
+   * FASTER unwidened (BenchAB probe_pwide — the repartition would
+   * shuffle the text bytes themselves, which outweighs the kernel
+   * parallelism it buys), so no text frame is ever routed through here.
+   *
+   * Exact cosines and deterministic tie-breaks make the RANKED outputs
+   * partition-independent; a downstream float-AVERAGING consumer
+   * (k-means centroid updates) does see a different summation order, and
+   * relies on the round-6 integer-exact absorption to stay oracle-equal.
+   *
+   * The gate reads [[probePartitions]] — a logical-plan walk, NOT
+   * `df.rdd` (r17: building the RDD forced a full extra physical
+   * planning of the child per call, once per k-means iteration). An
+   * un-probeable plan (any shuffle boundary) already runs at
+   * `spark.sql.shuffle.partitions`, which every supported conf sets at
+   * or above the session parallelism — never widened. */
   private[graft] def widen(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    if (probePartitions(df).exists(_ < want)) df.repartition(want) else df
+  }
+
+  /** Estimated physical partition count of a NARROW plan (scans,
+   * projections, filters, generators, unions), without triggering
+   * physical planning: file-relation leaves replicate Spark's own
+   * file-split arithmetic (`maxSplitBytes` = min(maxPartitionBytes,
+   * max(openCost, totalBytes/minPartitionNum)), partitions ≈
+   * ⌈totalBytes/maxSplitBytes⌉ with per-file open costs), RDD-backed
+   * leaves (localCheckpoint) report their real count, and any
+   * shuffle-inducing node returns None — the frame's parallelism is
+   * then the session's shuffle partitioning, not a scan artifact, so
+   * the widen gate must not fire. The ±1-partition slack vs Spark's
+   * bin-packing only matters near the parallelism boundary, where a
+   * spurious round-robin of an already-parallel frame is harmless
+   * (NarrowStageSpec pins fired/not-fired on the real shapes). */
+  private[graft] def probePartitions(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    def walk(p: LogicalPlan): Option[Long] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val conf = spark.sessionState.conf
+          val open = conf.filesOpenCostInBytes
+          val nFiles = fs.location.inputFiles.length.toLong
+          val total = fs.location.sizeInBytes + nFiles * open
+          val minParts = conf.filesMinPartitionNum
+            .getOrElse(spark.sparkContext.defaultParallelism).toLong.max(1L)
+          val maxSplit = math.min(conf.filesMaxPartitionBytes,
+            math.max(open, total / minParts)).max(1L)
+          Some(math.max(1L, (total + maxSplit - 1) / maxSplit))
+        case _ => None
+      }
+      case r: LogicalRDD => Some(r.rdd.getNumPartitions.toLong)
+      case r: Range =>
+        Some(r.numSlices.getOrElse(spark.sparkContext.defaultParallelism).toLong)
+      case _: LocalRelation | _: OneRowRelation => Some(1L)
+      case u: Union =>
+        val counts = u.children.map(walk)
+        if (counts.forall(_.isDefined)) Some(counts.flatMap(identity).sum) else None
+      case r: Repartition =>
+        if (r.shuffle) Some(r.numPartitions.toLong) // repartition(n): exact
+        else walk(r.child).map(math.min(_, r.numPartitions.toLong)) // coalesce
+      case r: RepartitionByExpression =>
+        Some(r.optNumPartitions.getOrElse(
+          spark.sessionState.conf.numShufflePartitions).toLong)
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+           _: LocalLimit | _: Expand =>
+        walk(p.children.head)
+      case _ => None // shuffle boundary or unknown: runs at shuffle.partitions
+    }
+    walk(df.queryExecution.analyzed)
   }
 
   /** Left-fold dot product with per-element double cast — bit-identical
@@ -276,10 +345,14 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("approx"), 6).as("approx6"))
     // exact re-rank: floats are read only for shortlist members (and the
-    // query anchors); the shortlist is ≤ m rows per query — broadcast it
+    // query anchors); the shortlist is ≤ m rows per query — broadcast it.
+    // The float store STREAMS (norm kernel per row + probe) — widened,
+    // or a narrow fixture scan single-threads the whole re-rank stage
+    // (the r18 NarrowStageSpec door).
     val qf = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
-    val reranked = floats.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_norm"))
+    val reranked = widen(floats)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_norm"))
       .join(broadcast(short), col("vec_id") === col("neighbor_id"))
       .join(broadcast(qf), "query_id")
       .withColumn("cos6", round(
@@ -405,11 +478,13 @@ object Similarity {
       numSub: Int = PqSubspaces, subDim: Int = PqSubDim): DataFrame = {
     val short = pqAdcTopK(queries, candidates, centroids, shortlist, numSub, subDim)
       .select(col("query_id"), col("neighbor_id"))
-    val nv = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("__n_emb"))
-    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("__q_emb"))
     // the shortlist (≤ queries × shortlist rows) broadcasts; the vector
-    // store streams — without the hint this would shuffle every candidate
-    // embedding for a thousand-row id lookup
+    // store streams (widened — a narrow fixture scan would single-thread
+    // the re-rank stage) — without the hint this would shuffle every
+    // candidate embedding for a thousand-row id lookup
+    val nv = widen(candidates)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__n_emb"))
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("__q_emb"))
     nv.join(broadcast(short), "neighbor_id")
       .join(broadcast(qv), "query_id")
       .withColumn("cos6", round(cosine(col("__q_emb"), col("__n_emb")), 6))
@@ -466,7 +541,9 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("adc_us").asc, col("vec_id"))))
       .filter(col("__sr") <= shortlist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val nv = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("__n_emb"))
+    // widened float-store stream, same as pqRerankTopK's re-rank
+    val nv = widen(candidates)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__n_emb"))
     val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("__q_emb"))
     nv.join(broadcast(short), "neighbor_id")
       .join(broadcast(qv), "query_id")
@@ -522,8 +599,9 @@ object Similarity {
         round(col("approx"), 6).as("approx6"))
     val qf = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
-    val reranked = candidates.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("c_norm"))
+    // widened float-store stream, same as topKSq8Coded's re-rank
+    val reranked = widen(candidates)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_norm"))
       .join(broadcast(short), col("vec_id") === col("neighbor_id"))
       .join(broadcast(qf), "query_id")
       .withColumn("cos6", round(
@@ -1219,7 +1297,23 @@ object Similarity {
 
   /** Shared incremental prefix: the affected-query id set (base queries
    * probing a delta-touched bucket, plus every delta id) and their
-   * scored FORWARD pair stream against the union's capped index. */
+   * scored FORWARD pair stream against the union's capped index.
+   *
+   * SIDE EFFECT (r17 ADVICE): this runs a Spark job DURING plan
+   * construction — the affected-id set's `count()` materializes the id
+   * checkpoint so its REAL size can gate the join role before the
+   * caller ever executes the returned frame (the HotKeys discipline:
+   * size gates need sizes). Callers pay it once per invocation; bench
+   * prepare hooks stage state so the cost is the operator's own, and
+   * every downstream consumer reuses the materialized checkpoint.
+   *
+   * The broadcast cap reads `spark.graft.incremental.broadcastIdCap`
+   * (default 4,000,000 ids ≈ tens of MB of driver hash relation — the
+   * localized-regime win). It deliberately bypasses
+   * autoBroadcastJoinThreshold: the gate has the EXACT cardinality in
+   * hand, which the planner's byte estimate does not. Size it to the
+   * driver: a small-driver deployment sets the conf down and the id set
+   * falls back to a SHUFFLE_HASH build, never an OOM. */
   private def affectedForwardPairs(base: DataFrame, delta: DataFrame,
       bands: Int, bandPlanes: Int, bucketCap: Long,
       probes: Int): (DataFrame, DataFrame) = {
@@ -1250,9 +1344,13 @@ object Similarity {
     // discipline): small → broadcast build (the localized win regime);
     // corpus-sized (the uniform regime) → SHUFFLE_HASH build, never a
     // driver-side broadcast of every id. The count materializes the
-    // checkpoint once — every consumer below reuses it.
+    // checkpoint once — every consumer below reuses it. Cap is
+    // driver-sizeable via conf (see scaladoc above).
+    val idCap = base.sparkSession.conf
+      .getOption("spark.graft.incremental.broadcastIdCap")
+      .map(_.toLong).getOrElse(4000000L)
     val affIds =
-      if (affIdsRaw.count() <= 4000000L) broadcast(affIdsRaw)
+      if (affIdsRaw.count() <= idCap) broadcast(affIdsRaw)
       else affIdsRaw.hint("SHUFFLE_HASH")
     // union index under UNION-level caps — rebuild-identical semantics
     // (production: stored index + stored counts; here one linear pass)
