@@ -103,6 +103,17 @@ object Bench {
     // disagreement (runs 2..n) is reported as noise.
     case class Timing(min: Double, max: Double, n: Int)
     val results: Seq[(String, Timing)] = names.map { n =>
+      // one-time state staging OUTSIDE the timer (r17 verdict #5): the
+      // incremental/backfill queries read persisted ledgers; their build
+      // is construction cost, not operator cost, and used to show up as
+      // first-sample spread ([0.9, 16.5] on pipeline_backfill). A failed
+      // prepare is only logged — the timed run then surfaces the real
+      // error as a -1 failure row.
+      SparkEntry.prepares.get(n).foreach { p =>
+        try p(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prepare $n failed: ${e.getMessage}") }
+      }
       var ts = Vector(runOnce(n), runOnce(n))
       def steady = if (ts.size >= 3) ts.drop(1) else ts
       // Second trigger: min still > 1 s — min-of-4 is UNCONDITIONAL for
@@ -158,7 +169,16 @@ object Bench {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
           java.nio.file.Files.readAllBytes(p)).path(sfDir)
         import scala.jdk.CollectionConverters._
-        if (!root.isObject) Map.empty[String, Double]
+        if (!root.isObject) {
+          // a missing sf-dir key (renamed fixtures, partial regeneration)
+          // silently empties the watch list — make the stale denominator
+          // visible instead of indistinguishable from a healthy run
+          // (r17 ADVICE)
+          System.err.println(s"[bench] ORACLE_TIMES.json has no entry for " +
+            s"$sfDir — over_2x_over_1s watch list will be empty; regenerate " +
+            "with tools/oracle_times.py")
+          Map.empty[String, Double]
+        }
         else root.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
       } catch { case e: Exception =>
         System.err.println(s"[bench] failed to parse ORACLE_TIMES.json: ${e.getMessage}")

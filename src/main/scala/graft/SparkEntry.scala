@@ -38,6 +38,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
 
+  /** Optional per-query STAGING hooks (r17 verdict #5): build persisted
+   * state (StateStore ledgers, backfill history) outside any timed
+   * region. graft.Bench runs a query's hook once before its samples so
+   * min-of-N measures the operator, not one-time construction; Verify
+   * does not need them (first execution builds lazily and correctness is
+   * unchanged). */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    SimilarityQueries.prepares ++ PipelineQueries.prepares
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
