@@ -49,12 +49,39 @@ private[run] object LedgerSwap {
   private val Complete = "_complete"
   private val BatchFile = "_batch"
 
+  /** CONCURRENT-WRITER CONTRACT (r17 verdict #6): a ledger has exactly
+   * ONE maintainer. Two concurrent folds into the same stateDir would
+   * race the live→__old rename (each believing it owns the swap), so
+   * [[commit]] takes a create-exclusive `<dir>.__lock` for the duration
+   * of the transaction and FAILS FAST when it already exists. The lock
+   * is released even when the commit body throws; only a hard process
+   * death leaves it behind — and a filesystem cannot distinguish that
+   * corpse from a live peer mid-commit, so [[recover]] also fails fast
+   * on a surviving lock instead of silently breaking it. An operator
+   * who has verified no maintainer is alive clears it with
+   * [[breakLock]] (or deletes the file) and recovery proceeds as
+   * documented. Pinned by LedgerSwapSpec's two-writer interleave test. */
+  private def lockPath(stateDir: String) = new Path(s"$stateDir.__lock")
+
+  /** Explicit operator action after a verified maintainer death: remove
+   * a leftover commit lock so [[recover]]/[[commit]] can proceed. */
+  def breakLock(spark: SparkSession, stateDir: String): Unit = {
+    val lock = lockPath(stateDir)
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lock, false): Unit
+  }
+
   /** Repair any interrupted swap BEFORE anything reads state. */
   def recover(spark: SparkSession, stateDir: String): Unit = {
     val root = new Path(stateDir)
     val staging = new Path(s"$stateDir.__staging")
     val old = new Path(s"$stateDir.__old")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lockPath(stateDir)))
+      throw new IllegalStateException(
+        s"ledger $stateDir carries a commit lock (${lockPath(stateDir)}): either a " +
+          "second maintainer is folding into this stateDir right now (run exactly " +
+          "one maintainer per ledger), or a previous maintainer died mid-commit — " +
+          "verify no writer is alive, then LedgerSwap.breakLock() and re-run")
     if (fs.exists(staging)) {
       if (fs.exists(new Path(staging, Complete)) && !fs.exists(root))
         // crash between the two swap renames: the sealed staging IS the
@@ -103,23 +130,35 @@ private[run] object LedgerSwap {
     fs.create(new Path(staging, Complete), true).close()
   }
 
-  /** Stage every frame of state′, seal, swap. */
+  /** Stage every frame of state′, seal, swap — under the exclusive
+   * commit lock (see the concurrent-writer contract above). */
   def commit(spark: SparkSession, stateDir: String, batchId: Long,
       frames: Seq[(String, DataFrame)]): Unit = {
     val root = new Path(stateDir)
     val staging = new Path(s"$stateDir.__staging")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    commitStagingForTest(spark, stateDir, batchId, frames)
-    // Swap via rename(live -> __old) so the live ledger is never
-    // partially deleted: a recursive delete is not atomic on local
-    // filesystems or object stores, and a crash mid-delete would leave a
-    // PARTIAL live ledger that recover() would then treat as intact
-    // (discarding the sealed staging and re-folding against it).
-    val old = new Path(s"$stateDir.__old")
-    if (fs.exists(old)) fs.delete(old, true): Unit
-    if (fs.exists(root))
-      require(fs.rename(root, old), s"ledger swap (move-aside) failed for $root")
-    require(fs.rename(staging, root), s"ledger swap failed for $root")
-    fs.delete(old, true): Unit
+    // create-exclusive: overwrite=false throws when the lock exists
+    val lock = lockPath(stateDir)
+    try fs.create(lock, false).close()
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"ledger $stateDir is locked by another commit ($lock): two maintainers " +
+          "must not fold into one stateDir — the live→__old swap would race. " +
+          "Run one maintainer per ledger (or breakLock() after a verified crash).", e)
+    }
+    try {
+      commitStagingForTest(spark, stateDir, batchId, frames)
+      // Swap via rename(live -> __old) so the live ledger is never
+      // partially deleted: a recursive delete is not atomic on local
+      // filesystems or object stores, and a crash mid-delete would leave a
+      // PARTIAL live ledger that recover() would then treat as intact
+      // (discarding the sealed staging and re-folding against it).
+      val old = new Path(s"$stateDir.__old")
+      if (fs.exists(old)) fs.delete(old, true): Unit
+      if (fs.exists(root))
+        require(fs.rename(root, old), s"ledger swap (move-aside) failed for $root")
+      require(fs.rename(staging, root), s"ledger swap failed for $root")
+      fs.delete(old, true): Unit
+    } finally fs.delete(lock, false): Unit
   }
 }

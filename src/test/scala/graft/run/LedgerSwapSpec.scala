@@ -104,4 +104,45 @@ class LedgerSwapSpec extends SparkSpec {
     assert(LedgerSwap.watermark(spark, dir) == 50L)
     assert(readV(dir) == Seq(50L))
   }
+
+  test("two interleaved writers on one stateDir: second commit fails fast (r17 verdict #6)") {
+    val dir = tmpDir() + "/ledger"
+    LedgerSwap.commit(spark, dir, 0L, Seq("f" -> frame(1)))
+    // writer A is mid-commit: its create-exclusive lock is on disk
+    val lock = new java.io.File(s"$dir.__lock")
+    assert(lock.createNewFile(), "test lock setup")
+    // writer B interleaves: both its fold entry points must fail fast,
+    // leaving A's transaction (and the live ledger) untouched
+    val eCommit = intercept[IllegalStateException] {
+      LedgerSwap.commit(spark, dir, 1L, Seq("f" -> frame(2)))
+    }
+    assert(eCommit.getMessage.contains("locked by another commit"), eCommit.getMessage)
+    val eRecover = intercept[IllegalStateException] {
+      LedgerSwap.recover(spark, dir)
+    }
+    assert(eRecover.getMessage.contains("commit lock"), eRecover.getMessage)
+    assert(readV(dir) == Seq(1L), "interleaved writer must not touch the live ledger")
+    assert(LedgerSwap.watermark(spark, dir) == 0L)
+    // operator verified A is dead: breakLock, then the fold proceeds
+    LedgerSwap.breakLock(spark, dir)
+    LedgerSwap.recover(spark, dir)
+    LedgerSwap.commit(spark, dir, 1L, Seq("f" -> frame(2)))
+    assert(readV(dir) == Seq(2L))
+    assert(LedgerSwap.watermark(spark, dir) == 1L)
+    assert(!lock.exists, "commit must release its lock")
+  }
+
+  test("a failing commit body releases the lock (only process death leaves one)") {
+    val dir = tmpDir() + "/ledger"
+    // a frame whose materialization throws at write time
+    val bad = spark.range(1).selectExpr("assert_true(id > 0) AS boom", "id")
+    intercept[Throwable] {
+      LedgerSwap.commit(spark, dir, 0L, Seq("f" -> bad))
+    }
+    assert(!new java.io.File(s"$dir.__lock").exists,
+      "lock must be released when the commit body throws")
+    // the ledger is then writable again
+    LedgerSwap.commit(spark, dir, 0L, Seq("f" -> frame(1)))
+    assert(readV(dir) == Seq(1L))
+  }
 }
