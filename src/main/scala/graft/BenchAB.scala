@@ -454,8 +454,8 @@ object BenchAB {
         val truth = Similarity.rankTopK(tp, k).select(col("query_id"), col("neighbor_id"))
         val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
         truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+          .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
           .select(col("n_true"), col("n_candidates"), col("n_hits"),
             expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
             expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))

@@ -59,8 +59,10 @@ object PlanAB {
 
     /** Execute the query's own plan (toRdd materializes the final AQE
      * plan without bolting a count-agg on top) and return the histogram. */
-    def run(name: String, partitions: String): Either[String, Map[String, Int]] = {
+    def run(name: String, partitions: String,
+        broadcastThreshold: String = "10485760"): Either[String, Map[String, Int]] = {
       spark.conf.set("spark.sql.shuffle.partitions", partitions)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.queryExecution.toRdd.foreachPartition(_ => ())
@@ -69,9 +71,12 @@ object PlanAB {
     }
 
     var diffs = 0
+    var broadcastErrs = 0
+    var cartesian = 0
     val out = new StringBuilder
     names.foreach { name =>
-      (run(name, cpus), run(name, "200")) match {
+      val base = run(name, cpus)
+      (base, run(name, "200")) match {
         case (Right(a), Right(b)) if a != b =>
           diffs += 1
           val delta = (a.keySet ++ b.keySet).toSeq.sorted
@@ -89,11 +94,42 @@ object PlanAB {
         case (_, Left(e)) => println(s"""{"query":"$name","error":"aqe-default: $e"}""")
         case _ => () // identical plans — the desired outcome, not reported per-query
       }
+      // SECOND AXIS (r17 verdict stretch #9): autoBroadcastJoinThreshold=-1
+      // — the planner grants NO implicit broadcast, modeling a 100× run
+      // where a fixture-small side outgrew the threshold. Explicit
+      // broadcast()/hint sites are untouched (those are the engine's own
+      // size-gated decisions); what this smokes out is a query whose plan
+      // only WORKS when the planner happens to grant a broadcast: an
+      // execution error here, or a BroadcastNestedLoopJoin degrading to
+      // CartesianProduct, is a latent 100× correctness/scale bug. Join-
+      // strategy changes (BHJ→SMJ/ShuffledHash) are the EXPECTED outcome
+      // and are only counted, not flagged.
+      (base, run(name, cpus, broadcastThreshold = "-1")) match {
+        case (Right(a), Right(c)) =>
+          val aCart = a.filter(_._1.contains("CartesianProduct")).values.sum
+          val cCart = c.filter(_._1.contains("CartesianProduct")).values.sum
+          if (cCart > aCart) {
+            cartesian += 1
+            val line = s"""{"query":"$name","axis":"no_broadcast",""" +
+              s""""cartesian_products":[$aCart,$cCart]}"""
+            println(line); out.append(line).append('\n')
+          }
+        case (Right(_), Left(e)) =>
+          broadcastErrs += 1
+          val line = s"""{"query":"$name","axis":"no_broadcast","error":"$e"}"""
+          println(line); out.append(line).append('\n')
+        case _ => () // base already errored and was reported above
+      }
     }
-    val summary = s"""{"metric":"plan_ab","queries":${names.size},"diffs":$diffs,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"plan_ab","queries":${names.size},"diffs":$diffs,""" +
+      s""""no_broadcast_errors":$broadcastErrs,"no_broadcast_cartesian":$cartesian,"sf":"$sfDir"}"""
     println(summary)
-    java.nio.file.Files.write(java.nio.file.Paths.get("PLAN_AB.json"),
-      (out.toString + summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a name-filtered dev run must not overwrite the committed full record
+    // (the Bench.scala guard, r18)
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("PLAN_AB.json"),
+        (out.toString + summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else System.err.println("[plan_ab] name-filtered run: PLAN_AB.json NOT overwritten")
     spark.stop()
   }
 }

@@ -137,7 +137,7 @@ object Pipeline {
     kept5
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("n_kept_tokens")), lit(0L)).as("n_tokens"))
-      .crossJoin(nSeqs)
+      .crossJoin(broadcast(nSeqs))
       .select(lit(6).as("stage_idx"), lit("pack").as("stage"),
         col("n_docs"), col("n_tokens"), col("n_seqs"))
   }

@@ -498,9 +498,9 @@ object PipelineIncremental {
       .union(fp.bandsChanged.select("band", "bkey"))
       .distinct()
     fp.deltaTrain.agg(count(lit(1)).as("n_delta_docs"))
-      .crossJoin(fp.t2.agg(count(lit(1)).as("n_t2_docs")))
-      .crossJoin(fp.touchedKeys.agg(count(lit(1)).as("n_touched_buckets")))
-      .crossJoin(unionKeys.agg(count(lit(1)).as("n_total_buckets")))
+      .crossJoin(broadcast(fp.t2.agg(count(lit(1)).as("n_t2_docs"))))
+      .crossJoin(broadcast(fp.touchedKeys.agg(count(lit(1)).as("n_touched_buckets"))))
+      .crossJoin(broadcast(unionKeys.agg(count(lit(1)).as("n_total_buckets"))))
       .select(col("n_delta_docs"), col("n_t2_docs"),
         col("n_touched_buckets"), col("n_total_buckets"),
         expr("(n_touched_buckets * 1000000) div greatest(n_total_buckets, 1)")
@@ -543,7 +543,7 @@ object PipelineIncremental {
     val packRow = kept5
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("n_kept_tokens")), lit(0L)).as("n_tokens"))
-      .crossJoin(nSeqs)
+      .crossJoin(broadcast(nSeqs))
       .select(lit(6).as("stage_idx"), lit("pack").as("stage"),
         col("n_docs"), col("n_tokens"), col("n_seqs"))
     Seq(

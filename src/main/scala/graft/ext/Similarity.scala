@@ -1030,8 +1030,8 @@ object Similarity {
       .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
     val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
     truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .select(col("n_true"), col("n_candidates"), col("n_hits"),
         expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
         expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))
@@ -1091,8 +1091,8 @@ object Similarity {
         .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
     val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
     truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .select(col("n_true"), col("n_candidates"), col("n_hits"),
         expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
         expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))
@@ -1420,7 +1420,8 @@ object Similarity {
       .join(broadcast(touched), Seq("band", "bucket"))
       .agg(countDistinct(col("vec_id")).as("n_aff"))
     val nBase = base.agg(count(lit(1)).as("n_base"))
-    nDelta.crossJoin(nTouched).crossJoin(nTotal).crossJoin(nAff).crossJoin(nBase)
+    nDelta.crossJoin(broadcast(nTouched)).crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(nAff)).crossJoin(broadcast(nBase))
       .select(col("n_delta"), col("n_touched"), col("n_total"), col("n_aff"),
         expr("n_aff * 1000000 div n_base").as("affected_ppm"))
       .withColumn("advise_rebuild", col("affected_ppm") > adviseAbovePpm)
@@ -1458,8 +1459,8 @@ object Similarity {
       .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
     val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
     truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .select(col("n_true"), col("n_candidates"), col("n_hits"),
         expr("(n_hits * 1000000) div greatest(n_candidates, 1)").as("precision_ppm"),
         expr("(n_hits * 1000000) div greatest(n_true, 1)").as("recall_ppm"))

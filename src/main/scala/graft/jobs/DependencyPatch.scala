@@ -72,8 +72,13 @@ object DependencyPatch {
     // boundaries, so no per-row regex compile is needed; equivalence to
     // the reference regex is pinned exhaustively in DependencyPatchSpec.
     val body = expr("substring(filename, length(name) + 1, length(filename) - length(name) - 4)")
+    // patches are a config artifact (tens of rows) — broadcast EXPLICITLY
+    // so the non-equi match keeps its BroadcastNestedLoopJoin shape even
+    // when the planner grants no implicit broadcast (the PLAN_AB
+    // no-broadcast axis: threshold=-1 degraded this to a CartesianProduct,
+    // which at a 10⁶-row fleet manifest would shuffle the manifest)
     val matched = installed
-      .join(indexed,
+      .join(broadcast(indexed),
         col("filename").endsWith(".jar") &&
           col("filename").startsWith(concat(col("name"), lit("-"))) &&
           !body.contains("--") && !body.endsWith("-") &&
