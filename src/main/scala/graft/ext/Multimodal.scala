@@ -97,6 +97,54 @@ object Multimodal {
     }
   }
 
+  /**
+   * X5b — media SHARD LAYOUT: the WebDataset/tar-shard step of a
+   * multimodal training pipeline — payloads packed in deterministic
+   * (stream, id) order into numbered ~`shardBytes` shards, so a reader
+   * streams one shard sequentially instead of seeking 10⁹ tiny objects.
+   *
+   * Assignment is START-ASSIGNED: an item belongs to the shard its
+   * cumulative start byte falls in, which makes the whole layout ONE
+   * two-level cumsum (delegates to [[Curation.packSequences]], the X30
+   * device — exact at any scale and skew, payload bytes never shuffle,
+   * only (stream, id, size) triples). A shard can therefore overflow by
+   * at most one item (bytes ≤ shardBytes + maxItem − 1, pinned in
+   * MultimodalSpec); greedy no-split packing would bound shards at
+   * `shardBytes` exactly but its boundary is a sequential recurrence
+   * (the CDC-clamp class) — the overflow bound is the trade every
+   * block-start layout makes for a distributable plan.
+   *
+   * Output: stream, id, size_bytes, start_byte (within the stream's
+   * address space), shard_idx (the start-assigned shard), shard_offset,
+   * spans (shards the payload's bytes touch — a reader's continuation
+   * count).
+   */
+  def shardLayout(media: DataFrame, idCol: String, streamCol: String,
+      sizeCol: String, shardBytes: Long): DataFrame = {
+    require(shardBytes > 0, s"shardBytes must be positive, got $shardBytes")
+    Curation.packSequences(
+        media.select(col(streamCol), col(idCol), col(sizeCol)),
+        idCol, streamCol, col(sizeCol), shardBytes)
+      .select(col(streamCol), col(idCol), col("n_tokens").as("size_bytes"),
+        col("start_tok").as("start_byte"), col("first_seq").as("shard_idx"),
+        col("offset_in_seq").as("shard_offset"), col("n_seqs").as("spans"))
+  }
+
+  /** The shard MANIFEST over [[shardLayout]]: one row per (stream, shard)
+   * with item count, total bytes of the items it OWNS (start-assigned),
+   * and the overflow flag a reader provisioning fixed buffers checks.
+   * The id range makes each shard independently addressable — the
+   * manifest is what a 100 TB layout job actually publishes. */
+  def shardManifest(layout: DataFrame, idCol: String, streamCol: String,
+      shardBytes: Long): DataFrame =
+    layout.groupBy(col(streamCol), col("shard_idx"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("size_bytes")).as("bytes"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"))
+      .withColumn("overflow", col("bytes") > shardBytes)
+
   /** X5 — multimodal join: text rows with their (nullable) embedding
    * modality. Ids and small columns shuffle; at production scale the
    * embeddings side would be bucketed on vec_id to kill even that. */

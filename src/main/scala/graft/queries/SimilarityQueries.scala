@@ -921,6 +921,67 @@ object SimilarityQueries {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // X5b — media shard layout (the WebDataset/tar-shard step): payloads
+    // packed in (source, doc_id) order into ~4 KiB shards via the X30
+    // two-level cumsum — START-ASSIGNED (an item joins the shard its
+    // start byte falls in), so the layout is one distributable cumsum
+    // and a shard overflows by at most one item. The oracle is the plain
+    // window-cumsum mirror: identical arithmetic, per-stream ordering.
+    Q("multimodal_shard_layout",
+      (s, dir) => Multimodal.shardLayout(
+          // the layout job reads only (id, stream, size) METADATA — the
+          // payload bytes never enter the plan at all
+          TableIO.read(s, dir, "documents").select(col("doc_id"), col("source"),
+            octet_length(col("text")).cast("long").as("size_bytes")),
+          "doc_id", "source", "size_bytes", shardBytes = 4096L)
+        .orderBy("source", "doc_id"),
+      Some("""WITH m AS (
+             |  SELECT source, doc_id, CAST(strlen(text) AS BIGINT) AS size_bytes FROM documents),
+             |c AS (
+             |  SELECT source, doc_id, size_bytes,
+             |    CAST(coalesce(sum(size_bytes) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_byte
+             |  FROM m)
+             |SELECT source, doc_id, size_bytes, start_byte,
+             |  start_byte // 4096 AS shard_idx,
+             |  start_byte % 4096 AS shard_offset,
+             |  CASE WHEN size_bytes > 0
+             |       THEN (start_byte + size_bytes - 1) // 4096 - start_byte // 4096 + 1
+             |       ELSE 1 END AS spans
+             |FROM c
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // X5b(b) — the shard MANIFEST a layout job publishes: per (stream,
+    // shard) item count, owned bytes, the addressable id range, and the
+    // overflow flag a fixed-buffer reader checks (start-assignment's
+    // bounded trade vs sequential greedy packing).
+    Q("multimodal_shard_manifest",
+      (s, dir) => Multimodal.shardManifest(
+          Multimodal.shardLayout(
+            TableIO.read(s, dir, "documents").select(col("doc_id"), col("source"),
+              octet_length(col("text")).cast("long").as("size_bytes")),
+            "doc_id", "source", "size_bytes", shardBytes = 4096L),
+          "doc_id", "source", shardBytes = 4096L)
+        .orderBy("source", "shard_idx"),
+      Some("""WITH m AS (
+             |  SELECT source, doc_id, CAST(strlen(text) AS BIGINT) AS size_bytes FROM documents),
+             |c AS (
+             |  SELECT source, doc_id, size_bytes,
+             |    CAST(coalesce(sum(size_bytes) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_byte
+             |  FROM m)
+             |SELECT source, start_byte // 4096 AS shard_idx,
+             |  count(*) AS n_items,
+             |  sum(size_bytes) AS bytes,
+             |  min(doc_id) AS first_id,
+             |  max(doc_id) AS last_id,
+             |  sum(size_bytes) > 4096 AS overflow
+             |FROM c
+             |GROUP BY 1, 2
+             |ORDER BY source, shard_idx""".stripMargin)),
+
     // X3+ — IVF-training E-step: nearest-centroid assignment over the
     // whole table (centroids = the first 8 vectors, broadcast). Squared
     // L2 via the three-dot identity, each dot a fixed-order fold; argmin

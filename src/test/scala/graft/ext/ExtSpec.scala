@@ -766,4 +766,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter($"has_embedding" === false).count() == 400)
     assert(out.filter($"has_embedding" && $"emb_dim" =!= 64).count() == 0)
   }
+
+  test("shardLayout: start-assigned invariants and the one-item overflow bound") {
+    val cap = 4096L
+    val media = spark.read.parquet(s"$Sf/documents.parquet")
+      .select($"doc_id", $"source", octet_length($"text").cast("long").as("size_bytes"))
+    val layout = Multimodal.shardLayout(media, "doc_id", "source", "size_bytes", cap)
+      .localCheckpoint(true)
+    // total coverage: every item laid out exactly once
+    assert(layout.count() == media.count())
+    // address arithmetic: start = shard*cap + offset, offset within [0, cap)
+    assert(layout.filter(
+      $"start_byte" =!= $"shard_idx" * cap + $"shard_offset" ||
+      $"shard_offset" < 0 || $"shard_offset" >= cap).count() == 0)
+    // per-stream addresses are a gapless 0-based byte space
+    val perStream = layout.groupBy("source")
+      .agg(min("start_byte").as("mn"), max($"start_byte" + $"size_bytes").as("end"),
+        sum("size_bytes").as("total"))
+    assert(perStream.filter($"mn" =!= 0L || $"end" =!= $"total").count() == 0,
+      "per-stream cumsum must be gapless from 0")
+    // spans = shards the byte range touches
+    assert(layout.filter($"spans" =!=
+      (($"start_byte" + $"size_bytes" - 1) / cap).cast("long") - $"shard_idx" + 1).count() == 0)
+    // the start-assigned trade, quantified: a shard owns at most
+    // cap + maxItem - 1 bytes (greedy no-split would cap at `cap` but
+    // needs a sequential recurrence)
+    val maxItem = media.agg(max("size_bytes")).head.getLong(0)
+    val manifest = Multimodal.shardManifest(layout, "doc_id", "source", cap)
+    assert(manifest.filter($"bytes" > cap + maxItem - 1).count() == 0,
+      s"shard exceeded the start-assignment bound (cap=$cap, maxItem=$maxItem)")
+    // manifests conserve items and bytes
+    assert(manifest.agg(sum("n_items")).head.getLong(0) == media.count())
+    assert(manifest.agg(sum("bytes")).head.getLong(0) ==
+      media.agg(sum("size_bytes")).head.getLong(0))
+    // partition-independence: the layout is a function of the data only
+    val again = Multimodal.shardLayout(media.repartition(7), "doc_id", "source", "size_bytes", cap)
+    assert(layout.exceptAll(again).isEmpty && again.exceptAll(layout).isEmpty,
+      "shard layout must not depend on input partitioning")
+  }
 }
