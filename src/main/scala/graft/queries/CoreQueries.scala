@@ -134,12 +134,28 @@ object CoreQueries {
         .groupBy((shiftright(col("ring_token"), 62) + lit(2)).as("range_id"))
         .agg(count(lit(1)).as("n"), min("ring_token").as("min_token"), max("ring_token").as("max_token"))
         .orderBy("range_id"),
-      None),
+      // Graduated from rows-only (r18): OracleMurmur evaluates the exact
+      // Cassandra murmur3 ring in pure DuckDB SQL (HUGEINT wrap
+      // arithmetic) — a third independent implementation next to the
+      // engine kernel and the Guava-pinned spec reference.
+      Some(s"""WITH src AS (SELECT o_orderkey FROM orders),
+              |${OracleMurmur.murmurCtes("__m", "src",
+                  OracleMurmur.bigintBytes("o_orderkey"),
+                  Seq("o_orderkey"), "ring_token")}
+              |SELECT CAST(${OracleMurmur.rangeId("ring_token")} AS BIGINT) AS range_id,
+              |       count(*) AS n,
+              |       min(ring_token) AS min_token,
+              |       max(ring_token) AS max_token
+              |FROM __m8
+              |GROUP BY 1
+              |ORDER BY range_id""".stripMargin)),
 
     // S1+/P4 — the same 4-range split for a TEXT partition key and for a
     // composite (bigint, text) key: the general block-loop murmur3 over
-    // CQL/CompositeType serializations. Rows-only like the bigint variant
-    // (DuckDB cannot evaluate Cassandra's murmur3).
+    // CQL/CompositeType serializations. Graduated from rows-only (r18):
+    // two chained OracleMurmur CTE pipelines — UTF-8 text bytes, then the
+    // CompositeType framing (len|bytes|0x00 per component) — exercise the
+    // block loop AND the signed-tail quirk path cross-engine.
     Q("cassandra_token_ranges_text",
       (s, dir) => {
         val c = TableIO.read(s, dir, "customer")
@@ -153,7 +169,20 @@ object CoreQueries {
             countDistinct(shiftright(col("t_comp"), 62)).as("comp_ranges_hit"))
           .orderBy("range_id")
       },
-      None),
+      Some(s"""WITH src AS (SELECT c_custkey, c_name FROM customer),
+              |${OracleMurmur.murmurCtes("__mt", "src",
+                  OracleMurmur.textBytes("c_name"),
+                  Seq("c_custkey", "c_name"), "t_text")},
+              |${OracleMurmur.murmurCtes("__mc", "__mt8",
+                  OracleMurmur.compositeBigintText("c_custkey", "c_name"),
+                  Seq("c_custkey", "c_name", "t_text"), "t_comp")}
+              |SELECT CAST(${OracleMurmur.rangeId("t_text")} AS BIGINT) AS range_id,
+              |       count(*) AS n_text,
+              |       min(t_text) AS min_text_token,
+              |       count(DISTINCT ${OracleMurmur.rangeId("t_comp")}) AS comp_ranges_hit
+              |FROM __mc8
+              |GROUP BY 1
+              |ORDER BY range_id""".stripMargin)),
 
     // S8 end-to-end — the ENTIRE wrapper config path in one query: env
     // vars (CDM_PROPERTY_* + env: indirection) → properties → CdmConfig →
