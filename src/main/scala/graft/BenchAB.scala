@@ -480,6 +480,121 @@ object BenchAB {
       time("pipeline_e2e WIDENED", 5)(graft.ext.Pipeline.curationPipeline(
         graft.ext.Similarity.widen(docs), "doc_id", "text", "lang", "source", bounds = b))
     }
+    if (which("probe_argmin")) {
+      // r18: the four `min(struct(dist, id))` argmin sites plan as
+      // SortAggregate (struct buffers are not hash-aggregable) — partial
+      // sort + exchange + final sort, no codegen hash path. Probe the
+      // upside of a hash-aggregable argmin by packing (dist, id) into one
+      // long: min(packed) is a plain codegen HashAggregate. The packed
+      // decode reproduces the exact (dist, id) pair, so the variants are
+      // bit-equal on the fixture (centroid ids < 8/16 by the registered
+      // queries' contracts; the production fix is a DeclarativeAggregate
+      // with a (dist, id) primitive buffer — no packing bound).
+      import graft.ext.Similarity
+      val emb = TableIO.read(s, sfDir, "embeddings")
+      time("kmeans_assign REG", 5)(SparkEntry.queries("kmeans_assign")(s, sfDir))
+      def assignPacked: DataFrame = {
+        val c = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+          .withColumn("c_sq", Similarity.dot(col("c_emb"), col("c_emb")))
+        emb.withColumn("v_sq", Similarity.dot(col("embedding"), col("embedding")))
+          .crossJoin(broadcast(c))
+          .withColumn("dist6", round(col("v_sq")
+            - lit(2.0) * Similarity.dot(col("embedding"), col("c_emb")) + col("c_sq"), 6))
+          .withColumn("__p", expr("cast(rint(dist6 * 1000000) as bigint) * 8 + c_id"))
+          .groupBy("vec_id").agg(min("__p").as("p"))
+          .select(col("vec_id"), expr("p % 8").as("centroid_id"),
+            expr("cast(p div 8 as double) / 1000000.0").as("dist6"))
+          .orderBy("vec_id")
+      }
+      time("kmeans_assign PACKED", 5)(assignPacked)
+      time("kmeans_update REG", 5)(SparkEntry.queries("kmeans_update")(s, sfDir))
+      def updatePacked: DataFrame = {
+        val v = emb.select(col("vec_id"), Similarity.quantizeMicros(col("embedding")).as("q"))
+        val c = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), Similarity.quantizeMicros(col("embedding")).as("cq"))
+        val assigned = v.crossJoin(broadcast(c))
+          .withColumn("dist_q",
+            expr("aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"))
+          .withColumn("__p", col("dist_q") * 8 + col("c_id"))
+          .groupBy("vec_id").agg(min("__p").as("p"))
+          .select(col("vec_id"), expr("p % 8").as("c_id"))
+        v.join(assigned, "vec_id")
+          .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "vq")))
+          .groupBy("c_id", "dim")
+          .agg(count(lit(1)).as("n"), sum("vq").as("s"))
+          .select(col("c_id").as("centroid_id"), col("dim").cast("long").as("dim"),
+            expr("s div n").as("c_us"), col("n"))
+          .orderBy("centroid_id", "dim")
+      }
+      time("kmeans_update PACKED", 5)(updatePacked)
+      time("kmeans_next REG", 5)(SparkEntry.queries("kmeans_next_assign")(s, sfDir))
+      def nextPacked: DataFrame = {
+        val v = emb.select(col("vec_id"), Similarity.quantizeMicros(col("embedding")).as("q"))
+        val c = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), Similarity.quantizeMicros(col("embedding")).as("cq"))
+        val assigned = v.crossJoin(broadcast(c))
+          .withColumn("dist_q",
+            expr("aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"))
+          .withColumn("__p", col("dist_q") * 8 + col("c_id"))
+          .groupBy("vec_id").agg(min("__p").as("p"))
+          .select(col("vec_id"), expr("p % 8").as("c_id"))
+        val updated = v.join(assigned, "vec_id")
+          .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "vq")))
+          .groupBy("c_id", "dim")
+          .agg(count(lit(1)).as("n"), sum("vq").as("s"))
+          .select(col("c_id").as("centroid_id"), col("dim").cast("long").as("dim"),
+            expr("s div n").as("c_us"), col("n"))
+        // array-form reassign: re-assemble the 8 updated centroids into
+        // per-centroid arrays (512 rows -> 8), broadcast, one fused
+        // zip_with distance per (vector, centroid) pair instead of the
+        // N*64-row melt joined on dim (which fans to N*512 rows through
+        // a two-level aggregate)
+        val cArr = updated
+          .groupBy("centroid_id")
+          .agg(array_sort(collect_list(struct(col("dim"), col("c_us")))).as("ds"))
+          .select(col("centroid_id"), expr("transform(ds, d -> d.c_us)").as("c_arr"))
+        v.crossJoin(broadcast(cArr))
+          .withColumn("dist_q",
+            expr("aggregate(zip_with(q, c_arr, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"))
+          .withColumn("__p", col("dist_q") * 8 + col("centroid_id"))
+          .groupBy("vec_id").agg(min("__p").as("p"))
+          .select(col("vec_id"), expr("p % 8").as("centroid_id"),
+            expr("p div 8").as("dist_q"))
+          .orderBy("vec_id")
+      }
+      time("kmeans_next PACKED", 5)(nextPacked)
+      time("pq_codes REG", 5)(SparkEntry.queries("pq_codes")(s, sfDir))
+      def pqPacked: DataFrame = {
+        val cent = emb.filter(col("vec_id") < 16)
+        val v = Similarity.pqSubVectors(Similarity.widen(emb), "vec_id")
+        val c = Similarity.pqSubVectors(
+            cent.select(col("vec_id").as("c_id"), col("embedding")), "c_id")
+          .withColumnRenamed("svec", "cvec")
+        v.join(broadcast(c), "sub")
+          .withColumn("dist6", round(
+            Similarity.dot(col("svec"), col("svec"))
+              - lit(2.0) * Similarity.dot(col("svec"), col("cvec"))
+              + Similarity.dot(col("cvec"), col("cvec")), 6))
+          .withColumn("__p", expr("cast(rint(dist6 * 1000000) as bigint) * 16 + c_id"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min("__p").as("p"))
+          .select(col("vec_id"), col("sub"), expr("p % 16").as("code"),
+            expr("cast(p div 16 as double) / 1000000.0").as("dist6"))
+          .orderBy("vec_id", "sub")
+      }
+      time("pq_codes PACKED", 5)(pqPacked)
+      // equivalence smoke on the fixture (exact row sets)
+      val regA = SparkEntry.queries("kmeans_assign")(s, sfDir)
+      println("[ab] kmeans_assign equal: " +
+        (regA.exceptAll(assignPacked).isEmpty && assignPacked.exceptAll(regA).isEmpty))
+      val regN = SparkEntry.queries("kmeans_next_assign")(s, sfDir)
+      println("[ab] kmeans_next equal: " +
+        (regN.exceptAll(nextPacked).isEmpty && nextPacked.exceptAll(regN).isEmpty))
+      val regP = SparkEntry.queries("pq_codes")(s, sfDir)
+      println("[ab] pq_codes equal: " +
+        (regP.exceptAll(pqPacked).isEmpty && pqPacked.exceptAll(regP).isEmpty))
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

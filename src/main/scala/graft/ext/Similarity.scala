@@ -370,8 +370,13 @@ object Similarity {
    * |v−c|² = v·v − 2·v·c + c·c so each term is one fixed-order
    * [[dot]] fold (deterministic, oracle-mirrored). Centroids broadcast —
    * the N×K pair stream never shuffles; the argmin is a groupBy
-   * `min(struct(dist, c_id))` with map-side combine (ties break on
-   * centroid id), NOT a window sort over N×K rows.
+   * [[org.apache.spark.sql.graft.ArgMinPair]] with map-side combine
+   * (ties break on centroid id), NOT a window sort over N×K rows. The
+   * r17 form aggregated `min(struct(dist, c_id))`, which is the same
+   * lexicographic minimum but plans as SortAggregate (struct buffers are
+   * not hash-aggregable): partial sort + final sort outside codegen —
+   * the kernel's primitive (dist, id) buffer restores the HashAggregate
+   * path (r18, BenchAB probe_argmin: 0.91 s → 0.40 s at sf0.1).
    */
   def assignToCentroids(df: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -381,8 +386,8 @@ object Similarity {
       .withColumn("dist6",
         round(col("v_sq") - lit(2.0) * dot(col("embedding"), col("c_emb")) + col("c_sq"), 6))
       .groupBy("vec_id")
-      .agg(min(struct(col("dist6"), col("c_id"))).as("m"))
-      .select(col("vec_id"), col("m.c_id").as("centroid_id"), col("m.dist6").as("dist6"))
+      .agg(org.apache.spark.sql.graft.ArgMinPair.argmin(col("dist6"), col("c_id")).as("m"))
+      .select(col("vec_id"), col("m.id").as("centroid_id"), col("m.dist").as("dist6"))
   }
 
   /**
@@ -421,8 +426,8 @@ object Similarity {
         dot(col("svec"), col("svec")) - lit(2.0) * dot(col("svec"), col("cvec"))
           + dot(col("cvec"), col("cvec")), 6))
       .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("dist6"), col("c_id"))).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.c_id").as("code"), col("m.dist6").as("dist6"))
+      .agg(org.apache.spark.sql.graft.ArgMinPair.argmin(col("dist6"), col("c_id")).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.id").as("code"), col("m.dist").as("dist6"))
   }
 
   /**
@@ -671,8 +676,9 @@ object Similarity {
     val assigned = v.crossJoin(broadcast(c))
       .withColumn("dist_q",
         expr("aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"))
-      .groupBy("vec_id").agg(min(struct(col("dist_q"), col("c_id"))).as("m"))
-      .select(col("vec_id"), col("m.c_id").as("c_id"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.graft.ArgMinPair.argmin(col("dist_q"), col("c_id")).as("m"))
+      .select(col("vec_id"), col("m.id").as("c_id"))
     v.join(assigned, "vec_id")
       .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "vq")))
       .groupBy("c_id", "dim")
@@ -689,8 +695,8 @@ object Similarity {
       .groupBy("vec_id", "centroid_id")
       .agg(sum("d").as("dist_q"))
       .groupBy("vec_id")
-      .agg(min(struct(col("dist_q"), col("centroid_id"))).as("m"))
-      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"), col("m.dist_q").as("dist_q"))
+      .agg(org.apache.spark.sql.graft.ArgMinPair.argmin(col("dist_q"), col("centroid_id")).as("m"))
+      .select(col("vec_id"), col("m.id").as("centroid_id"), col("m.dist").as("dist_q"))
   }
 
   /** X2d — embedding-cosine near-duplicate pairs within a blocking cell:
