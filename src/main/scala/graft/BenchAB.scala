@@ -595,6 +595,65 @@ object BenchAB {
       println("[ab] pq_codes equal: " +
         (regP.exceptAll(pqPacked).isEmpty && pqPacked.exceptAll(regP).isEmpty))
     }
+    if (which("probe_serve")) {
+      // r18: ann_serve_e2e cell attachment — the OLD form re-joined the
+      // PQ code table against candidates(vec_id, cell) to recover the
+      // cell (corpus-sized broadcast; corpus×corpus join at scale); the
+      // NEW form carries the cell through the encoding group key. Both
+      // timed interleaved, min-of-5, plus row-set equality.
+      import graft.ext.Similarity
+      val emb = TableIO.read(s, sfDir, "embeddings")
+      def oldForm: DataFrame = {
+        val queries = emb.filter(col("vec_id") < 5)
+        val candidates = emb
+        val centroids = emb.filter(col("vec_id") < 16)
+        val codes = Similarity.pqCodes(candidates, centroids)
+          .join(candidates.select(col("vec_id"), col("label").as("__cell")), "vec_id")
+          .select(col("vec_id"), col("sub"), col("code"), col("__cell"))
+        val q = Similarity.pqSubVectors(
+            queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+          .withColumnRenamed("svec", "qvec")
+        val c = Similarity.pqSubVectors(
+            centroids.select(col("vec_id").as("c_id"), col("embedding")), "c_id")
+          .withColumnRenamed("svec", "cvec")
+        val lut = q.join(c, "sub")
+          .withColumn("pdist_us", floor((
+            Similarity.dot(col("qvec"), col("qvec"))
+              - lit(2.0) * Similarity.dot(col("qvec"), col("cvec"))
+              + Similarity.dot(col("cvec"), col("cvec"))) * lit(1000000.0)).cast("long"))
+          .join(queries.select(col("vec_id").as("query_id"), col("label").as("__cell")),
+            "query_id")
+          .select(col("query_id"), col("sub"), col("c_id").as("code"),
+            col("__cell"), col("pdist_us"))
+        val pairs = codes.join(broadcast(lut), Seq("sub", "code", "__cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("pdist_us").as("adc_us"))
+        val short = pairs
+          .withColumn("__sr", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("adc_us").asc, col("vec_id"))))
+          .filter(col("__sr") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val nv = Similarity.widen(candidates)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("__n_emb"))
+        val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("__q_emb"))
+        nv.join(broadcast(short), "neighbor_id")
+          .join(broadcast(qv), "query_id")
+          .withColumn("cos6", round(Similarity.cosine(col("__q_emb"), col("__n_emb")), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("cos6").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos6"))
+          .orderBy("query_id", "rank")
+      }
+      def newForm: DataFrame = SparkEntry.queries("ann_serve_e2e")(s, sfDir)
+      for (i <- 1 to 2) {
+        time(s"ann_serve OLD (join) #$i", 5)(oldForm)
+        time(s"ann_serve NEW (carry) #$i", 5)(newForm)
+      }
+      println("[ab] ann_serve rows equal: " +
+        (oldForm.exceptAll(newForm).isEmpty && newForm.exceptAll(oldForm).isEmpty))
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

@@ -405,29 +405,38 @@ object Similarity {
   val PqSubDim = 8
 
   /** Explode (id, embedding) into one row per subspace with the sliced
-   * sub-vector. Pure per-row generate — no shuffle. */
+   * sub-vector, plus any `carry` columns passed through per row. Pure
+   * per-row generate — no shuffle. */
   def pqSubVectors(df: DataFrame, idCol: String,
-      numSub: Int = PqSubspaces, subDim: Int = PqSubDim): DataFrame =
-    df.select(col(idCol), explode(array((0 until numSub).map(m =>
-        struct(lit(m.toLong).as("sub"), slice(col("embedding"), m * subDim + 1, subDim).as("svec"))): _*)).as("e"))
-      .select(col(idCol), col("e.sub").as("sub"), col("e.svec").as("svec"))
+      numSub: Int = PqSubspaces, subDim: Int = PqSubDim,
+      carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: carry.map(col) :+ explode(array((0 until numSub).map(m =>
+        struct(lit(m.toLong).as("sub"), slice(col("embedding"), m * subDim + 1, subDim).as("svec"))): _*)).as("e"): _*)
+      .select(col(idCol) +: carry.map(col) :+ col("e.sub").as("sub") :+ col("e.svec").as("svec"): _*)
 
   /** PQ encoding: per (vector, subspace), the id of the nearest
    * sub-centroid plus the rounded quantization error. Centroid sub-vector
    * table broadcasts; the N×numSub stream never shuffles until the tiny
-   * per-(vec, sub) argmin. */
+   * per-(vec, sub) argmin. `carry` columns of `df` (per-vector constants,
+   * e.g. the IVF cell) ride through the encoding as extra group keys, so
+   * a caller never has to join the corpus-sized code table back against
+   * the corpus to recover them (r18: that join broadcast a corpus-sized
+   * (vec_id, cell) side locally and degrades to a corpus×corpus shuffle
+   * join at scale — guide §3). */
   def pqCodes(df: DataFrame, centroids: DataFrame,
-      numSub: Int = PqSubspaces, subDim: Int = PqSubDim): DataFrame = {
-    val v = pqSubVectors(widen(df), "vec_id", numSub, subDim)
+      numSub: Int = PqSubspaces, subDim: Int = PqSubDim,
+      carry: Seq[String] = Nil): DataFrame = {
+    val v = pqSubVectors(widen(df), "vec_id", numSub, subDim, carry)
     val c = pqSubVectors(centroids.select(col("vec_id").as("c_id"), col("embedding")), "c_id", numSub, subDim)
       .withColumnRenamed("svec", "cvec")
     v.join(broadcast(c), "sub")
       .withColumn("dist6", round(
         dot(col("svec"), col("svec")) - lit(2.0) * dot(col("svec"), col("cvec"))
           + dot(col("cvec"), col("cvec")), 6))
-      .groupBy(col("vec_id"), col("sub"))
+      .groupBy(col("vec_id") +: carry.map(col) :+ col("sub"): _*)
       .agg(org.apache.spark.sql.graft.ArgMinPair.argmin(col("dist6"), col("c_id")).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.id").as("code"), col("m.dist").as("dist6"))
+      .select(col("vec_id") +: carry.map(col) :+ col("sub") :+
+        col("m.id").as("code") :+ col("m.dist").as("dist6"): _*)
   }
 
   /**
@@ -520,8 +529,13 @@ object Similarity {
   def ivfPqServeTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
       k: Int, shortlist: Int, cellCol: String = "label",
       numSub: Int = PqSubspaces, subDim: Int = PqSubDim): DataFrame = {
-    val codes = pqCodes(candidates, centroids, numSub, subDim)
-      .join(candidates.select(col("vec_id"), col(cellCol).as("__cell")), "vec_id")
+    // the cell rides THROUGH the encoding (pqCodes carry): the r17 form
+    // re-joined the code table against candidates(vec_id, cell) just to
+    // recover the cell — a corpus-sized broadcast here and a
+    // corpus×corpus shuffle join at 100 TB (r18, guide §3)
+    val codes = pqCodes(
+        candidates.select(col("vec_id"), col("embedding"), col(cellCol).as("__cell")),
+        centroids, numSub, subDim, carry = Seq("__cell"))
       .select(col("vec_id"), col("sub"), col("code"), col("__cell"))
     val q = pqSubVectors(queries.select(col("vec_id").as("query_id"), col("embedding")),
         "query_id", numSub, subDim)

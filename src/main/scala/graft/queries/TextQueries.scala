@@ -315,34 +315,41 @@ object TextQueries {
         // stage the token array in a column: bigrams() reads it 3× and
         // per ELEMENT in its lambda — an inline split(text) expression
         // would re-split the whole text per bigram (quadratic per doc)
+        //
+        // SHUFFLE-FREE (r18): the top-bigram count is a PER-DOCUMENT
+        // statistic, so it never needed the (doc_id, bigram) groupBy at
+        // all — the max multiplicity of a row's bigram array is the
+        // longest run in its SORTED array, one codegen aggregate() HOF
+        // per row. This deletes both exchanges AND the doc_id join-back
+        // of the r15 two-branch form (guide §2.4: remove shuffles
+        // outright): scan → project → output sort is the whole plan, and
+        // at 100 TB the corpus-sized bigram stream (~tokens·rows) never
+        // shuffles. Bit-equal to the aggregate form: count of non-null
+        // bigrams = array size (bigrams() never emits null elements),
+        // max group count = max sorted-run length, same long/double
+        // arithmetic (BenchAB probe_trmap + the unchanged oracle hash).
         val docs = TableIO.read(s, dir, "documents")
           .withColumn("__toks", TextOps.tokens(col("text")))
-        // TWO BRANCHES, rejoined on doc_id — measured 2.3× FASTER than the
-        // "single lineage" form that rides dup_word_frac through both
-        // aggregates as first() (1.29 s vs 2.96 s at sf0.1, BenchAB):
-        // carrying the per-doc scalar into the (doc_id, bigram) partial
-        // aggregate widens every hash-map entry and shuffle row of the
-        // ~n_bigrams-cardinality stage, which costs more than the extra
-        // 60k-row scan + broadcast-sized join it saves. The per-doc branch
-        // is cheap (one projection); the join is doc_id-keyed and small.
-        val perDoc = docs.select(col("doc_id"),
-          TextOps.dupWordFrac(col("__toks")).as("dup_word_frac"))
-        // explode_outer + null filter: see Dedup.ngramJaccardPairs on the
-        // InferFiltersFromGenerate re-inlining pathology
-        val top = docs
-          .select(col("doc_id"), explode_outer(TextOps.bigrams(col("__toks"))).as("bigram"))
-          .filter(col("bigram").isNotNull)
-          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
-          .withColumn("top_bigram_frac",
-            round(col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 6))
-        perDoc.join(top, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-            coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
-            coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
-            col("dup_word_frac"))
+          .withColumn("__bg", TextOps.bigrams(col("__toks")))
+        val nbg = when(col("__bg").isNull, lit(0L))
+          .otherwise(size(col("__bg")).cast("long"))
+        // longest run in the sorted bigram array = the max bigram
+        // multiplicity; null-safe <=> keeps the fold total
+        val topRun = expr("""aggregate(array_sort(__bg),
+            named_struct('prev', cast(null as string),
+                         'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+            (acc, x) -> named_struct('prev', x,
+              'run', if(acc.prev <=> x, acc.run + 1L, 1L),
+              'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1L, 1L))),
+            acc -> acc.best)""")
+        docs
+          .withColumn("n_bigrams", nbg)
+          .withColumn("top_bigram_n", coalesce(topRun, lit(0L)))
+          .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+            when(col("n_bigrams") > 0L,
+              round(col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 6))
+              .otherwise(lit(0.0)).as("top_bigram_frac"),
+            TextOps.dupWordFrac(col("__toks")).as("dup_word_frac"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
