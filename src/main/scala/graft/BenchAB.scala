@@ -28,6 +28,8 @@ object BenchAB {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // size-gated SHJ preference — rationale at Bench.scala
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.plans.GraftExtensions")
@@ -653,6 +655,21 @@ object BenchAB {
       }
       println("[ab] ann_serve rows equal: " +
         (oldForm.exceptAll(newForm).isEmpty && newForm.exceptAll(oldForm).isEmpty))
+    }
+    if (which("probe_shj")) {
+      // r18 config A/B (guide §9): preferSortMergeJoin=false lets the
+      // planner pick shuffled-hash joins where its size gates hold (same
+      // shuffle, no sort). Alternating passes over the SMJ-bearing
+      // queries, pairwise min-of-4 — the last pass re-runs arm A to
+      // expose box drift.
+      val qs = Seq("knn_graph_mutual", "knn_graph_banded", "knn_banded_incremental",
+        "knn_recall_mutual", "semantic_dedup", "nb_classify_confusion",
+        "dedup_ngram_hot", "pipeline_e2e")
+      for (pref <- Seq("true", "false", "true", "false")) {
+        s.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+        qs.foreach(n => time(f"$n%-24s pSMJ=$pref", 4)(SparkEntry.queries(n)(s, sfDir)))
+      }
+      s.conf.unset("spark.sql.join.preferSortMergeJoin")
     }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
