@@ -671,6 +671,61 @@ object BenchAB {
       }
       s.conf.unset("spark.sql.join.preferSortMergeJoin")
     }
+    if (which("probe_pdecomp")) {
+      // r18: where does pipeline_incremental's wall go? Decompose into
+      // (a) census over the RELOADED state alone (no delta fold),
+      // (b) the fold's survivor-stream frames only (kept2 + verified +
+      // contaminated — what the census reads), (c) the full registered
+      // query. All against the same persisted ledger the prepare hook
+      // builds.
+      import graft.ext.{PipelineIncremental, TextOps}
+      val docs = TableIO.read(s, sfDir, "documents")
+      val b = TextOps.GopherBounds(minWords = 20, maxWords = 80)
+      val load = graft.run.StateStore.materialize(
+        s, s"curation_${graft.run.StateStore.dirKey(sfDir)}",
+        PipelineIncremental.toFrames(
+          PipelineIncremental.curationState(
+            docs.filter(col("doc_id") % 20 =!= 19),
+            "doc_id", "text", "lang", "source", bounds = b)))
+      val delta = docs.filter(col("doc_id") % 20 === 19)
+      def st = PipelineIncremental.fromFrames(load)
+      time("pinc census(state) only", 5)(
+        PipelineIncremental.censusFromState(st, "doc_id", "lang"))
+      def folded = PipelineIncremental.curationStateIncremental(
+        st, delta, "doc_id", "text", "lang", "source", bounds = b)
+      time("pinc fold.kept2 only", 5)(folded.kept2)
+      time("pinc fold.verified only", 5)(folded.verifiedTagged)
+      time("pinc fold.contaminated", 5)(folded.contaminated)
+      time("pinc FULL REG", 5)(SparkEntry.queries("pipeline_incremental")(s, sfDir))
+    }
+    if (which("probe_pfoot")) {
+      // r18: decompose the delta-footprint prefix of the fold — which of
+      // the sequential stages carries the ~5 s wall.
+      import graft.ext.{Dedup, PipelineIncremental, TextOps}
+      val docs = TableIO.read(s, sfDir, "documents")
+      val b = TextOps.GopherBounds(minWords = 20, maxWords = 80)
+      val load = graft.run.StateStore.materialize(
+        s, s"curation_${graft.run.StateStore.dirKey(sfDir)}",
+        PipelineIncremental.toFrames(
+          PipelineIncremental.curationState(
+            docs.filter(col("doc_id") % 20 =!= 19),
+            "doc_id", "text", "lang", "source", bounds = b)))
+      val delta = docs.filter(col("doc_id") % 20 === 19)
+      val st = PipelineIncremental.fromFrames(load)
+      def deltaTrain = delta.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_raw_tokens"))
+      def k1d = deltaTrain
+        .join(TextOps.gopherRules(deltaTrain, "doc_id", "text",
+            Seq("the", "a", "of", "and", "to", "in", "is", "on"), b)
+          .filter(col("passes")).select(col("doc_id")), Seq("doc_id"))
+      time("pfoot deltaTrain", 4)(deltaTrain)
+      time("pfoot k1d (gopher)", 4)(k1d)
+      // the full delta footprint (stage-1/2 delta curation, T2, changed
+      // band keys, touched buckets) + four tiny count aggregates
+      time("pfoot regimeAudit=footprint", 4)(PipelineIncremental.deltaRegimeAudit(
+        st, delta, "doc_id", "text", "lang", "source", bounds = b))
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

@@ -520,14 +520,45 @@ object PipelineIncremental {
       seqLen: Long = 512L): DataFrame = {
     import Pipeline.census
     val drops = state.verifiedTagged.select(col("id_b").as(idCol)).distinct()
-    val kept3 = state.kept2.join(drops, Seq(idCol), "left_anti")
+    // ONE flagged pass over the kept2 ledger replaces the r17 chained
+    // kept3/kept4 anti-join checkpoints (r18, guide §2.4): per-row
+    // drop/contamination flags via left_outer marker joins (ids are
+    // unique on every side, so row counts are preserved), then census
+    // rows 2/3/4 fall out of a SINGLE conditional aggregate + stack
+    // instead of three aggregate passes over three chained frames. The
+    // decomposition probe (BenchAB probe_pdecomp) measured the census
+    // tail alone at 1.87 s of pipeline_incremental's wall; at scale
+    // this is 3 survivor-ledger passes where r17 paid ~8.
+    val flagged = state.kept2
+      .join(drops.withColumn("__dropped", lit(true)), Seq(idCol), "left_outer")
+      .join(state.contaminated.select(col(idCol)).withColumn("__cont", lit(true)),
+        Seq(idCol), "left_outer")
+      .select(col(idCol), col(langCol), col("n_kept_tokens"),
+        col("__dropped").isNull.as("__k3"),
+        (col("__dropped").isNull && col("__cont").isNull).as("__k4"))
       .localCheckpoint(eager = false)
-    val kept4 = kept3.join(state.contaminated, Seq(idCol), "left_anti")
-      .localCheckpoint(eager = false)
-    val kept5 = Curation.temperatureAnnotate(kept4, langCol, col(idCol))
+    val rows234 = flagged
+      .agg(
+        count(lit(1)).as("n2"),
+        coalesce(sum(col("n_kept_tokens")), lit(0L)).as("t2"),
+        count(when(col("__k3"), 1)).as("n3"),
+        coalesce(sum(when(col("__k3"), col("n_kept_tokens"))), lit(0L)).as("t3"),
+        count(when(col("__k4"), 1)).as("n4"),
+        coalesce(sum(when(col("__k4"), col("n_kept_tokens"))), lit(0L)).as("t4"))
+      .select(expr(
+        "stack(3, 2, 'span_dedup', n2, t2, 3, 'neardup_drop', n3, t3, " +
+          "4, 'decontaminate', n4, t4)")
+        .as(Seq("stage_idx", "stage", "n_docs", "n_tokens")))
+      .withColumn("n_seqs", lit(0L))
+    // kept4 = the flagged rows themselves (same rows the anti-join form
+    // produced); the temperature stage is unchanged — its stratum counts
+    // and keep rule need kept4 materialized first either way
+    val kept5 = Curation.temperatureAnnotate(
+        flagged.filter(col("__k4"))
+          .select(col(idCol), col(langCol), col("n_kept_tokens")),
+        langCol, col(idCol))
       .filter(col("keep"))
       .select(col(idCol), col(langCol), col("n_kept_tokens"))
-      .localCheckpoint(eager = false)
     // pack census ARITHMETICALLY: the survivors' sequence count per
     // stratum is ceil(Σ tokens / seqLen) — identical to what the last
     // packed doc's first_seq + n_seqs evaluates to (every kept5 doc has
@@ -536,26 +567,27 @@ object PipelineIncremental {
     // packing OPERATOR composition stays proven by pipeline_e2e, which
     // derives this row from the genuine packSequences output; equality
     // of the two forms is exactly what the shared oracle hash checks.
-    val nSeqs = kept5.groupBy(col(langCol))
-      .agg(sum("n_kept_tokens").as("__lt"))
-      // integer ceil-div (never double ceil — precision dies past 2^53)
-      .agg(coalesce(sum(expr(s"(__lt + ${seqLen - 1}) div $seqLen")), lit(0L)).as("n_seqs"))
-    val packRow = kept5
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("n_kept_tokens")), lit(0L)).as("n_tokens"))
-      .crossJoin(broadcast(nSeqs))
-      .select(lit(6).as("stage_idx"), lit("pack").as("stage"),
-        col("n_docs"), col("n_tokens"), col("n_seqs"))
+    // Census rows 5 and 6 come out of the SAME per-stratum aggregate
+    // (one kept5 pass, not three): totals are sums of the per-lang
+    // counts, and the integer ceil-div (never double ceil — precision
+    // dies past 2^53) folds per stratum exactly as before.
+    val rows56 = kept5.groupBy(col(langCol))
+      .agg(count(lit(1)).as("__nd"),
+        coalesce(sum(col("n_kept_tokens")), lit(0L)).as("__lt"))
+      .agg(
+        coalesce(sum("__nd"), lit(0L)).as("n5"),
+        coalesce(sum("__lt"), lit(0L)).as("t5"),
+        coalesce(sum(expr(s"(__lt + ${seqLen - 1}) div $seqLen")), lit(0L)).as("s6"))
+      .select(expr("stack(2, 5, 'temperature', n5, t5, CAST(0 AS BIGINT), " +
+          "6, 'pack', n5, t5, s6)")
+        .as(Seq("stage_idx", "stage", "n_docs", "n_tokens", "n_seqs")))
     Seq(
       // token counts from the LEDGER column — no corpus re-tokenize
       census(0, "ingest", state.train0, col("n_raw_tokens")),
       census(1, "gopher", state.kept1, col("n_raw_tokens")),
-      census(2, "span_dedup", state.kept2, col("n_kept_tokens")),
-      census(3, "neardup_drop", kept3, col("n_kept_tokens")),
-      census(4, "decontaminate", kept4, col("n_kept_tokens")),
-      census(5, "temperature", kept5, col("n_kept_tokens")),
-      packRow
-    ).reduce(_ union _).orderBy("stage_idx")
+      rows234,
+      rows56
+    ).reduce(_ unionByName _).orderBy("stage_idx")
   }
 
   /**
