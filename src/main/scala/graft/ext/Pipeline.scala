@@ -51,9 +51,14 @@ object Pipeline {
     // frames derived from `docs` (sibling-operator convention; the
     // stage-2 join would otherwise be ambiguous at runtime)
     graft.ops.SqlTypes.requireFreeColumns(docs,
-      Seq("n_kept_tokens", "kept_text", "keep", "sh", Dedup.ShinglesCol))
+      Seq("n_kept_tokens", "kept_text", "keep", "sh", "n_raw_tokens",
+        Dedup.ShinglesCol))
+    // n_raw_tokens computed ONCE into the checkpoint (r18): census rows
+    // 0 and 1 used to re-tokenize the cached text — two full corpus
+    // tokenize passes for two sums the projection can carry as one long
     val train0 = docs.filter(col(srcCol) =!= evalSource)
-      .select(col(idCol), col(textCol), col(langCol))
+      .select(col(idCol), col(textCol), col(langCol),
+        rawTok(col(textCol)).as("n_raw_tokens"))
       .localCheckpoint(eager = false)
 
     // 1 — Gopher composite quality rules
@@ -106,8 +111,8 @@ object Pipeline {
       col("n_kept_tokens"), seqLen)
 
     Seq(
-      census(0, "ingest", train0, rawTok(col(textCol))),
-      census(1, "gopher", kept1, rawTok(col(textCol))),
+      census(0, "ingest", train0, col("n_raw_tokens")),
+      census(1, "gopher", kept1, col("n_raw_tokens")),
       census(2, "span_dedup", kept2, col("n_kept_tokens")),
       census(3, "neardup_drop", kept3, col("n_kept_tokens")),
       census(4, "decontaminate", kept4, col("n_kept_tokens")),
