@@ -726,6 +726,38 @@ object BenchAB {
       time("pfoot regimeAudit=footprint", 4)(PipelineIncremental.deltaRegimeAudit(
         st, delta, "doc_id", "text", "lang", "source", bounds = b))
     }
+    if (which("probe_shj2")) {
+      // does preferSortMergeJoin=false actually change the AQE-final
+      // plan of the probe_shj queries, or was the measured delta order
+      // bias? Execute each under both values and print the join nodes.
+      for (q <- Seq("knn_graph_mutual", "semantic_dedup", "nb_classify_confusion");
+           pref <- Seq("true", "false")) {
+        s.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+        val df = SparkEntry.queries(q)(s, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        val p = df.queryExecution.executedPlan.toString
+        val smj = "SortMergeJoin".r.findAllIn(p).length
+        val shj = "ShuffledHashJoin".r.findAllIn(p).length
+        val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+        println(s"[ab] $q pSMJ=$pref: SMJ=$smj SHJ=$shj BHJ=$bhj")
+      }
+      s.conf.unset("spark.sql.join.preferSortMergeJoin")
+      // and a blind repeated timing of one query under ALTERNATING conf,
+      // 8 samples each interleaved, to kill order bias
+      val ts = scala.collection.mutable.Map("true" -> Vector.empty[Double],
+        "false" -> Vector.empty[Double])
+      for (i <- 1 to 8; pref <- Seq("true", "false")) {
+        s.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+        val t0 = System.nanoTime()
+        SparkEntry.queries("knn_graph_mutual")(s, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        ts(pref) :+= (System.nanoTime() - t0) / 1e9
+      }
+      ts.foreach { case (k, v) =>
+        println(f"[ab] knn_graph_mutual interleaved pSMJ=$k min=${v.min}%.3f " +
+          s"all=${v.map(x => f"$x%.2f").mkString(",")}")
+      }
+    }
     // any arg that names a registered query: time it directly (regression
     // triage without authoring a bespoke block per query)
     which.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>

@@ -32,10 +32,18 @@ object ExplainR18 {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Paths.get("plans/r18")
     java.nio.file.Files.createDirectories(dir)
+    // a suffix ending in "_exec" EXECUTES each query through the noop
+    // sink first and dumps the AQE-FINAL executed plan — the only place
+    // runtime join-strategy rewrites (SMJ → shuffled-hash under
+    // preferSortMergeJoin=false with accurate runtime sizes) are visible
+    val exec = suffix.endsWith("_exec")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      if (exec) df.write.mode("overwrite").format("noop").save()
+      val plan =
+        if (exec) df.queryExecution.executedPlan.toString
+        else df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
         plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[explain] wrote plans/r18/${name}_$suffix.txt")
