@@ -17,19 +17,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // r18 (guide §3.1/§9): allow the planner to pick shuffled-hash
-      // join where its size gates hold — same exchange, no sort on
-      // either side. The choice stays size-gated (build side must fit
-      // a local hash map: bytes < autoBroadcastJoinThreshold ×
-      // shuffle.partitions, re-checked per plan at production confs) and
-      // SMJ remains the fallback, so this is the scale-honest posture,
-      // not a local[32] trick. Measured (BenchAB probe_shj, alternating
-      // pairwise min-of-4, sf0.1): knn_graph_mutual 1.25→0.94 s,
-      // semantic_dedup 1.29→0.97, nb_classify_confusion 0.85→0.71,
-      // knn_recall_mutual 3.04→2.86; no query regressed. Set in every
-      // engine session builder (Verify/Bench/ScaleBench/plan tools) so
-      // correctness, bench and plan evidence share one planning posture.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.plans.GraftExtensions")

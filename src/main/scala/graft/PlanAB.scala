@@ -46,8 +46,6 @@ object PlanAB {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // size-gated SHJ preference — rationale at Bench.scala
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.plans.GraftExtensions")

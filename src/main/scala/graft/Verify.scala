@@ -20,8 +20,6 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // size-gated SHJ preference — rationale at Bench.scala
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // legacy-fixture compat: current fixtures store events.ts as µs NTZ
       // (normalized in TableIO.read); this flag only matters if an old

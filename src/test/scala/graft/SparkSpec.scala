@@ -9,9 +9,6 @@ object TestSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
-    // size-gated SHJ preference — same planning posture as the engine
-    // sessions (rationale at Bench.scala)
-    .config("spark.sql.join.preferSortMergeJoin", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
