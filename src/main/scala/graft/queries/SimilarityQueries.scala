@@ -974,7 +974,11 @@ object SimilarityQueries {
              |  FROM m)
              |SELECT source, start_byte // 4096 AS shard_idx,
              |  count(*) AS n_items,
-             |  sum(size_bytes) AS bytes,
+             |  -- DuckDB sum(BIGINT) is HUGEINT, which pandas renders as
+             |  -- float64 (4133.0 vs Spark's long 4133) and the driver's
+             |  -- value hash sees as a different value; cast back to BIGINT
+             |  -- so both sides canonicalize identically (r18 verdict item 1)
+             |  CAST(sum(size_bytes) AS BIGINT) AS bytes,
              |  min(doc_id) AS first_id,
              |  max(doc_id) AS last_id,
              |  sum(size_bytes) > 4096 AS overflow

@@ -75,6 +75,20 @@ def compare(s, o):
         return False, f"row count differs: spark={len(s)} oracle={len(o)}"
     for c in s.columns:
         a, b = s[c], o[c]
+        # The driver hashes canonicalized VALUES, so an int column on one
+        # side and a float column on the other (e.g. a DuckDB HUGEINT sum
+        # that pandas renders as float64: 4133 vs 4133.0) is a driver-level
+        # hash mismatch even though pandas `==` coerces them equal. Mirror
+        # that strictness here (round-18 lesson: the local gate said
+        # 192/192 while the driver measured a hash mismatch).
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        a_flt = pd.api.types.is_float_dtype(a)
+        b_flt = pd.api.types.is_float_dtype(b)
+        if (a_int and b_flt) or (a_flt and b_int):
+            return False, (f"column {c} dtype class differs: spark={a.dtype} "
+                           f"oracle={b.dtype} (int-vs-float renders different "
+                           f"canonical values under the driver's hash)")
         try:
             a = a.map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
             b = b.map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
