@@ -24,9 +24,12 @@ object BenchAB {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // honor the driver's core count like ExplainR18/Bench do, so probe
+    // timings and plan dumps share one bench conf (r18 ADVICE)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -723,6 +726,51 @@ object BenchAB {
       // band keys, touched buckets) + four tiny count aggregates
       time("pfoot regimeAudit=footprint", 4)(PipelineIncremental.deltaRegimeAudit(
         st, delta, "doc_id", "text", "lang", "source", bounds = b))
+    }
+    if (which("probe_pjobs")) {
+      // r19: where does pipeline_incremental's driver time go? Hypothesis:
+      // every .localCheckpoint(eager=false) on a multi-exchange plan
+      // BLOCKS at construction — AdaptiveSparkPlanExec.doExecute()
+      // materializes all non-result query stages before returning the
+      // RDD — so the fold's ~26 checkpoints run their shuffles
+      // sequentially during curationStateIncremental() itself, and even
+      // frames the census never reads pay their exchanges. Measure
+      // construction wall vs census-action wall, and count jobs.
+      import graft.ext.{PipelineIncremental, TextOps}
+      val docs = TableIO.read(s, sfDir, "documents")
+      val b = TextOps.GopherBounds(minWords = 20, maxWords = 80)
+      val load = graft.run.StateStore.materialize(
+        s, s"curation_${graft.run.StateStore.dirKey(sfDir)}",
+        PipelineIncremental.toFrames(
+          PipelineIncremental.curationState(
+            docs.filter(col("doc_id") % 20 =!= 19),
+            "doc_id", "text", "lang", "source", bounds = b)))
+      val delta = docs.filter(col("doc_id") % 20 === 19)
+      val st = PipelineIncremental.fromFrames(load)
+      val nJobs = new java.util.concurrent.atomic.AtomicInteger
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          nJobs.incrementAndGet(); ()
+        }
+      }
+      s.sparkContext.addSparkListener(counter)
+      for (i <- 1 to 3) {
+        nJobs.set(0)
+        val t0 = System.nanoTime()
+        val folded = PipelineIncremental.curationStateIncremental(
+          st, delta, "doc_id", "text", "lang", "source", bounds = b)
+        val t1 = System.nanoTime()
+        val jc = nJobs.get
+        PipelineIncremental.censusFromState(folded, "doc_id", "lang")
+          .write.mode("overwrite").format("noop").save()
+        val t2 = System.nanoTime()
+        Thread.sleep(200) // let the listener bus drain
+        println(f"[ab] pjobs#$i construct=${(t1 - t0) / 1e9}%.3f s " +
+          f"(jobs=$jc) censusAction=${(t2 - t1) / 1e9}%.3f s " +
+          f"(jobs=${nJobs.get - jc})")
+      }
+      s.sparkContext.removeSparkListener(counter)
     }
     if (which("probe_shj2")) {
       // does preferSortMergeJoin=false actually change the AQE-final

@@ -2,13 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Round-18 optimization evidence tool: dump `.explain("formatted")` for a
+/** Round-19 optimization evidence tool (r18 tool, retargeted): dump `.explain("formatted")` for a
  * named set of queries under the BENCH configuration (local[$SPARK_GRAFT_CPUS],
  * shuffle.partitions = cpus, AQE on — the conf whose plans the round's
  * before/after claims are about, unlike PlanDump's local[4] headliner set).
  *
  * Usage: runMain graft.ExplainR18 <suffix> <q1,q2,...>
- * Writes plans/r18/<query>_<suffix>.txt per query. */
+ * Writes plans/r19/<query>_<suffix>.txt per query. */
 object ExplainR18 {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ExplainR18 <suffix> <q1,q2,...>")
@@ -28,7 +28,7 @@ object ExplainR18 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = java.nio.file.Paths.get("plans/r18")
+    val dir = java.nio.file.Paths.get("plans/r19")
     java.nio.file.Files.createDirectories(dir)
     // a suffix ending in "_exec" EXECUTES each query through the noop
     // sink first and dumps the AQE-FINAL executed plan — the only place
@@ -44,7 +44,7 @@ object ExplainR18 {
           org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
         plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[explain] wrote plans/r18/${name}_$suffix.txt")
+      println(s"[explain] wrote plans/r19/${name}_$suffix.txt")
     }
     spark.stop()
   }

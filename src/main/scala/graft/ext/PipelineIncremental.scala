@@ -310,8 +310,13 @@ object PipelineIncremental {
     val bandsChanged = Dedup.withBandKeys(k2d, textCol, idCol)
       .select(col(idCol), posexplode(array(bandCols.map(col): _*)).as(Seq("band", "bkey")))
       .localCheckpoint(eager = false)
+    // buckets LOSING a member are touched too; single consumer, so no
+    // checkpoint — under AQE every localCheckpoint(eager = false) BLOCKS
+    // at construction while its non-result stages materialize (measured
+    // r19, BenchAB probe_pjobs: the fold's checkpoints ran 70 sequential
+    // jobs / ~5.5 s before the census action even started), so staging is
+    // reserved for genuinely multi-consumer frames
     val oldKeysT2 = state.melted.join(t2, Seq(idCol))
-      .localCheckpoint(eager = false) // buckets LOSING a member are touched too
     val touchedKeys = bandsChanged.select("band", "bkey")
       .union(oldKeysT2.select("band", "bkey")).distinct()
       .localCheckpoint(eager = false)
@@ -360,9 +365,16 @@ object PipelineIncremental {
     // read again (pair verification uses the stored shingle index,
     // decontamination the stored verdicts), so neither the checkpoints
     // nor the persisted ledger ever serialize the corpus text twice
+    // OUTPUT frames are returned UN-checkpointed (r19): every output
+    // frame is single-consumer downstream — the census reads five of
+    // them exactly once, the streaming maintainer writes each to parquet
+    // exactly once — so a checkpoint buys no reuse, while its
+    // construction-time AQE materialization forced even the frames the
+    // census never reads (chunks/chunkDf/melted/shingles) to execute
+    // their map stages inside the timed path. Fold INTERNALS (t2, k2d,
+    // shinglesD, …) stay checkpointed: they are genuinely multi-consumer.
     val kept2 = state.kept2.join(t2, Seq(idCol), "left_anti")
       .union(k2d.select(col(idCol), col(langCol), col("n_kept_tokens")))
-      .localCheckpoint(eager = false)
 
     // 3 — near-dup: recompute TOUCHED buckets whole under union counts,
     // carry untouched buckets' verified pairs from the tagged ledger
